@@ -1,0 +1,67 @@
+"""SparkSession factory.
+
+The reference pins its runtime to EST/America-New_York
+(`2.1 leader-lambda-for-mysql.py:103-107`, `2.2 loading-lambda-for-mysql.py:104-109`)
+because Lambda runs in UTC and its recency windows are wall-clock based.
+We pin the session timezone explicitly (UTC by default — every
+time-based query in the catalog works in epoch integers so the choice
+never leaks into results) and enable AQE so skewed joins and
+post-shuffle partition counts are re-planned at runtime — the 100 TB
+posture, even when testing on local[*].
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Runtime SQL confs that queries in this package rely on. They are
+# applied by ``configure()`` to *any* session (including one created by
+# an external driver), so the query catalog works regardless of who
+# built the SparkSession.
+RUNTIME_CONFS: dict[str, str] = {
+    # testdata events.parquet stores ts as INT64 TIMESTAMP(NANOS,false),
+    # which Spark's parquet reader rejects by default; read it as a
+    # nanosecond long and convert explicitly (catalog.load_events).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.session.timeZone": "UTC",
+    # AQE: runtime coalescing of shuffle partitions + skew-join handling.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+}
+
+
+def configure(spark: SparkSession) -> SparkSession:
+    """Apply the package's runtime confs to an existing session."""
+    for k, v in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            # Non-settable at runtime in this deployment — keep going;
+            # individual loaders have fallbacks (see catalog.load_events).
+            pass
+    return spark
+
+
+def get_spark(app_name: str = "python-lambda-ecs-etl-spark", cpus: int | None = None) -> SparkSession:
+    """Create (or fetch) a local session sized for this container.
+
+    ``SPARK_GRAFT_CPUS`` mirrors the driver's bench contract; shuffle
+    partition count tracks it so small-SF local runs don't pay for 200
+    empty partitions while real-cluster deployments override via
+    spark-submit conf.
+    """
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in RUNTIME_CONFS.items():
+        builder = builder.config(k, v)
+    return configure(builder.getOrCreate())
