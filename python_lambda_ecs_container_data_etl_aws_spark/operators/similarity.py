@@ -1,0 +1,182 @@
+"""Similarity search over an embedding column (array<float>).
+
+- :func:`brute_force_topk` — exact cosine top-k via a relational dot
+  product (posexplode + join on position + sum). The correctness
+  baseline; O(|Q|·|C|·dim) — fine for small query sets, the verify
+  stage of ANN, and re-ranking.
+- :func:`lsh_topk` — the scale path: random-hyperplane LSH (sign-bit
+  signature, banded buckets) prunes candidates, then the exact scorer
+  runs only within buckets. Planes are generated from a fixed seed on
+  the driver (a few KB) and broadcast as a literal column — no UDF,
+  no shuffle for signatures.
+
+At 100 TB the candidate side is partitioned by bucket and only
+bucket-local pairs are scored; recall is tuned by (num_bits, num_bands).
+An IVF-style variant would replace the hash buckets with k-means cells
+— same plan shape (assign → bucket-join → exact verify).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _norm_sq(col):
+    return F.aggregate(
+        col, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")
+    )
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def with_cosine(pairs: DataFrame, a_col: str = "a_emb", b_col: str = "b_emb") -> DataFrame:
+    """Add ``cosine`` between two embedding columns (fold-based, JVM-side)."""
+    a, b = F.col(a_col), F.col(b_col)
+    return pairs.withColumn(
+        "cosine", _dot(a, b) / (F.sqrt(_norm_sq(a)) * F.sqrt(_norm_sq(b)))
+    )
+
+
+def brute_force_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k: (query_id, cand_id, cosine, rnk)."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_emb")
+    )
+    c = emb.select(F.col(id_col).alias("cand_id"), F.col(vec_col).alias("c_emb"))
+    scored = (
+        F.broadcast(q)
+        .join(c, F.col("query_id") != F.col("cand_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            (
+                _dot(F.col("q_emb"), F.col("c_emb"))
+                / (F.sqrt(_norm_sq(F.col("q_emb"))) * F.sqrt(_norm_sq(F.col("c_emb"))))
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("cand_id"))
+    return (
+        scored.select("*", F.row_number().over(w).alias("rnk"))
+        .filter(F.col("rnk") <= k)
+    )
+
+
+def _hyperplanes(dim: int, num_bits: int, seed: int) -> list[list[float]]:
+    """Deterministic pseudo-Gaussian planes (Box-Muller over a tiny
+    xorshift PRNG) — no numpy dependency on executors, fully seeded."""
+    state = (seed or 1) & 0xFFFFFFFFFFFFFFFF
+
+    def nxt() -> float:
+        nonlocal state
+        state ^= (state << 13) & 0xFFFFFFFFFFFFFFFF
+        state ^= state >> 7
+        state ^= (state << 17) & 0xFFFFFFFFFFFFFFFF
+        return (state % 10_000_000) / 10_000_000.0
+
+    planes = []
+    for _ in range(num_bits):
+        row = []
+        while len(row) < dim:
+            u1, u2 = max(nxt(), 1e-9), nxt()
+            g = math.sqrt(-2.0 * math.log(u1)) * math.cos(2 * math.pi * u2)
+            row.append(g)
+        planes.append(row)
+    return planes
+
+
+def lsh_signature(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    num_bits: int = 16,
+    seed: int = 42,
+    dim: int = 64,
+) -> DataFrame:
+    """Append ``sig`` (BIGINT): bit i = sign(v · plane_i)."""
+    planes = _hyperplanes(dim, num_bits, seed)
+    sig = F.lit(0).cast("bigint")
+    for i, plane in enumerate(planes):
+        lit_plane = F.array(*[F.lit(x) for x in plane])
+        bit = F.when(_dot(F.col(vec_col), lit_plane) > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        sig = sig + bit.cast("bigint")
+    return df.withColumn("sig", sig)
+
+
+def lsh_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_bits: int = 16,
+    num_bands: int = 8,
+    seed: int = 42,
+    dim: int = 64,
+) -> DataFrame:
+    """ANN top-k: hyperplane-LSH banded buckets → exact cosine within
+    candidates. Returns (query_id, cand_id, cosine, rnk); recall < 1 by
+    design, tuned by (num_bits, num_bands)."""
+    width = num_bits // num_bands
+    mask = (1 << width) - 1
+
+    def banded(df: DataFrame, role: str) -> DataFrame:
+        sig = lsh_signature(df, vec_col, num_bits, seed, dim)
+        bands = [
+            F.struct(
+                F.lit(i).alias("band"),
+                F.shiftrightunsigned(F.col("sig"), i * width)
+                .bitwiseAND(F.lit(mask))
+                .alias("bucket"),
+            )
+            for i in range(num_bands)
+        ]
+        return sig.select(
+            F.col(id_col).alias(f"{role}_id"),
+            F.col(vec_col).alias(f"{role}_emb"),
+            F.explode(F.array(*bands)).alias("bb"),
+        ).select(
+            f"{role}_id", f"{role}_emb", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+        )
+
+    qb = banded(queries, "query")
+    cb = banded(emb, "cand")
+    cand = (
+        F.broadcast(qb)
+        .join(cb, ["band", "bucket"])
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .select(
+            "query_id",
+            F.col("query_emb").alias("q_emb"),
+            "cand_id",
+            F.col("cand_emb").alias("c_emb"),
+        )
+        .distinct()
+    )
+    scored = cand.select(
+        "query_id",
+        "cand_id",
+        (
+            _dot(F.col("q_emb"), F.col("c_emb"))
+            / (F.sqrt(_norm_sq(F.col("q_emb"))) * F.sqrt(_norm_sq(F.col("c_emb"))))
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("cand_id"))
+    return (
+        scored.select("*", F.row_number().over(w).alias("rnk"))
+        .filter(F.col("rnk") <= k)
+    )

@@ -1,0 +1,80 @@
+"""Dense surrogate ids (AutoID) and size-based chunking — the DynamoDB
+loader's `convert_file_with_index` (`3. loading-lambda-for-dynamodb.py:378-401`)
+and the leader's `split_file` arithmetic (`2.1 leader-lambda-for-mysql.py:432-479`),
+re-expressed without a global single-partition sort.
+
+Scalable dense-id pattern: range-partition by the ordering key, number
+rows *within* each partition, then add per-partition offsets (a tiny
+driver-side cumulative sum over partition counts). Equivalent to a
+global ROW_NUMBER, but every stage is parallel; the only serial data
+is one row per partition.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def add_autoid(df: DataFrame, order_cols: list[str], partitions: int | None = None) -> DataFrame:
+    """Append dense 1-based ``autoid`` ordered by ``order_cols``.
+
+    Parallel equivalent of ROW_NUMBER() OVER (ORDER BY ...): range
+    partitioning preserves global order across partitions; offsets are
+    computed from per-partition counts (one tiny collect).
+    """
+    if partitions is None:
+        partitions = df.sparkSession.sparkContext.defaultParallelism
+    # persist: repartitionByRange samples (and AQE may re-coalesce) per
+    # execution — the offset pass and the numbering pass must see the
+    # SAME physical partitioning or ids drift.
+    ranged = (
+        df.repartitionByRange(partitions, *order_cols)
+        .withColumn("__pid", F.spark_partition_id())
+        .persist()
+    )
+    counts = {r["__pid"]: r["cnt"] for r in ranged.groupBy("__pid").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    offset_col = F.coalesce(
+        *[F.when(F.col("__pid") == pid, F.lit(off)) for pid, off in offsets.items()],
+        F.lit(0),
+    ) if offsets else F.lit(0)
+    w = Window.partitionBy("__pid").orderBy(*order_cols)
+    return (
+        ranged.withColumn("autoid", (F.row_number().over(w) + offset_col).cast("bigint"))
+        .drop("__pid")
+    )
+
+
+def lines_per_file(total_rows: int, size_mib: float, target_mib: float = 5.0) -> int:
+    """The reference's split formula: ``int(N * target / size_mib)``
+    (`2.1:453`), floored at 1."""
+    return max(1, int(total_rows * target_mib / size_mib))
+
+
+def assign_chunks(df_with_autoid: DataFrame, total_rows: int, size_mib: float, target_mib: float = 5.0) -> DataFrame:
+    """Append ``chunk`` = (autoid-1) div lines_per_file — contiguous
+    ranges, short last chunk included (`2.1:457-479`)."""
+    lpf = lines_per_file(total_rows, size_mib, target_mib)
+    return df_with_autoid.withColumn(
+        "chunk", F.expr(f"(autoid - 1) div {lpf}")
+    )
+
+
+def n_chunks(total_rows: int, size_mib: float, target_mib: float = 5.0) -> int:
+    return math.ceil(total_rows / lines_per_file(total_rows, size_mib, target_mib))
+
+
+def write_chunked(df: DataFrame, path: str, max_records_per_file: int) -> None:
+    """Physical splitting at scale: let the writer cap records per file
+    instead of materializing chunk ids (`maxRecordsPerFile`)."""
+    (
+        df.write.mode("overwrite")
+        .option("maxRecordsPerFile", max_records_per_file)
+        .parquet(path)
+    )

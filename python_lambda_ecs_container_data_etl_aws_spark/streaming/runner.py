@@ -1,0 +1,123 @@
+"""Streaming ingest + windowed aggregation.
+
+The reference's streaming semantics (SURVEY §2.8) and their Spark forms:
+
+- ST1 file-arrival source (S3 ObjectCreated → SQS → handler):
+  ``spark.readStream`` file source on a landing dir — same "new object"
+  semantics, minus the queue.
+- ST2 at-least-once + retry (batchItemFailures, `2.1:370-386`):
+  checkpointed exactly-once micro-batches; the retry loop vanishes.
+- ST3/ST4 idempotency + staleness windows (`2.2:219-255,595-611`):
+  event-time watermark; late rows are dropped by the engine.
+- ST5 self-trigger prevention ("horrible infinite loop", `2.1:445-449`):
+  structurally separate landing vs output paths.
+- ST6 completion detection ("all of today's files loaded" → report,
+  `2.2:344-360`): a ``foreachBatch`` bookkeeping hook (no native
+  primitive; the reference's check_remaining_files logic reborn as a
+  tiny state table the hook maintains).
+
+Batch/stream parity: :func:`tumbling_counts` is the streaming twin of
+the q14 batch query; tests feed the same rows incrementally and assert
+closed windows agree.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+
+def file_stream(
+    spark: SparkSession,
+    landing_dir: str,
+    schema: StructType,
+    fmt: str = "parquet",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    reader = spark.readStream.format(fmt).schema(schema)
+    if fmt == "csv":
+        reader = reader.option("header", True)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.load(landing_dir)
+
+
+def tumbling_counts(
+    events: DataFrame,
+    time_col: str = "event_time",
+    window: str = "10 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Windowed counts with late-data drop — q14's streaming twin.
+
+    COUNT(DISTINCT) is not supported inside streaming aggs, so user
+    cardinality uses approx_count_distinct; the exact-parity column is
+    n_events (what the batch oracle checks).
+    """
+    return (
+        events.withWatermark(time_col, watermark)
+        .groupBy(F.window(F.col(time_col), window).alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.approx_count_distinct("user_id").alias("n_users_approx"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start_sec"),
+            "n_events",
+            "n_users_approx",
+        )
+    )
+
+
+def run_stream_to_memory(
+    stream_df: DataFrame,
+    query_name: str,
+    checkpoint_dir: str,
+    output_mode: str = "append",
+) -> None:
+    """Drain a stream with availableNow into an in-memory sink
+    (test/verification harness; production uses parquet/Delta sinks)."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def ingest_stream(
+    spark: SparkSession,
+    landing_dir: str,
+    schema: StructType,
+    out_dir: str,
+    checkpoint_dir: str,
+    fmt: str = "csv",
+    transform: Callable[[DataFrame], DataFrame] | None = None,
+    on_batch_complete: Callable[[DataFrame, int], None] | None = None,
+) -> None:
+    """Landing-dir → (transform) → parquet sink, exactly-once, with a
+    foreachBatch completion hook (ST6). Runs availableNow (trigger-once
+    batch-of-the-stream); a production deployment runs it continuously.
+    """
+    src = file_stream(spark, landing_dir, schema, fmt)
+    if transform is not None:
+        src = transform(src)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(out_dir)
+        if on_batch_complete is not None:
+            on_batch_complete(batch_df, batch_id)
+
+    q = (
+        src.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

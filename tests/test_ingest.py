@@ -1,0 +1,134 @@
+"""Ingest-spine tests — each encodes a runtime check the reference
+performs (SURVEY §5): canonical projection under schema drift, the
+maxerrors gate, routing, AutoID density, chunk arithmetic, upsert
+idempotence, archive moves, report export."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from python_lambda_ecs_container_data_etl_aws_spark.catalog import load_table
+from python_lambda_ecs_container_data_etl_aws_spark.export import export_report_csv
+from python_lambda_ecs_container_data_etl_aws_spark.sources import archive, chunking, merge, registry
+from python_lambda_ecs_container_data_etl_aws_spark.sources.loader import (
+    read_csv_canonical,
+    validate_counts,
+)
+from tests.conftest import SF_DIR
+
+HEADER = ",".join(registry.PRICEINDEX.canonical_columns)
+ROW = '2023-01-01,Canada,D1,food,unit,1,f,2,v,c,101.5,ok,,n,1'
+
+
+def _write_csv(tmp_path, name, lines):
+    p = tmp_path / name
+    p.write_text("\n".join(lines) + "\n")
+    return str(p)
+
+
+def test_canonical_projection_handles_column_drift(spark, tmp_path):
+    # shuffled column order + an extra column must still project canonically
+    cols = list(registry.PRICEINDEX.canonical_columns)
+    shuffled = cols[5:] + cols[:5] + ["EXTRA"]
+    vals = {c: f"v_{c}" for c in cols}
+    vals["VALUE"] = "101.5"
+    line = ",".join(vals[c] if c in vals else "x" for c in shuffled[:-1]) + ",extra"
+    path = _write_csv(tmp_path, "PriceIndex_drift.csv", [",".join(shuffled), line])
+    res = read_csv_canonical(spark, path, registry.PRICEINDEX)
+    assert res.good.columns == list(registry.PRICEINDEX.canonical_columns)
+    row = res.good.collect()[0]
+    assert row["VALUE"] == "101.5" and row["GEO"] == "v_GEO"
+
+
+def test_missing_canonical_column_becomes_null(spark, tmp_path):
+    cols = [c for c in registry.PRICEINDEX.canonical_columns if c != "SYMBOL"]
+    line = ",".join("x" for _ in cols)
+    path = _write_csv(tmp_path, "price_nosym.csv", [",".join(cols), line])
+    res = read_csv_canonical(spark, path, registry.PRICEINDEX)
+    assert res.good.collect()[0]["SYMBOL"] is None
+
+
+def test_maxerrors_gate(spark, tmp_path):
+    # PERMISSIVE CSV: rows with too many columns land in _corrupt_record
+    good = [ROW] * 10
+    bad = [ROW + ",overflow,overflow"] * 6
+    path = _write_csv(tmp_path, "priceindex_bad.csv", [HEADER] + good + bad)
+    res = read_csv_canonical(spark, path, registry.PRICEINDEX, maxerrors=5)
+    assert res.bad_rows == 6
+    assert not res.accepted
+    res2 = read_csv_canonical(spark, path, registry.PRICEINDEX, maxerrors=6)
+    assert res2.accepted
+    assert validate_counts(16, res2.good.count(), maxerrors=6)
+
+
+def test_routing_lookup():
+    assert registry.lookup_table("PriceIndex2023.csv").table == "priceindex"
+    assert registry.lookup_table("some_price_data.txt").table == "priceindex"
+    assert registry.lookup_table("index_values.csv").table == "priceindex"
+    assert registry.lookup_table("unrelated.csv") is None
+    assert registry.lookup_table("converted_price.csv") is None  # loop guard
+
+
+def test_add_autoid_dense_and_ordered(spark):
+    li = load_table(spark, SF_DIR, "lineitem").select("l_orderkey", "l_linenumber")
+    with_id = chunking.add_autoid(li, ["l_orderkey", "l_linenumber"], partitions=8)
+    n = li.count()
+    stats = with_id.agg(
+        F.min("autoid").alias("mn"), F.max("autoid").alias("mx"), F.count(F.lit(1)).alias("c"),
+        F.countDistinct("autoid").alias("d"),
+    ).collect()[0]
+    assert (stats.mn, stats.mx, stats.c, stats.d) == (1, n, n, n)
+    # order agreement: autoid ascends with the sort key
+    head = with_id.orderBy("l_orderkey", "l_linenumber").limit(5).collect()
+    assert [r.autoid for r in head] == [1, 2, 3, 4, 5]
+
+
+def test_chunk_arithmetic_short_last_chunk(spark):
+    li = load_table(spark, SF_DIR, "lineitem").select("l_orderkey", "l_linenumber")
+    n = li.count()
+    with_id = chunking.add_autoid(li, ["l_orderkey", "l_linenumber"], partitions=4)
+    chunked = chunking.assign_chunks(with_id, n, size_mib=23.0)
+    sizes = {r.chunk: r.cnt for r in chunked.groupBy("chunk").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    lpf = chunking.lines_per_file(n, 23.0)
+    assert len(sizes) == chunking.n_chunks(n, 23.0)
+    full = [sizes[c] for c in sorted(sizes)[:-1]]
+    assert all(s == lpf for s in full)
+    assert sizes[max(sizes)] == n - lpf * (len(sizes) - 1)
+
+
+def test_upsert_semantics_and_idempotence(spark):
+    perm = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], "k int, s string, v double"
+    )
+    delta = spark.createDataFrame(
+        [(2, "B", None), (4, "d", 40.0)], "k int, s string, v double"
+    )
+    out = merge.upsert(perm, delta, ["k"])
+    rows = {r.k: (r.s, r.v) for r in out.collect()}
+    assert rows == {1: ("a", 10.0), 2: ("B", None), 3: ("c", 30.0), 4: ("d", 40.0)}
+    # idempotent: applying the same delta again changes nothing
+    again = {r.k: (r.s, r.v) for r in merge.upsert(out, delta, ["k"]).collect()}
+    assert again == rows
+
+
+def test_archive_move(tmp_path):
+    src = tmp_path / "in" / "f.csv"
+    src.parent.mkdir()
+    src.write_text("x")
+    backup = str(tmp_path / "backup")
+    dest = archive.archive_file(str(src), backup)
+    assert os.path.exists(dest) and not src.exists()
+    # idempotent re-archive
+    assert archive.archive_file(str(src), backup) == dest
+
+
+def test_export_report_csv(spark, tmp_path):
+    df = spark.createDataFrame([(1, "x"), (2, "y")], "id int, name string")
+    path = export_report_csv(df, str(tmp_path / "report"))
+    with open(path) as f:
+        content = f.read().strip().splitlines()
+    assert content[0] == "id,name"
+    assert sorted(content[1:]) == ["1,x", "2,y"]

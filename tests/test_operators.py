@@ -1,0 +1,150 @@
+"""Operator tests: approximate paths validated against exact paths.
+
+- MinHash-LSH must recover exactly the pairs the exact Jaccard query
+  finds at the same threshold (verify stage makes precision exact;
+  recall is the property under test).
+- SimHash candidates must include every planted near-dup pair.
+- LSH ANN is measured by recall@k against brute force.
+- Multimodal mapInPandas: schema, determinism, no-driver-collect shape.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from python_lambda_ecs_container_data_etl_aws_spark.catalog import load_table
+from python_lambda_ecs_container_data_etl_aws_spark.operators import dedup, multimodal, similarity, text
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return load_table(spark, SF_DIR, "documents")
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return load_table(spark, SF_DIR, "embeddings")
+
+
+def _exact_pairs(docs, threshold=0.5):
+    sh = dedup.shingles(docs)
+    return {
+        (r.a_id, r.b_id)
+        for r in dedup.jaccard_pairs(sh, threshold).collect()
+    }
+
+
+def test_dedup_exact_keeps_one_per_text(spark, docs):
+    d = docs.select("doc_id", "text")
+    corpus = d.unionByName(
+        d.filter(F.col("doc_id") % 10 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+        )
+    )
+    kept = dedup.dedup_exact(corpus)
+    assert kept.count() == d.count()  # copies removed
+    # lowest id wins: no kept id is a synthetic copy of a surviving original
+    assert kept.filter(F.col("doc_id") >= 1000000).count() == 0
+
+
+def test_minhash_lsh_matches_exact_jaccard(spark, docs):
+    exact = _exact_pairs(docs, threshold=0.5)
+    assert exact, "corpus should contain planted near-dup pairs"
+    lsh = {
+        (r.a_id, r.b_id)
+        for r in dedup.minhash_lsh_dedup(docs, threshold=0.5).collect()
+    }
+    # verify stage guarantees precision; banding at 16 bands x 4 rows
+    # makes missing a >=0.5 pair vanishingly unlikely
+    assert lsh == exact
+
+
+def test_lsh_candidates_far_fewer_than_all_pairs(spark, docs):
+    sh = dedup.shingles(docs)
+    sig = dedup.minhash_signatures(sh)
+    n_docs = docs.count()
+    n_cand = dedup.lsh_candidate_pairs(sig).count()
+    assert n_cand < n_docs * (n_docs - 1) / 2 * 0.2  # prunes >80% of pairs
+
+
+def test_simhash_finds_planted_pairs(spark, docs):
+    exact = _exact_pairs(docs, threshold=0.8)  # the tight planted pairs
+    found = {
+        (r.a_id, r.b_id)
+        for r in dedup.simhash_pairs(docs, max_distance=10).collect()
+    }
+    assert exact <= found
+    # and it is a filter, not everything: far fewer than all pairs
+    n = docs.count()
+    assert len(found) < n * (n - 1) / 4
+
+
+def test_lsh_ann_recall_vs_brute_force(spark, emb):
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = similarity.brute_force_topk(emb, queries, k=5)
+    got = similarity.lsh_topk(emb, queries, k=5, num_bits=16, num_bands=8)
+    exact_set = {(r.query_id, r.cand_id) for r in exact.collect()}
+    got_set = {(r.query_id, r.cand_id) for r in got.collect()}
+    recall = len(exact_set & got_set) / len(exact_set)
+    assert recall >= 0.5, f"ANN recall too low: {recall}"
+
+
+def test_brute_force_topk_ranks_descending(spark, emb):
+    out = similarity.brute_force_topk(emb, emb.filter(F.col("vec_id") < 3), k=5)
+    rows = out.orderBy("query_id", "rnk").collect()
+    by_q: dict[int, list[float]] = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r.cosine)
+    for q, cos in by_q.items():
+        assert cos == sorted(cos, reverse=True)
+        assert len(cos) == 5
+
+
+def test_text_quality_and_lang(spark, docs):
+    q = text.quality_features(docs.limit(50))
+    rows = q.collect()
+    for r in rows:
+        assert r.n_tokens > 0
+        assert 0.0 <= r.stop_ratio <= 1.0
+        assert r.quality_flag in (0, 1)
+    lid = text.lang_scores(docs.limit(50))
+    assert set(r.pred_lang for r in lid.collect()) <= {"en", "fr", "es", "de", "unknown"}
+
+
+def test_rolling_fingerprint_deterministic(spark, docs):
+    d = docs.limit(20).select("doc_id", text.rolling_fingerprint("text").alias("fp"))
+    a = {r.doc_id: r.fp for r in d.collect()}
+    b = {r.doc_id: r.fp for r in d.collect()}
+    assert a == b
+    assert len(set(a.values())) > 1
+
+
+def test_multimodal_extract_features(spark, docs):
+    mm = multimodal.documents_as_multimodal(docs.limit(100))
+    feats = multimodal.extract_features(mm)
+    assert feats.schema == multimodal.FEATURE_SCHEMA
+    rows = feats.collect()
+    assert len(rows) == 100
+    for r in rows[:10]:
+        assert r.size_bytes > 0
+        assert 64 <= r.width < 1024 and 64 <= r.height < 1024
+    # deterministic
+    again = {r.item_id: r.checksum64 for r in multimodal.extract_features(mm).collect()}
+    assert again == {r.item_id: r.checksum64 for r in rows}
+
+
+def test_decode_image_is_stubbed():
+    if multimodal._HAS_PIL:
+        pytest.skip("codec present")
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"\x89PNG...")
+
+
+def test_frame_sample_plan(spark, docs):
+    mm = multimodal.documents_as_multimodal(docs.limit(10))
+    frames = multimodal.frame_sample_plan(mm, every_n=10)
+    rows = frames.collect()
+    assert all(r.frame_idx % 10 == 0 for r in rows)
+    assert len(rows) >= 10

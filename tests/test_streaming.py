@@ -1,0 +1,112 @@
+"""Streaming tests: stream-vs-batch window agreement (SURVEY §5 item 4),
+exactly-once ingest through restarts, and the ST6 completion hook."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from python_lambda_ecs_container_data_etl_aws_spark.catalog import load_table
+from python_lambda_ecs_container_data_etl_aws_spark.streaming import runner
+from tests.conftest import SF_DIR
+
+EVENT_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("event_time", TimestampType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+    ]
+)
+
+
+@pytest.fixture(scope="module")
+def event_batches(spark, tmp_path_factory):
+    """events split into 3 arrival batches in event-time order (time
+    tertiles) — ordered arrival, so nothing is late-dropped and closed
+    stream windows must agree exactly with the batch computation."""
+    base = tmp_path_factory.mktemp("landing")
+    e = (
+        load_table(spark, SF_DIR, "events")
+        .select(
+            "event_id",
+            F.timestamp_micros(F.col("ts_us")).alias("event_time"),
+            "user_id",
+            "event_type",
+        )
+    )
+    n = e.count()
+    lo, hi = e.agg(
+        F.min(F.unix_micros("event_time")), F.max(F.unix_micros("event_time"))
+    ).collect()[0]
+    t1, t2 = lo + (hi - lo) // 3, lo + 2 * (hi - lo) // 3
+    splits = [
+        F.unix_micros(F.col("event_time")) <= t1,
+        (F.unix_micros(F.col("event_time")) > t1) & (F.unix_micros(F.col("event_time")) <= t2),
+        F.unix_micros(F.col("event_time")) > t2,
+    ]
+    for cond in splits:
+        e.filter(cond).coalesce(1).write.mode("append").parquet(str(base / "events"))
+    return str(base / "events"), e, n
+
+
+def test_stream_tumbling_agrees_with_batch(spark, event_batches, tmp_path):
+    landing, e, _ = event_batches
+    stream = runner.file_stream(spark, landing, EVENT_SCHEMA, fmt="parquet",
+                                max_files_per_trigger=1)
+    agg = runner.tumbling_counts(stream)
+    runner.run_stream_to_memory(agg, "win_counts", str(tmp_path / "ck"))
+    got = {
+        r.window_start_sec: r.n_events
+        for r in spark.table("win_counts").collect()
+    }
+    # batch twin: every window the stream CLOSED (emitted under the
+    # watermark) must agree exactly with the batch computation
+    batch = {
+        r.window_start_sec: r.n_events
+        for r in (
+            e.select(
+                (F.floor(F.unix_timestamp("event_time") / 600) * 600).alias(
+                    "window_start_sec"
+                )
+            )
+            .groupBy("window_start_sec")
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .collect()
+        )
+    }
+    assert got, "stream should close at least one window"
+    for w, n in got.items():
+        assert batch[w] == n, f"window {w}: stream={n} batch={batch[w]}"
+
+
+def test_ingest_stream_exactly_once_and_completion_hook(spark, event_batches, tmp_path):
+    landing, e, n = event_batches
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck2")
+    seen_batches = []
+
+    def hook(batch_df, batch_id):
+        seen_batches.append(batch_id)
+
+    runner.ingest_stream(
+        spark, landing, EVENT_SCHEMA, out, ck, fmt="parquet",
+        transform=lambda df: df.filter(F.col("event_type") != "error"),
+        on_batch_complete=hook,
+    )
+    expected = e.filter(F.col("event_type") != "error").count()
+    assert spark.read.parquet(out).count() == expected
+    assert seen_batches, "completion hook must fire"
+    # restart with same checkpoint: no new input → no duplicates (ST2/ST3)
+    runner.ingest_stream(
+        spark, landing, EVENT_SCHEMA, out, ck, fmt="parquet",
+        transform=lambda df: df.filter(F.col("event_type") != "error"),
+    )
+    assert spark.read.parquet(out).count() == expected
