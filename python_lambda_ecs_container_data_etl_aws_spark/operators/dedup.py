@@ -44,14 +44,22 @@ def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 
 def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3) -> DataFrame:
-    """Distinct word-n-gram shingles per document: (id, shingle)."""
-    toks = f"split({text_col}, ' ')"
-    parts = ", ".join(f"{toks}[i+{j}]" for j in range(n))
+    """Distinct word-n-gram shingles per document: (id, shingle).
+
+    Tokenization is materialized once per row (a projected ``toks``
+    column) — inlining split() into each n-gram index re-parses the
+    text n+1 times per row and dominated profile time.
+    """
+    parts = ", ".join(f"toks[i+{j}]" for j in range(n))
     return (
         df.select(
             F.col(id_col).alias("id"),
+            F.split(F.col(text_col), " ").alias("toks"),
+        )
+        .select(
+            "id",
             F.explode(
-                F.expr(f"transform(sequence(0, size({toks}) - {n}), i -> concat_ws(' ', {parts}))")
+                F.expr(f"transform(sequence(0, size(toks) - {n}), i -> concat_ws(' ', {parts}))")
             ).alias("shingle"),
         )
         .distinct()
@@ -65,14 +73,31 @@ def jaccard_pairs(sh: DataFrame, threshold: float, candidates: DataFrame | None 
     to those pairs (the LSH verify path); without, it is all-pairs.
     """
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
-    a, b = sh.alias("a"), sh.alias("b")
-    inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
-        .groupBy(F.col("a.id").alias("a_id"), F.col("b.id").alias("b_id"))
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
     if candidates is not None:
-        inter = inter.join(candidates, ["a_id", "b_id"], "left_semi")
+        # Candidate-restricted intersection: expand each candidate pair
+        # by the left doc's shingles, then probe the right side on
+        # (id, shingle). Cost is |candidates| × shingles-per-doc — NOT
+        # the all-pairs shingle self-join (common shingles in a small
+        # vocab make that explode quadratically).
+        a, b = sh.alias("a"), sh.alias("b")
+        inter = (
+            F.broadcast(candidates)
+            .join(a, F.col("a_id") == F.col("a.id"))
+            .join(
+                b,
+                (F.col("b_id") == F.col("b.id"))
+                & (F.col("a.shingle") == F.col("b.shingle")),
+            )
+            .groupBy("a_id", "b_id")
+            .agg(F.count(F.lit(1)).alias("n_inter"))
+        )
+    else:
+        a, b = sh.alias("a"), sh.alias("b")
+        inter = (
+            a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+            .groupBy(F.col("a.id").alias("a_id"), F.col("b.id").alias("b_id"))
+            .agg(F.count(F.lit(1)).alias("n_inter"))
+        )
     j = (
         inter.join(F.broadcast(sizes.alias("sa")), F.col("a_id") == F.col("sa.id"))
         .join(F.broadcast(sizes.alias("sb")), F.col("b_id") == F.col("sb.id"))
@@ -171,8 +196,14 @@ def minhash_lsh_dedup(
     seed: int = 42,
 ) -> DataFrame:
     """Near-duplicate pairs ≥ threshold: MinHash-LSH candidates, exact
-    Jaccard verify. Returns (a_id, b_id, jaccard)."""
-    sh = shingles(df, text_col, id_col, ngram)
+    Jaccard verify. Returns (a_id, b_id, jaccard).
+
+    The shingle relation feeds three plan branches (signatures, sizes,
+    intersection self-join) — persist it once instead of recomputing
+    the tokenize+explode+distinct pipeline per branch. At 100 TB this
+    persist becomes a checkpoint to cluster storage; the plan shape is
+    identical."""
+    sh = shingles(df, text_col, id_col, ngram).persist()
     sig = minhash_signatures(sh, num_hashes, seed)
     cand = lsh_candidate_pairs(sig, num_bands)
     return jaccard_pairs(sh, threshold, candidates=cand)
@@ -230,7 +261,9 @@ def simhash_pairs(
     docs is noisy — expect some background pairs below 10; MinHash-LSH
     is the higher-precision choice, SimHash the cheaper signature).
     """
-    sig = simhash_signatures(df, text_col, id_col)
+    # persist: the banded self-join consumes the signature relation on
+    # both sides — without it the 64-column aggregation runs twice.
+    sig = simhash_signatures(df, text_col, id_col).persist()
     width = 64 // num_bands
     bands = [
         F.struct(

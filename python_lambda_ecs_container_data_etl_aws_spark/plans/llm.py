@@ -304,17 +304,18 @@ ORDER BY a_id, b_id
 def q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     shingle = (
-        d.select(
+        d.select("doc_id", F.split("text", " ").alias("toks"))  # tokenize ONCE
+        .select(
             "doc_id",
             F.explode(
                 F.expr(
-                    "transform(sequence(0, size(split(text, ' ')) - 3),"
-                    " i -> concat_ws(' ', split(text, ' ')[i],"
-                    " split(text, ' ')[i+1], split(text, ' ')[i+2]))"
+                    "transform(sequence(0, size(toks) - 3),"
+                    " i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"
                 )
             ).alias("s"),
         )
         .distinct()
+        .persist()  # feeds sizes + both sides of the self-join
     )
     sizes = shingle.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a, b = shingle.alias("a"), shingle.alias("b")
