@@ -98,11 +98,23 @@ def _fake_decode(payload: bytes) -> tuple[int, int, int]:
 
 def extract_features(mm: DataFrame) -> DataFrame:
     """mapInPandas feature extraction: payload → (size, width, height,
-    checksum). Arrow batches in, Arrow batches out; no driver collect."""
+    checksum). Arrow batches in, Arrow batches out; no driver collect.
+
+    The worker function is a fully self-contained closure — it must NOT
+    reference module-level names: executors unpickle it by value, and
+    this package is not necessarily importable on worker Python paths
+    (it isn't when the driving process runs from another cwd).
+    """
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def fake_decode(payload: bytes) -> tuple[int, int, int]:
+            h = 1469598103934665603  # FNV-1a 64 (same as _fake_decode)
+            for by in payload:
+                h = ((h ^ by) * 1099511628211) & 0xFFFFFFFFFFFFFFFF
+            return int(64 + (h % 960)), int(64 + ((h >> 10) % 960)), int(h & 0x7FFFFFFFFFFFFFFF)
+
         for pdf in batches:
-            decoded = [_fake_decode(p) for p in pdf["payload"]]
+            decoded = [fake_decode(p) for p in pdf["payload"]]
             yield pd.DataFrame(
                 {
                     "item_id": pdf["item_id"].astype("int64"),

@@ -96,20 +96,26 @@ def fingerprint(text: Column | str, length: int = 16) -> Column:
     )
 
 
-@pandas_udf(LongType())
-def rolling_fingerprint(texts: pd.Series) -> pd.Series:
-    """Polynomial rolling hash over characters (Arrow-batched).
+def rolling_fingerprint(col: Column | str) -> Column:
+    """Polynomial rolling hash over characters (Arrow-batched pandas UDF).
 
     Stateful per-character accumulation has no built-in equivalent;
-    this is the sanctioned vectorized-Python path.
+    this is the sanctioned vectorized-Python path. Built as a local
+    closure (pickled by value) so executors never need this package on
+    their import path.
     """
-    MOD = (1 << 61) - 1
-    BASE = 257
 
-    def roll(s: str) -> int:
-        h = 0
-        for ch in s:
-            h = (h * BASE + ord(ch)) % MOD
-        return h
+    @pandas_udf(LongType())
+    def _udf(texts: pd.Series) -> pd.Series:
+        MOD = (1 << 61) - 1
+        BASE = 257
 
-    return texts.fillna("").map(roll)
+        def roll(s: str) -> int:
+            h = 0
+            for ch in s:
+                h = (h * BASE + ord(ch)) % MOD
+            return h
+
+        return texts.fillna("").map(roll)
+
+    return _udf(F.col(col) if isinstance(col, str) else col)

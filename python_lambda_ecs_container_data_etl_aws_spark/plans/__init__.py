@@ -4,5 +4,6 @@ builder with a DuckDB oracle-SQL twin (SURVEY.md §2.10)."""
 from .core import ORACLE, QUERIES
 from . import llm as _llm  # noqa: F401  (registers q17-q24 into QUERIES/ORACLE)
 from . import ops as _ops  # noqa: F401  (registers q25-q28)
+from . import ext as _ext  # noqa: F401  (registers q29-q31)
 
 __all__ = ["QUERIES", "ORACLE"]

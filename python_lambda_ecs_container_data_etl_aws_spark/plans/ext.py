@@ -1,0 +1,139 @@
+"""Extension contract queries q29-q31: embedding-cosine near-dup,
+control-character sanitization (F8), URL-decode normalization (P8).
+
+- q29 completes the dedup family (exact / minhash / simhash / n-gram
+  Jaccard / embedding-cosine). The corpus plants no embedding dups
+  (max pairwise cosine ≈ 0.46), so the threshold parameter is 0.4 to
+  produce a non-trivial deterministic result; production corpora use
+  ~0.95. Quantization (floor(v*1000) → BIGINT) keeps dot/norms exact.
+- q30 is the reference's unicode control-char sanitizer
+  (`2.1 leader-lambda-for-mysql.py:568`, `2.2:703`, `3:579`, `4:230`) —
+  dirt is synthesized (tab + newline appended) so the strip is
+  observable; both regex engines agree on \\p{C}.
+- q31 is the S3-key URL-decode (`unquote_plus`, `2.1:159-164`,
+  `3:122-127`) — Spark uses the built-in url_decode; DuckDB 1.0 has no
+  url_decode, so the oracle decodes the same fixed escape set with
+  replace chains.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from .core import ORACLE, _q
+
+_EMB_THRESH = 0.4
+_EMB_SUBSET = 300
+
+ORACLE["q29_embedding_neardup"] = f"""
+WITH comp AS (
+    SELECT vec_id, i AS pos,
+           CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT) AS qv
+    FROM embeddings, range(1, 65) t(i)
+    WHERE vec_id < {_EMB_SUBSET}
+),
+norms AS (SELECT vec_id, SUM(qv * qv) AS nrm FROM comp GROUP BY 1),
+dots AS (
+    SELECT a.vec_id AS a_id, b.vec_id AS b_id, SUM(a.qv * b.qv) AS dot
+    FROM comp a JOIN comp b ON a.pos = b.pos AND a.vec_id < b.vec_id
+    GROUP BY 1, 2
+)
+SELECT a_id, b_id,
+       CAST(dot AS DOUBLE) / (sqrt(CAST(na.nrm AS DOUBLE)) * sqrt(CAST(nb.nrm AS DOUBLE))) AS cosine
+FROM dots
+JOIN norms na ON na.vec_id = a_id
+JOIN norms nb ON nb.vec_id = b_id
+WHERE CAST(dot AS DOUBLE) / (sqrt(CAST(na.nrm AS DOUBLE)) * sqrt(CAST(nb.nrm AS DOUBLE))) >= {_EMB_THRESH}
+ORDER BY a_id, b_id
+"""
+
+
+@_q("q29_embedding_neardup")
+def q29(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < _EMB_SUBSET)
+    comp = emb.select(
+        "vec_id", F.posexplode("embedding").alias("pos0", "val")
+    ).select(
+        "vec_id",
+        (F.col("pos0") + 1).alias("pos"),
+        F.floor(F.col("val").cast("double") * 1000).cast("bigint").alias("qv"),
+    ).persist()  # feeds norms + both sides of the pair join
+    norms = comp.groupBy("vec_id").agg(F.sum(F.col("qv") * F.col("qv")).alias("nrm"))
+    a, b = comp.alias("a"), comp.alias("b")
+    dots = (
+        a.join(b, (F.col("a.pos") == F.col("b.pos")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .groupBy(F.col("a.vec_id").alias("a_id"), F.col("b.vec_id").alias("b_id"))
+        .agg(F.sum(F.col("a.qv") * F.col("b.qv")).alias("dot"))
+    )
+    na, nb = norms.alias("na"), norms.alias("nb")
+    out = (
+        dots.join(F.broadcast(na), F.col("a_id") == F.col("na.vec_id"))
+        .join(F.broadcast(nb), F.col("b_id") == F.col("nb.vec_id"))
+        .select(
+            "a_id",
+            "b_id",
+            (
+                F.col("dot").cast("double")
+                / (F.sqrt(F.col("na.nrm").cast("double")) * F.sqrt(F.col("nb.nrm").cast("double")))
+            ).alias("cosine"),
+        )
+    )
+    return out.filter(F.col("cosine") >= _EMB_THRESH).orderBy("a_id", "b_id")
+
+
+ORACLE["q30_sanitize_controlchars"] = """
+WITH dirty AS (
+    SELECT doc_id, text || chr(9) || 'tail' || chr(10) AS raw FROM documents
+)
+SELECT doc_id,
+       length(raw) AS len_dirty,
+       length(regexp_replace(raw, '\\p{C}', '', 'g')) AS len_clean,
+       length(raw) - length(regexp_replace(raw, '\\p{C}', '', 'g')) AS n_stripped
+FROM dirty ORDER BY doc_id
+"""
+
+
+@_q("q30_sanitize_controlchars")
+def q30(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    raw = F.concat(F.col("text"), F.lit("\t"), F.lit("tail"), F.lit("\n"))
+    clean = F.regexp_replace(raw, r"\p{C}", "")
+    return d.select(
+        "doc_id",
+        F.length(raw).alias("len_dirty"),
+        F.length(clean).alias("len_clean"),
+        (F.length(raw) - F.length(clean)).alias("n_stripped"),
+    ).orderBy("doc_id")
+
+
+ORACLE["q31_url_decode_keys"] = """
+WITH keys AS (
+    SELECT event_id,
+           'data%2F' || CAST(event_id AS VARCHAR) || '%20v' || CAST(event_id % 7 AS VARCHAR) || '.csv' AS enc
+    FROM events
+)
+SELECT CAST(SUM(length(enc)) AS BIGINT) AS total_enc_len,
+       CAST(SUM(length(replace(replace(enc, '%2F', '/'), '%20', ' '))) AS BIGINT) AS total_dec_len,
+       COUNT(DISTINCT replace(replace(enc, '%2F', '/'), '%20', ' ')) AS n_distinct_decoded
+FROM keys
+"""
+
+
+@_q("q31_url_decode_keys")
+def q31(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    enc = F.concat(
+        F.lit("data%2F"),
+        F.col("event_id").cast("string"),
+        F.lit("%20v"),
+        (F.col("event_id") % 7).cast("string"),
+        F.lit(".csv"),
+    )
+    dec = F.url_decode(enc)
+    return e.select(enc.alias("enc"), dec.alias("dec")).agg(
+        F.sum(F.length("enc")).cast("bigint").alias("total_enc_len"),
+        F.sum(F.length("dec")).cast("bigint").alias("total_dec_len"),
+        F.countDistinct("dec").alias("n_distinct_decoded"),
+    )

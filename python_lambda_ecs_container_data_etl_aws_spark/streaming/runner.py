@@ -72,6 +72,60 @@ def tumbling_counts(
     )
 
 
+def stateful_user_counts(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: a running
+    per-user event counter that persists across micro-batches (the
+    pattern for operators Spark's built-in aggs can't express — e.g.
+    sessionization, decaying counters, per-entity model state).
+
+    Emits (user_id, n_events_total, n_batches_seen) every time a user
+    appears in a batch; the final emission per user carries the
+    all-time total. State is a 2-int tuple per user — GroupState keeps
+    it in the state store between triggers.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql.types import (
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("n_events_total", LongType()),
+            StructField("n_batches_seen", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("total", LongType()),
+            StructField("batches", LongType()),
+        ]
+    )
+
+    def fn(key, pdfs, state):
+        import pandas as pd
+
+        n_new = 0
+        for pdf in pdfs:
+            n_new += len(pdf)
+        total, batches = state.get if state.exists else (0, 0)
+        total, batches = total + n_new, batches + 1
+        state.update((total, batches))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events_total": [total], "n_batches_seen": [batches]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def run_stream_to_memory(
     stream_df: DataFrame,
     query_name: str,

@@ -1,0 +1,64 @@
+"""Property-based tests (SURVEY §5 item 3): chunk arithmetic, routing,
+merge idempotence under hypothesis-generated inputs."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from python_lambda_ecs_container_data_etl_aws_spark.sources import chunking, registry
+
+
+@given(
+    n=st.integers(min_value=1, max_value=100_000),
+    size_mib=st.floats(min_value=0.1, max_value=500.0, allow_nan=False),
+)
+def test_chunk_math_partitions_all_rows(n, size_mib):
+    """∀ N, size: chunks exactly partition [1..N]; every chunk but the
+    last is full (the 2.1:453-479 contract incl. short last chunk)."""
+    lpf = chunking.lines_per_file(n, size_mib)
+    k = chunking.n_chunks(n, size_mib)
+    assert lpf >= 1 and k >= 1
+    sizes = [
+        min(n, (i + 1) * lpf) - i * lpf for i in range(k)
+    ]
+    assert sum(sizes) == n
+    assert all(s == lpf for s in sizes[:-1])
+    assert 1 <= sizes[-1] <= lpf
+
+
+@given(name=st.text(min_size=1, max_size=40))
+def test_routing_total_and_loop_safe(name):
+    """Routing is total (never raises) and converted_ names never load."""
+    spec = registry.lookup_table(name)
+    if name.lower().startswith("converted_"):
+        assert spec is None
+    if spec is not None:
+        low = name.lower()
+        assert any(s in low for s in spec.name_substrings)
+
+
+@given(
+    perm_keys=st.sets(st.integers(0, 30), max_size=12),
+    delta_keys=st.sets(st.integers(0, 30), max_size=12),
+)
+@settings(max_examples=8, deadline=None)
+def test_upsert_algebra(perm_keys, delta_keys, spark):
+    """Key algebra: result keys = perm ∪ delta; delta rows win; and
+    re-applying the same delta is a no-op (merge idempotence)."""
+    from python_lambda_ecs_container_data_etl_aws_spark.sources import merge
+    perm = spark.createDataFrame(
+        [(k, f"p{k}") for k in sorted(perm_keys)] or [(None, None)], "k int, v string"
+    ).filter("k is not null")
+    delta = spark.createDataFrame(
+        [(k, f"d{k}") for k in sorted(delta_keys)] or [(None, None)], "k int, v string"
+    ).filter("k is not null")
+    once = merge.upsert(perm, delta, ["k"])
+    rows = {r.k: r.v for r in once.collect()}
+    assert set(rows) == perm_keys | delta_keys
+    for k in delta_keys:
+        assert rows[k] == f"d{k}"
+    for k in perm_keys - delta_keys:
+        assert rows[k] == f"p{k}"
+    twice = {r.k: r.v for r in merge.upsert(once, delta, ["k"]).collect()}
+    assert twice == rows

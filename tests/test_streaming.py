@@ -87,6 +87,28 @@ def test_stream_tumbling_agrees_with_batch(spark, event_batches, tmp_path):
         assert batch[w] == n, f"window {w}: stream={n} batch={batch[w]}"
 
 
+def test_stateful_user_counts_across_batches(spark, event_batches, tmp_path):
+    """applyInPandasWithState: final per-user totals must equal the
+    batch counts, and state must accumulate across multiple triggers."""
+    landing, e, _ = event_batches
+    stream = runner.file_stream(
+        spark, landing, EVENT_SCHEMA, fmt="parquet", max_files_per_trigger=1
+    )
+    counts = runner.stateful_user_counts(stream)
+    runner.run_stream_to_memory(counts, "user_counts", str(tmp_path / "ck_state"),
+                                output_mode="update")
+    emitted = spark.table("user_counts").collect()
+    # last emission per user = running total at end of stream
+    final: dict[int, tuple[int, int]] = {}
+    for r in emitted:
+        cur = final.get(r.user_id, (0, 0))
+        final[r.user_id] = max(cur, (r.n_batches_seen, r.n_events_total))
+    batch = {r.user_id: r.cnt for r in e.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    assert {u: t for u, (_, t) in final.items()} == batch
+    # state really persisted across triggers: some user saw >1 batch
+    assert any(b > 1 for b, _ in final.values())
+
+
 def test_ingest_stream_exactly_once_and_completion_hook(spark, event_batches, tmp_path):
     landing, e, n = event_batches
     out = str(tmp_path / "out")
