@@ -22,7 +22,9 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..sources.registry import route_column, route_sql
 from .core import ORACLE, _q
+from .fixtures import FILES_CTE_SQL, files_df
 
 _EMB_THRESH = 0.4
 _EMB_SUBSET = 300
@@ -136,4 +138,93 @@ def q31(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.length("enc")).cast("bigint").alias("total_enc_len"),
         F.sum(F.length("dec")).cast("bigint").alias("total_dec_len"),
         F.countDistinct("dec").alias("n_distinct_decoded"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q32 JSON payload parse (F14) — the reference parses nested JSON
+# envelopes everywhere (S3 event Records, `2.1:142-144`; secrets,
+# `2.2:136-138`). Spark side uses from_json into a typed STRUCT (the
+# one nested-type obligation); the oracle uses DuckDB's JSON extension.
+ORACLE["q32_json_props"] = """
+SELECT event_type,
+       CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST(MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+       CAST(MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k,
+       COUNT(*) AS n_events
+FROM events GROUP BY 1 ORDER BY 1
+"""
+
+
+@_q("q32_json_props")
+def q32(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    k = F.from_json("props", "k BIGINT")["k"]
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.sum("k").cast("bigint").alias("sum_k"),
+            F.min("k").cast("bigint").alias("min_k"),
+            F.max("k").cast("bigint").alias("max_k"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# q33 first-match / pick-one (W4) — the loader scans the file listing,
+# the first valid file becomes the unload target and the rest are
+# appended as a name list (`2.2:622-640`). Latest-by-time pick with
+# deterministic tiebreak + sorted bounded name list.
+ORACLE["q33_pick_one_per_route"] = f"""
+WITH files AS ({FILES_CTE_SQL}),
+routed AS (
+    SELECT *, {route_sql()} AS route FROM files
+),
+ranked AS (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY route
+                                 ORDER BY ts_us DESC, filename DESC) AS rn
+    FROM routed
+),
+names AS (
+    SELECT route,
+           array_to_string(list_slice(list_sort(list(filename)), 1, 3), ',') AS first3_names,
+           COUNT(*) AS n_files
+    FROM routed GROUP BY 1
+)
+SELECT r.route, r.filename AS latest_filename, r.ts_us AS latest_ts_us,
+       n.n_files, n.first3_names
+FROM ranked r JOIN names n ON r.route = n.route
+WHERE r.rn = 1 ORDER BY r.route
+"""
+
+
+@_q("q33_pick_one_per_route")
+def q33(spark: SparkSession, sf_dir: str) -> DataFrame:
+    files = files_df(load_table(spark, sf_dir, "events"))
+    routed = files.withColumn(
+        "route", route_column(F.col("filename"), F.col("bucket"), F.col("ext"))
+    )
+    w = Window.partitionBy("route").orderBy(F.col("ts_us").desc(), F.col("filename").desc())
+    ranked = routed.select(
+        "route", "filename", "ts_us", F.row_number().over(w).alias("rn")
+    ).filter(F.col("rn") == 1)
+    names = routed.groupBy("route").agg(
+        F.array_join(
+            F.slice(F.array_sort(F.collect_list("filename")), 1, 3), ","
+        ).alias("first3_names"),
+        F.count(F.lit(1)).alias("n_files"),
+    )
+    return (
+        ranked.join(names, "route")
+        .select(
+            "route",
+            F.col("filename").alias("latest_filename"),
+            F.col("ts_us").alias("latest_ts_us"),
+            "n_files",
+            "first3_names",
+        )
+        .orderBy("route")
     )

@@ -72,6 +72,20 @@ def tumbling_counts(
     )
 
 
+def dedup_within_watermark(
+    events: DataFrame,
+    keys: list[str],
+    time_col: str = "event_time",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """ST3 idempotency window as a stream operator: duplicate keys
+    arriving within the watermark horizon are dropped exactly once —
+    the reference's refuse-reload-within-30-minutes gate
+    (`2.2 loading-lambda-for-mysql.py:219-255`) with bounded state
+    (expired keys age out of the state store)."""
+    return events.withWatermark(time_col, watermark).dropDuplicatesWithinWatermark(keys)
+
+
 def stateful_user_counts(events: DataFrame) -> DataFrame:
     """Custom stateful operator via applyInPandasWithState: a running
     per-user event counter that persists across micro-batches (the

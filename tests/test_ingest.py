@@ -132,3 +132,28 @@ def test_export_report_csv(spark, tmp_path):
         content = f.read().strip().splitlines()
     assert content[0] == "id,name"
     assert sorted(content[1:]) == ["1,x", "2,y"]
+
+
+def test_export_report_csv_gzip(spark, tmp_path):
+    """S11: the reference's abandoned `mysqldump | gzip` path is one
+    writer option here."""
+    import gzip
+
+    df = spark.createDataFrame([(1, "x")], "id int, name string")
+    path = export_report_csv(df, str(tmp_path / "gz"), compression="gzip")
+    assert path.endswith(".gz")
+    with gzip.open(path, "rt") as f:
+        assert f.read().splitlines()[0] == "id,name"
+
+
+def test_http_collect_file_url(tmp_path):
+    """S1/S2: fetch → dated landing folder (file:// keeps it offline)."""
+    from python_lambda_ecs_container_data_etl_aws_spark.sources import http_source
+
+    src = tmp_path / "remote" / "PriceIndex_2023.csv"
+    src.parent.mkdir()
+    src.write_text("Date,GEO\n2023-01-01,Canada\n")
+    dest = http_source.collect(src.as_uri(), str(tmp_path / "landing"))
+    assert os.path.basename(dest) == "PriceIndex_2023.csv"
+    assert os.path.basename(os.path.dirname(dest)) == __import__("datetime").date.today().isoformat()
+    assert open(dest).read().startswith("Date,GEO")

@@ -109,6 +109,22 @@ def test_stateful_user_counts_across_batches(spark, event_batches, tmp_path):
     assert any(b > 1 for b, _ in final.values())
 
 
+def test_dedup_within_watermark_drops_replayed_keys(spark, event_batches, tmp_path):
+    """ST3: replay the same files into a second landing dir — the
+    streamed dedup must emit each event_id exactly once."""
+    landing, e, n = event_batches
+    land2 = str(tmp_path / "land2")
+    src = spark.read.parquet(landing)
+    src.write.mode("append").parquet(land2)
+    src.write.mode("append").parquet(land2)  # full replay: every key duplicated
+    stream = runner.file_stream(spark, land2, EVENT_SCHEMA, fmt="parquet")
+    deduped = runner.dedup_within_watermark(stream, ["event_id"])
+    runner.run_stream_to_memory(deduped, "dedup_out", str(tmp_path / "ck_dd"))
+    got = spark.table("dedup_out")
+    assert got.count() == n
+    assert got.select("event_id").distinct().count() == n
+
+
 def test_ingest_stream_exactly_once_and_completion_hook(spark, event_batches, tmp_path):
     landing, e, n = event_batches
     out = str(tmp_path / "out")
