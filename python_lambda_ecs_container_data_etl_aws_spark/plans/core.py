@@ -354,10 +354,10 @@ def q08(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # Q09 autoid-rownumber (W1) — the DynamoDB loader's 1-based surrogate
 # key (3:378-401). The declared query checksums the full assignment.
-# Scale note: a global ROW_NUMBER serializes into one partition; the
-# production operator (sources/chunking.py) uses per-partition offsets
-# (zipWithIndex-style) for the same dense 1-based ids without the
-# single-partition bottleneck.
+# The Spark side uses the SCALABLE dense-id operator (range partition +
+# per-partition offsets, sources/chunking.add_autoid) — identical ids
+# to a global ROW_NUMBER over the same unique ordering, without the
+# single-partition sort the oracle SQL implies.
 ORACLE["q09_autoid_rownumber"] = """
 WITH t AS (
     SELECT CAST(ROW_NUMBER() OVER (ORDER BY l_orderkey, l_linenumber) AS BIGINT) AS autoid,
@@ -375,11 +375,10 @@ FROM t
 
 @_q("q09_autoid_rownumber")
 def q09(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = _t(spark, sf_dir, "lineitem")
-    w = Window.orderBy("l_orderkey", "l_linenumber")
-    t = li.select(
-        F.row_number().over(w).cast("bigint").alias("autoid"), "l_orderkey"
-    )
+    from ..sources.chunking import add_autoid
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber")
+    t = add_autoid(li, ["l_orderkey", "l_linenumber"]).select("autoid", "l_orderkey")
     return t.agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.min("autoid").alias("min_id"),
@@ -407,9 +406,10 @@ FROM t, p GROUP BY 1 ORDER BY 1
 
 @_q("q10_range_chunking")
 def q10(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = _t(spark, sf_dir, "lineitem")
-    w = Window.orderBy("l_orderkey", "l_linenumber")
-    t = li.select(F.row_number().over(w).cast("bigint").alias("autoid"))
+    from ..sources.chunking import add_autoid
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber")
+    t = add_autoid(li, ["l_orderkey", "l_linenumber"]).select("autoid")
     p = t.agg(F.expr("(count(1) * 5) div 23").alias("lines_per_file"))
     return (
         t.crossJoin(F.broadcast(p))
