@@ -201,6 +201,62 @@ WHERE r.rn = 1 ORDER BY r.route
 """
 
 
+# --------------------------------------------------------------------------
+# q34 gap-based sessionization — the batch form of session windows
+# (the event-time generalization of the reference's activity windows):
+# a new session starts when a user's inter-event gap exceeds 30 min.
+# LAG flags boundaries, a cumulative SUM numbers sessions — all integer
+# arithmetic over epoch-µs, so both engines agree bit-for-bit. The
+# streaming twin of this shape is applyInPandasWithState
+# (streaming/runner.stateful_user_counts shows the state plumbing).
+_GAP_US = 1800000000
+ORACLE["q34_sessionize"] = f"""
+WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
+gaps AS (
+    SELECT user_id, event_id, ts_us,
+           CASE WHEN LAG(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) IS NULL
+                  OR ts_us - LAG(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) > {_GAP_US}
+                THEN 1 ELSE 0 END AS new_sess
+    FROM e
+),
+sess AS (
+    SELECT *, CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sess_no
+    FROM gaps
+)
+SELECT user_id, sess_no,
+       COUNT(*) AS n_events,
+       MIN(ts_us) AS session_start_us,
+       MAX(ts_us) AS session_end_us,
+       MAX(ts_us) - MIN(ts_us) AS duration_us
+FROM sess GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+@_q("q34_sessionize")
+def q34(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select("user_id", "event_id", "ts_us")
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    prev = F.lag("ts_us").over(w)
+    new_sess = F.when(
+        prev.isNull() | ((F.col("ts_us") - prev) > _GAP_US), F.lit(1)
+    ).otherwise(F.lit(0))
+    sess = e.withColumn("new_sess", new_sess).withColumn(
+        "sess_no",
+        F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("bigint"),
+    )
+    return (
+        sess.groupBy("user_id", "sess_no")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts_us").alias("session_start_us"),
+            F.max("ts_us").alias("session_end_us"),
+            (F.max("ts_us") - F.min("ts_us")).alias("duration_us"),
+        )
+        .orderBy("user_id", "sess_no")
+    )
+
+
 @_q("q33_pick_one_per_route")
 def q33(spark: SparkSession, sf_dir: str) -> DataFrame:
     files = files_df(load_table(spark, sf_dir, "events"))
