@@ -117,6 +117,127 @@ def lsh_signature(
     return df.withColumn("sig", sig)
 
 
+def _centroids_to_rows(centroids: list[list[float]]):
+    return [(i, [float(x) for x in c]) for i, c in enumerate(centroids)]
+
+
+def ivf_fit(
+    emb: DataFrame,
+    n_cells: int = 8,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Deterministic k-means-lite for IVF cells.
+
+    Init = the n_cells lowest-id vectors (seedless, reproducible);
+    Lloyd iterations run distributed (assignment via literal-centroid
+    expressions, means via posexplode + groupBy), only the k×dim
+    centroid matrix ever touches the driver — the classic
+    Spark k-means shape.
+    """
+    init = (
+        emb.orderBy(id_col)
+        .limit(n_cells)
+        .select(vec_col)
+        .collect()
+    )
+    centroids = [[float(x) for x in r[0]] for r in init]
+    for _ in range(iters):
+        assigned = ivf_assign(emb, centroids, id_col, vec_col)
+        comp = assigned.select(
+            "cell", F.posexplode(vec_col).alias("pos", "val")
+        )
+        means = (
+            comp.groupBy("cell", "pos")
+            .agg(F.avg(F.col("val").cast("double")).alias("m"))
+            .groupBy("cell")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select("cell", F.col("pm.m").alias("centroid"))
+            .collect()
+        )
+        new = {r["cell"]: [float(x) for x in r["centroid"]] for r in means}
+        centroids = [new.get(i, c) for i, c in enumerate(centroids)]
+    return centroids
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Append ``cell`` = argmin squared-L2 distance to the centroids
+    (literal arrays — no shuffle, pure expression evaluation)."""
+    dists = []
+    for i, c in enumerate(centroids):
+        lit_c = F.array(*[F.lit(x) for x in c])
+        d2 = F.aggregate(
+            F.zip_with(F.col(vec_col), lit_c, lambda a, b: (a.cast("double") - b) * (a.cast("double") - b)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        dists.append(F.struct(d2.alias("d"), F.lit(i).alias("i")))
+    best = F.array_min(F.array(*dists))["i"]
+    return df.withColumn("cell", best)
+
+
+def ivf_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_cells: int = 8,
+    n_probe: int = 3,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN: cluster the corpus into cells, probe each query's
+    ``n_probe`` nearest cells, exact-cosine only within probed cells.
+    Candidate cost ≈ |Q| · (n_probe/n_cells) · |C| — the inverted-file
+    pruning that makes brute force tractable at scale. Returns
+    (query_id, cand_id, cosine, rnk); recall tuned by n_probe."""
+    centroids = ivf_fit(emb, n_cells, iters, id_col, vec_col)
+    cand_cells = ivf_assign(emb, centroids, id_col, vec_col).select(
+        F.col(id_col).alias("cand_id"), F.col(vec_col).alias("c_emb"), "cell"
+    )
+    # per-query probe list: n_probe nearest centroids
+    dists = []
+    for i, c in enumerate(centroids):
+        lit_c = F.array(*[F.lit(x) for x in c])
+        d2 = F.aggregate(
+            F.zip_with(F.col(vec_col), lit_c, lambda a, b: (a.cast("double") - b) * (a.cast("double") - b)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        dists.append(F.struct(d2.alias("d"), F.lit(i).alias("i")))
+    probes = F.slice(F.array_sort(F.array(*dists)), 1, n_probe)["i"]
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_emb"),
+        F.explode(probes).alias("cell"),
+    )
+    scored = (
+        F.broadcast(q)
+        .join(cand_cells, "cell")
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            (
+                _dot(F.col("q_emb"), F.col("c_emb"))
+                / (F.sqrt(_norm_sq(F.col("q_emb"))) * F.sqrt(_norm_sq(F.col("c_emb"))))
+            ).alias("cosine"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("cand_id"))
+    return (
+        scored.select("*", F.row_number().over(w).alias("rnk"))
+        .filter(F.col("rnk") <= k)
+    )
+
+
 def lsh_topk(
     emb: DataFrame,
     queries: DataFrame,

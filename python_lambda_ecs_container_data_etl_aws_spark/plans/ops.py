@@ -73,6 +73,17 @@ def q27(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rnk")
 
 
+@_q("q35_ann_ivf_topk")
+def q35(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN top-3 (rows-only: k-means cell means are float-order
+    sensitive, so not SQL-reproducible); recall vs brute force is
+    property-tested."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.ivf_topk(
+        emb, emb.filter(F.col("vec_id") < 10), k=3, n_cells=8, n_probe=3
+    ).orderBy("query_id", "rnk")
+
+
 @_q("q28_multimodal_features")
 def q28(spark: SparkSession, sf_dir: str) -> DataFrame:
     """mapInPandas feature extraction over binary payloads (rows-only:

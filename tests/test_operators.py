@@ -91,6 +91,25 @@ def test_lsh_ann_recall_vs_brute_force(spark, emb):
     assert recall >= 0.5, f"ANN recall too low: {recall}"
 
 
+def test_ivf_ann_recall_vs_brute_force(spark, emb):
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = similarity.brute_force_topk(emb, queries, k=5)
+    got = similarity.ivf_topk(emb, queries, k=5, n_cells=8, n_probe=4)
+    exact_set = {(r.query_id, r.cand_id) for r in exact.collect()}
+    got_set = {(r.query_id, r.cand_id) for r in got.collect()}
+    recall = len(exact_set & got_set) / len(exact_set)
+    assert recall >= 0.5, f"IVF recall too low: {recall}"
+
+
+def test_ivf_cells_partition_corpus(spark, emb):
+    cents = similarity.ivf_fit(emb, n_cells=4, iters=2)
+    assert len(cents) == 4 and all(len(c) == 64 for c in cents)
+    assigned = similarity.ivf_assign(emb, cents)
+    counts = {r.cell: r.cnt for r in assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    assert sum(counts.values()) == emb.count()
+    assert len(counts) >= 2  # corpus actually spreads over cells
+
+
 def test_brute_force_topk_ranks_descending(spark, emb):
     out = similarity.brute_force_topk(emb, emb.filter(F.col("vec_id") < 3), k=5)
     rows = out.orderBy("query_id", "rnk").collect()
