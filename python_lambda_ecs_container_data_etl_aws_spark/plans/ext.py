@@ -202,6 +202,60 @@ WHERE r.rn = 1 ORDER BY r.route
 
 
 # --------------------------------------------------------------------------
+# q36 cube-drilldown — GROUP BY CUBE over (geo, category): every
+# subtotal combination in one shuffle (q15's ROLLUP sibling; together
+# they cover Spark's grouping-sets family). NULL markers coalesced as
+# in q15.
+ORACLE["q36_cube_drilldown"] = """
+WITH base AS (
+    SELECT n_name AS geo, p_type AS category, l_extendedprice
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN part     ON l_partkey = p_partkey
+    WHERE YEAR(o_orderdate) = 1997
+)
+SELECT COALESCE(geo, 'ALL') AS geo,
+       COALESCE(category, 'ALL') AS category,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,2))) AS DOUBLE) AS sum_price,
+       COUNT(*) AS n_items
+FROM base GROUP BY CUBE(geo, category) ORDER BY 1, 2
+"""
+
+
+@_q("q36_cube_drilldown")
+def q36(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    p = load_table(spark, sf_dir, "part")
+    base = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter(F.year("o_orderdate") == 1997)
+        .select(F.col("n_name").alias("geo"), F.col("p_type").alias("category"), "l_extendedprice")
+    )
+    return (
+        base.cube("geo", "category")
+        .agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(38,2)")).cast("double").alias("sum_price"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .select(
+            F.coalesce("geo", F.lit("ALL")).alias("geo"),
+            F.coalesce("category", F.lit("ALL")).alias("category"),
+            "sum_price",
+            "n_items",
+        )
+        .orderBy("geo", "category")
+    )
+
+
+# --------------------------------------------------------------------------
 # q34 gap-based sessionization — the batch form of session windows
 # (the event-time generalization of the reference's activity windows):
 # a new session starts when a user's inter-event gap exceeds 30 min.

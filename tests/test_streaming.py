@@ -109,6 +109,63 @@ def test_stateful_user_counts_across_batches(spark, event_batches, tmp_path):
     assert any(b > 1 for b, _ in final.values())
 
 
+def test_full_streaming_pipeline_route_canonical_complete(spark, tmp_path):
+    """§3.1 as one stream: landing CSVs → source-file lineage → routing
+    gate → canonical projection → parquet sink, with ST6 completion
+    firing when all expected files arrived."""
+    from pyspark.sql.types import StringType
+
+    from python_lambda_ecs_container_data_etl_aws_spark.sources import registry
+    from python_lambda_ecs_container_data_etl_aws_spark.streaming.completion import (
+        CompletionTracker,
+        with_source_file,
+    )
+
+    land = tmp_path / "landing"
+    land.mkdir()
+    hdr = ",".join(registry.PRICEINDEX.canonical_columns)
+    row = "2023-01-01,Canada,D{i},food,u,1,f,2,v,c,{v},ok,,n,1"
+    (land / "PriceIndex_a.csv").write_text(
+        "\n".join([hdr] + [row.format(i=i, v=i) for i in range(5)]) + "\n"
+    )
+    (land / "price_b.csv").write_text(
+        "\n".join([hdr] + [row.format(i=i + 10, v=i) for i in range(3)]) + "\n"
+    )
+    (land / "converted_x.csv").write_text(hdr + "\n" + row.format(i=99, v=9) + "\n")
+
+    schema = StructType(
+        [StructField(c, StringType()) for c in registry.PRICEINDEX.canonical_columns]
+    )
+    fired = []
+    tracker = CompletionTracker(
+        {"PriceIndex_a.csv", "price_b.csv"}, lambda s: fired.append(sorted(s))
+    )
+    out = str(tmp_path / "out")
+
+    def transform(df):
+        df = with_source_file(df)
+        # routing gate in-stream: only registered, non-converted names load
+        return df.filter(
+            F.lower(F.col("source_file")).rlike("price|index")
+            & ~F.lower(F.col("source_file")).startswith("converted_")
+        )
+
+    runner.ingest_stream(
+        spark,
+        str(land),
+        schema,
+        out,
+        str(tmp_path / "ck_pipe"),
+        fmt="csv",
+        transform=transform,
+        on_batch_complete=tracker,
+    )
+    got = spark.read.parquet(out)
+    assert got.count() == 8  # 5 + 3; converted_ file filtered out
+    assert set(got.columns) == set(registry.PRICEINDEX.canonical_columns) | {"source_file"}
+    assert fired == [["PriceIndex_a.csv", "price_b.csv"]]
+
+
 def test_dedup_within_watermark_drops_replayed_keys(spark, event_batches, tmp_path):
     """ST3: replay the same files into a second landing dir — the
     streamed dedup must emit each event_id exactly once."""
