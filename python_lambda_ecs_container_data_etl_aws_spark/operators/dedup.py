@@ -49,19 +49,25 @@ def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: i
     Tokenization is materialized once per row (a projected ``toks``
     column) — inlining split() into each n-gram index re-parses the
     text n+1 times per row and dominated profile time.
+
+    Docs shorter than ``n`` tokens yield zero shingles: the index
+    generator is guarded so ``sequence(0, negative)`` never runs —
+    under Spark 4 ANSI mode an unguarded descending sequence indexes
+    ``toks`` out of bounds and aborts the whole job. Empty/short docs
+    are routine in LLM corpora; they must be a no-op, not a crash.
     """
     parts = ", ".join(f"toks[i+{j}]" for j in range(n))
+    gen = (
+        f"CASE WHEN size(toks) >= {n} "
+        f"THEN transform(sequence(0, size(toks) - {n}), i -> concat_ws(' ', {parts})) "
+        f"ELSE array() END"
+    )
     return (
         df.select(
             F.col(id_col).alias("id"),
             F.split(F.col(text_col), " ").alias("toks"),
         )
-        .select(
-            "id",
-            F.explode(
-                F.expr(f"transform(sequence(0, size(toks) - {n}), i -> concat_ws(' ', {parts}))")
-            ).alias("shingle"),
-        )
+        .select("id", F.explode(F.expr(gen)).alias("shingle"))
         .distinct()
     )
 

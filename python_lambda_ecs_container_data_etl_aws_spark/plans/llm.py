@@ -307,10 +307,14 @@ def q22(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select("doc_id", F.split("text", " ").alias("toks"))  # tokenize ONCE
         .select(
             "doc_id",
+            # short-doc guard: <3 tokens → zero shingles (ANSI-safe; the
+            # DuckDB twin's range(1, len-1) is empty for the same docs)
             F.explode(
                 F.expr(
-                    "transform(sequence(0, size(toks) - 3),"
+                    "CASE WHEN size(toks) >= 3 THEN"
+                    " transform(sequence(0, size(toks) - 3),"
                     " i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"
+                    " ELSE array() END"
                 )
             ).alias("s"),
         )

@@ -49,6 +49,29 @@ def test_dedup_exact_keeps_one_per_text(spark, docs):
     assert kept.filter(F.col("doc_id") >= 1000000).count() == 0
 
 
+def test_shingles_short_and_empty_docs_yield_zero_not_crash(spark):
+    # ANSI-mode regression: docs with < n tokens must produce zero
+    # shingles, not an INVALID_ARRAY_INDEX abort (sequence(0, negative)
+    # descends and indexes toks out of bounds when unguarded).
+    corpus = spark.createDataFrame(
+        [
+            (1, ""),
+            (2, "one"),
+            (3, "two tokens"),
+            (4, "three whole tokens here"),
+            (5, "three whole tokens here"),
+        ],
+        "doc_id BIGINT, text STRING",
+    )
+    sh = dedup.shingles(corpus)
+    got = {(r.id, r.shingle) for r in sh.collect()}
+    assert all(i not in {1, 2, 3} for i, _ in got)  # short docs: no shingles
+    assert {i for i, _ in got} == {4, 5}
+    # the full LSH pipeline survives a corpus containing short docs
+    pairs = dedup.minhash_lsh_dedup(corpus, threshold=0.5).collect()
+    assert {(r.a_id, r.b_id) for r in pairs} == {(4, 5)}
+
+
 def test_minhash_lsh_matches_exact_jaccard(spark, docs):
     exact = _exact_pairs(docs, threshold=0.5)
     assert exact, "corpus should contain planted near-dup pairs"
