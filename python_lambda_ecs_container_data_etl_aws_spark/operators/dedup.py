@@ -8,8 +8,9 @@
   K universal-hash min-aggregations → band → bucket-join. Candidate
   generation is linear in corpus size (per bucket), and only candidates
   pay the exact-Jaccard verify.
-- :func:`simhash_signatures` / :func:`simhash_pairs` — 64-bit SimHash
-  with banded candidate generation and Hamming-distance verify.
+- :func:`simhash_signatures` / :func:`simhash_pairs` — 60-bit SimHash
+  (md5-derived token bits, so the pipeline is SQL-oracle-able) with
+  banded candidate generation and Hamming-distance verify.
 
 Everything is built-in column expressions (whole-stage codegen) — no
 Python UDF anywhere on the hot path. xxhash64 is Spark's JVM-side
@@ -219,27 +220,40 @@ def minhash_lsh_dedup(
 # SimHash
 
 
+SIMHASH_BITS = 60
+
+
 def simhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """64-bit SimHash per doc: bit b is the sign of sum(±1) over token
-    hashes' bit b. Exploded tokens → 64 conditional sums → bit-OR fold.
+    """60-bit SimHash per doc: bit b is the sign of sum(±1) over token
+    hashes' bit b. Exploded tokens → 60 conditional sums → bit-OR fold.
+
+    The token hash is the first 15 hex chars of md5 as a 60-bit integer
+    (``conv(substr(md5(t),1,15),16,10)``) — deliberately md5, not
+    xxhash64: md5 is reproducible in any SQL engine, so the whole
+    SimHash pipeline carries a DuckDB oracle twin (q26) instead of a
+    weaker rows-only check. 60 bits keeps the value strictly positive
+    in a signed BIGINT (no sign-bit special case) at no meaningful
+    precision loss vs 64.
     """
     tok = df.select(
         F.col(id_col).alias("id"),
         F.explode(F.split(F.col(text_col), " ")).alias("t"),
     )
-    h = F.xxhash64("t")
+    h = F.conv(F.substring(F.md5("t"), 1, 15), 16, 10).cast("bigint")
+    hashed = tok.select("id", h.alias("h"))
     sums = [
         F.sum(
-            F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
         ).alias(f"b{b}")
-        for b in range(64)
+        for b in range(SIMHASH_BITS)
     ]
-    per_doc = tok.groupBy("id").agg(*sums)
+    per_doc = hashed.groupBy("id").agg(*sums)
     sig = F.lit(0).cast("bigint")
-    for b in range(64):
+    for b in range(SIMHASH_BITS):
         sig = sig.bitwiseOR(
-            F.when(F.col(f"b{b}") > 0, F.lit(1).cast("bigint") * F.lit(2 ** b if b < 63 else -(2 ** 63)))
-            .otherwise(F.lit(0).cast("bigint"))
+            F.when(F.col(f"b{b}") > 0, F.lit(2 ** b).cast("bigint")).otherwise(
+                F.lit(0).cast("bigint")
+            )
         )
     return per_doc.select("id", sig.alias("simhash"))
 
@@ -254,9 +268,9 @@ def simhash_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_distance: int = 10,
-    num_bands: int = 16,
+    num_bands: int = 12,
 ) -> DataFrame:
-    """Near-dup pairs by SimHash: band the 64-bit signature into
+    """Near-dup pairs by SimHash: band the 60-bit signature into
     ``num_bands`` chunks — by pigeonhole, a pair with Hamming distance
     < num_bands agrees exactly on ≥1 band, so bucket-joining bands
     yields a complete candidate set for ``max_distance < num_bands`` —
@@ -268,9 +282,9 @@ def simhash_pairs(
     is the higher-precision choice, SimHash the cheaper signature).
     """
     # persist: the banded self-join consumes the signature relation on
-    # both sides — without it the 64-column aggregation runs twice.
+    # both sides — without it the 60-column aggregation runs twice.
     sig = simhash_signatures(df, text_col, id_col).persist()
-    width = 64 // num_bands
+    width = SIMHASH_BITS // num_bands
     bands = [
         F.struct(
             F.lit(i).alias("band"),

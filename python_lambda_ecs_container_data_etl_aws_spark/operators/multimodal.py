@@ -87,13 +87,16 @@ def decode_image(payload: bytes):
 def _fake_decode(payload: bytes) -> tuple[int, int, int]:
     """Deterministic stand-in for a codec: derives (width, height,
     checksum) purely from the bytes. Replace with decode_image(...)
-    when codecs exist."""
-    h = 1469598103934665603  # FNV-1a 64
-    for by in payload:
-        h = ((h ^ by) * 1099511628211) & 0xFFFFFFFFFFFFFFFF
-    width = 64 + (h % 960)
-    height = 64 + ((h >> 10) % 960)
-    return int(width), int(height), int(h & 0x7FFFFFFFFFFFFFFF)
+    when codecs exist.
+
+    The checksum is md5-derived (first 15 hex chars as a 60-bit int) —
+    deliberately md5, not FNV: md5 exists in every SQL engine, so the
+    whole mapInPandas feature pipeline carries a DuckDB oracle twin
+    (q28) instead of a weaker rows-only check."""
+    import hashlib
+
+    h = int(hashlib.md5(payload).hexdigest()[:15], 16)
+    return int(64 + h % 960), int(64 + (h >> 10) % 960), int(h)
 
 
 def extract_features(mm: DataFrame) -> DataFrame:
@@ -107,11 +110,12 @@ def extract_features(mm: DataFrame) -> DataFrame:
     """
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
         def fake_decode(payload: bytes) -> tuple[int, int, int]:
-            h = 1469598103934665603  # FNV-1a 64 (same as _fake_decode)
-            for by in payload:
-                h = ((h ^ by) * 1099511628211) & 0xFFFFFFFFFFFFFFFF
-            return int(64 + (h % 960)), int(64 + ((h >> 10) % 960)), int(h & 0x7FFFFFFFFFFFFFFF)
+            # md5-derived 60-bit checksum (same as _fake_decode)
+            h = int(hashlib.md5(payload).hexdigest()[:15], 16)
+            return int(64 + h % 960), int(64 + (h >> 10) % 960), int(h)
 
         for pdf in batches:
             decoded = [fake_decode(p) for p in pdf["payload"]]

@@ -6,10 +6,16 @@
   exact pairs at the threshold (validated equal at sf0.001/0.01/0.1;
   planted pairs sit at j ≥ 0.8 where band-miss probability is ~2e-4 and
   deterministic besides).
-- q26-q28 are genuinely non-SQL-expressible (xxhash64 signatures,
-  seeded hyperplanes, mapInPandas byte-level decode) → no oracle entry;
-  the driver records the weaker rows-only check, and pytest property
-  tests (tests/test_operators.py) carry correctness instead.
+- q26 SimHash and q28 multimodal features are oracle-backed: both hash
+  with md5 (the one hash every SQL engine shares), so the DuckDB twin
+  reproduces signatures/checksums bit-for-bit. The q26 oracle computes
+  ground truth the semantic way — ALL pairs at Hamming ≤ d — while the
+  Spark side goes through banded candidates; banding is complete for
+  d < num_bands (pigeonhole), so the outputs are identical, and the
+  oracle doubles as a completeness proof of the banding.
+- q27/q35 ANN remain rows-only (seeded hyperplanes / k-means cell means
+  are not SQL-reproducible); recall-floor pytest properties carry their
+  correctness instead.
 """
 
 from __future__ import annotations
@@ -54,12 +60,52 @@ def q25(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_lsh_dedup(docs, threshold=_THRESH).orderBy("a_id", "b_id")
 
 
+_SIMHASH_MAXD = 6
+
+def _simhash_oracle() -> str:
+    """Render the full SimHash pipeline (md5 token bits → sign-sums →
+    signature → all-pairs Hamming filter) as one DuckDB query. The
+    60 sum/bit columns are generated, mirroring the Spark loop."""
+    bits = dedup.SIMHASH_BITS
+    sums = ",\n           ".join(
+        f"SUM(CASE WHEN ((h >> {b}) & 1) = 1 THEN 1 ELSE -1 END) AS b{b}"
+        for b in range(bits)
+    )
+    sig = " + ".join(
+        f"(CASE WHEN b{b} > 0 THEN {2 ** b} ELSE 0 END)" for b in range(bits)
+    )
+    return f"""
+WITH tok AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+),
+h AS (
+    SELECT doc_id, CAST('0x' || substr(md5(t), 1, 15) AS BIGINT) AS h FROM tok
+),
+sums AS (
+    SELECT doc_id,
+           {sums}
+    FROM h GROUP BY 1
+),
+sig AS (SELECT doc_id, CAST({sig} AS BIGINT) AS simhash FROM sums)
+SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {_SIMHASH_MAXD}
+ORDER BY a_id, b_id
+"""
+
+
+ORACLE["q26_simhash_neardup"] = _simhash_oracle()
+
+
 @_q("q26_simhash_neardup")
 def q26(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup candidates (rows-only: signature hashes are not
-    SQL-reproducible). Deterministic for fixed input."""
+    """SimHash near-dup pairs. Oracle-backed: md5-derived signatures
+    are engine-portable, and banded candidate generation is complete
+    for max_distance < num_bands, so Spark's banded output equals the
+    oracle's all-pairs Hamming filter exactly."""
     docs = load_table(spark, sf_dir, "documents")
-    return dedup.simhash_pairs(docs, max_distance=6).orderBy("a_id", "b_id")
+    return dedup.simhash_pairs(docs, max_distance=_SIMHASH_MAXD).orderBy("a_id", "b_id")
 
 
 @_q("q27_ann_lsh_topk")
@@ -84,10 +130,28 @@ def q35(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rnk")
 
 
+ORACLE["q28_multimodal_features"] = """
+WITH b AS (
+    SELECT doc_id AS item_id, 'image' AS modality, encode(text) AS payload,
+           CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) AS h
+    FROM documents
+)
+SELECT item_id, modality,
+       CAST(octet_length(payload) AS BIGINT) AS size_bytes,
+       CAST(64 + h % 960 AS BIGINT) AS width,
+       CAST(64 + (h >> 10) % 960 AS BIGINT) AS height,
+       h AS checksum64
+FROM b ORDER BY item_id
+"""
+
+
 @_q("q28_multimodal_features")
 def q28(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """mapInPandas feature extraction over binary payloads (rows-only:
-    byte-level FNV decode is not SQL-expressible). Deterministic."""
+    """mapInPandas feature extraction over binary payloads. Oracle-backed:
+    the stub decoder's md5-derived (width, height, checksum) is exactly
+    reproducible in SQL, so the whole Arrow-batched worker path — schema,
+    batching, partitioning — is validated against DuckDB, not just
+    rows-counted."""
     docs = load_table(spark, sf_dir, "documents")
     mm = multimodal.documents_as_multimodal(docs)
     return multimodal.extract_features(mm).orderBy("item_id")
