@@ -1,29 +1,61 @@
 """The §3.1 lifecycle collapsed into one callable — what a user of the
 reference actually runs: file arrives → route → read+validate → stage →
-merge into the permanent table → archive the input → (report hook).
+merge into the permanent table → archive the input → audit-log the
+outcome → (reject hook).
 
 The reference spreads this over two lambdas, SQS, and five stored
 procedures; here it is one driver function over distributed transforms.
 Every step delegates to the tested building blocks in this package.
+
+Scale design — the permanent table is hash-bucket partitioned:
+
+    table_dir/__bucket=0/..., __bucket=1/..., ...
+
+``__bucket = pmod(xxhash64(keys), n_buckets)`` is derivable from the
+merge keys alone, so an arriving delta knows exactly which partitions
+it can touch. The merge then
+  1. reads ONLY those partitions (partition pruning — untouched buckets
+     are never scanned),
+  2. upserts the delta into that bounded subset,
+  3. writes the result to a staging dir and swaps each touched bucket
+     directory in with an atomic rename (crash mid-swap leaves every
+     bucket either fully old or fully new — never destroyed; at worst a
+     recoverable ``*__old`` dir lingers).
+Cost per arriving file is proportional to the delta's bucket fanout,
+NOT the table size — the property that keeps a 5 MiB file from
+rewriting a 100 TB table. On Delta/Iceberg steps 2-3 collapse into
+``MERGE INTO`` behind this same function signature (SURVEY §7).
+
+The A2 count gate (`2.2:300-308`) validates the rows THIS file
+delivered (src − bad vs rows staged), never the cumulative table —
+comparing a 2-row delta against a billion-row table is meaningless.
 """
 
 from __future__ import annotations
 
 import os
+import shutil
+from collections.abc import Callable
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from . import archive as archive_mod
 from . import registry
-from .idempotent import write_partitioned_idempotent
+from .audit import log_ingest
 from .loader import IngestResult, read_csv_canonical, validate_counts
 from .merge import upsert
+
+BUCKET_COL = "__bucket"
 
 
 @dataclass
 class IngestReport:
-    """What the reference returns as {loading_status, error} (`2.2:486-491`)."""
+    """What the reference returns as {loading_status, error} (`2.2:486-491`).
+
+    ``loaded_rows`` is the rows delivered by THIS file (the delta), not
+    the cumulative table size."""
 
     file: str
     route: str
@@ -34,6 +66,36 @@ class IngestReport:
     extras: dict = field(default_factory=dict)
 
 
+def _bucket_expr(keys: list[str], n_buckets: int):
+    return F.pmod(F.xxhash64(*[F.col(k) for k in keys]), F.lit(n_buckets)).cast("int")
+
+
+def _swap_bucket_dirs(staging_dir: str, table_dir: str) -> int:
+    """Atomically move every ``__bucket=*`` dir from staging into the
+    table: rename old aside → rename new in → drop old. Each bucket
+    flips in one rename; a crash leaves buckets fully-old or fully-new."""
+    os.makedirs(table_dir, exist_ok=True)
+    n = 0
+    for entry in sorted(os.listdir(staging_dir)):
+        if not entry.startswith(f"{BUCKET_COL}="):
+            continue
+        src = os.path.join(staging_dir, entry)
+        dst = os.path.join(table_dir, entry)
+        old = dst + "__old"
+        shutil.rmtree(old, ignore_errors=True)  # leftover from a crash
+        if os.path.isdir(dst):
+            os.rename(dst, old)
+        os.rename(src, dst)
+        shutil.rmtree(old, ignore_errors=True)
+        n += 1
+    shutil.rmtree(staging_dir, ignore_errors=True)
+    return n
+
+
+def _is_bucketed(table_dir: str) -> bool:
+    return any(e.startswith(f"{BUCKET_COL}=") for e in os.listdir(table_dir))
+
+
 def ingest_file(
     spark: SparkSession,
     file_path: str,
@@ -41,13 +103,28 @@ def ingest_file(
     backup_dir: str | None = None,
     keys: list[str] | None = None,
     maxerrors: int = 5,
+    n_buckets: int = 64,
+    log_dir: str | None = None,
+    on_reject: Callable[[IngestReport], None] | None = None,
 ) -> IngestReport:
-    """Route → canonical read → maxerrors gate → merge (upsert on keys,
-    else append-style overwrite) → count-validate → archive.
+    """Route → canonical read → maxerrors gate → merge (bucket-scoped
+    upsert on keys, else append) → count-validate → archive → audit.
 
-    Unknown filenames quarantine (status='quarantined'); the converted_
+    Unknown filenames quarantine (status='skipped'); the converted_
     guard and extension gates behave exactly like q03's routing rules.
+    ``on_reject`` is the reference's reject-with-notification hook
+    (`2.1:546-552`) — called for quarantined and maxerrors-rejected
+    files; SNS/email/Slack is the caller's choice, the seam is ours.
+    ``log_dir`` appends every outcome to the audit log (audit.py).
     """
+
+    def _finish(report: IngestReport, rejected: bool = False) -> IngestReport:
+        if log_dir:
+            log_ingest(spark, log_dir, report)
+        if rejected and on_reject is not None:
+            on_reject(report)
+        return report
+
     fname = os.path.basename(file_path)
     spec = registry.lookup_table(fname)
     if spec is None:
@@ -56,47 +133,79 @@ def ingest_file(
             if fname.lower().startswith("converted_")
             else registry.ROUTE_QUARANTINE
         )
-        return IngestReport(file=fname, route=route, status="skipped")
+        return _finish(
+            IngestReport(file=fname, route=route, status="skipped"),
+            rejected=route == registry.ROUTE_QUARANTINE,
+        )
 
     res: IngestResult = read_csv_canonical(spark, file_path, spec, maxerrors=maxerrors)
     if not res.accepted:
-        return IngestReport(
-            file=fname,
-            route=spec.table,
-            bad_rows=res.bad_rows,
-            status="rejected",
-            detail=f"{res.bad_rows} bad rows > maxerrors={maxerrors}",
+        return _finish(
+            IngestReport(
+                file=fname,
+                route=spec.table,
+                bad_rows=res.bad_rows,
+                status="rejected",
+                detail=f"{res.bad_rows} bad rows > maxerrors={maxerrors}",
+            ),
+            rejected=True,
         )
 
     table_dir = os.path.join(warehouse_dir, spec.table)
-    merged_mode = keys is not None and os.path.isdir(table_dir)
-    if merged_mode:
-        perm = spark.read.parquet(table_dir)
-        merged = upsert(perm, res.good, keys)
-        # Rewrite via a temp dir: the merge plan reads table_dir, and
-        # overwriting a path while scanning it is undefined.
-        tmp_dir = table_dir + "__staging"
-        merged.write.mode("overwrite").parquet(tmp_dir)
-        spark.read.parquet(tmp_dir).write.mode("overwrite").parquet(table_dir)
-        import shutil
+    # Per-file A2 gate: the rows staged for THIS file vs its own source
+    # count. One cheap count on the cached raw relation.
+    loaded = res.good.count()
+    extras: dict = {}
 
-        shutil.rmtree(tmp_dir, ignore_errors=True)
+    if keys is not None:
+        delta = res.good.withColumn(BUCKET_COL, _bucket_expr(keys, n_buckets))
+        if os.path.isdir(table_dir) and _is_bucketed(table_dir):
+            # Bucket-scoped merge: only partitions the delta hashes into
+            # are read, merged, and swapped. Everything else: untouched.
+            touched = sorted(
+                r[BUCKET_COL]
+                for r in delta.select(BUCKET_COL).distinct().collect()
+            )
+            perm = spark.read.parquet(table_dir).filter(
+                F.col(BUCKET_COL).isin(touched)
+            )
+            merged = upsert(perm, delta, keys)
+            staging = table_dir + "__staging"
+            merged.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(staging)
+            extras["buckets_touched"] = _swap_bucket_dirs(staging, table_dir)
+        else:
+            if os.path.isdir(table_dir):
+                # legacy unbucketed layout: one-time migration
+                delta = upsert(
+                    spark.read.parquet(table_dir).withColumn(
+                        BUCKET_COL, _bucket_expr(keys, n_buckets)
+                    ),
+                    delta,
+                    keys,
+                )
+            staging = table_dir + "__staging"
+            delta.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(staging)
+            extras["buckets_touched"] = _swap_bucket_dirs(staging, table_dir)
     else:
         res.good.write.mode(
             "append" if os.path.isdir(table_dir) else "overwrite"
         ).parquet(table_dir)
 
-    loaded = spark.read.parquet(table_dir).count()
-    # the A2 count gate applies to plain loads; a merge legitimately
-    # changes row counts (updates don't add rows)
-    ok = merged_mode or validate_counts(res.src_rows - res.bad_rows, loaded, maxerrors)
+    ok = validate_counts(res.src_rows - res.bad_rows, loaded, maxerrors)
     report = IngestReport(
         file=fname,
         route=spec.table,
         loaded_rows=loaded,
         bad_rows=res.bad_rows,
         status="ok" if ok else "count_mismatch",
+        extras=extras,
     )
     if backup_dir:
         archive_mod.archive_file(file_path, backup_dir)
-    return report
+    return _finish(report)
+
+
+def read_permanent(spark: SparkSession, warehouse_dir: str, table: str) -> DataFrame:
+    """The permanent table without the internal layout column."""
+    df = spark.read.parquet(os.path.join(warehouse_dir, table))
+    return df.drop(BUCKET_COL) if BUCKET_COL in df.columns else df

@@ -16,7 +16,10 @@ from python_lambda_ecs_container_data_etl_aws_spark.sources import registry
 from python_lambda_ecs_container_data_etl_aws_spark.sources.idempotent import (
     write_partitioned_idempotent,
 )
-from python_lambda_ecs_container_data_etl_aws_spark.sources.pipeline import ingest_file
+from python_lambda_ecs_container_data_etl_aws_spark.sources.pipeline import (
+    ingest_file,
+    read_permanent,
+)
 from python_lambda_ecs_container_data_etl_aws_spark.streaming.completion import (
     CompletionTracker,
     with_source_file,
@@ -107,11 +110,142 @@ def test_ingest_pipeline_end_to_end(spark, tmp_path):
     day2 = land / "price_day2.csv"
     day2.write_text("\n".join([HEADER, _row("D3", "999.9"), _row("D99", "1.0")]) + "\n")
     rep2 = ingest_file(spark, str(day2), wh, keys=["DGUID"])
-    assert rep2.status == "ok" and rep2.loaded_rows == 11  # 1 update + 1 insert
-    final = {r.DGUID: r.VALUE for r in spark.read.parquet(os.path.join(wh, "priceindex")).collect()}
+    # loaded_rows is THIS file's delta (1 update + 1 insert), never the
+    # cumulative table count
+    assert rep2.status == "ok" and rep2.loaded_rows == 2
+    final = {r.DGUID: r.VALUE for r in read_permanent(spark, wh, "priceindex").collect()}
+    assert len(final) == 11
     assert final["D3"] == "999.9" and final["D99"] == "1.0" and final["D5"] == "105.5"
 
     unknown = land / "mystery.csv"
     unknown.write_text("a,b\n1,2\n")
     rep3 = ingest_file(spark, str(unknown), wh)
     assert rep3.status == "skipped" and rep3.route == registry.ROUTE_QUARANTINE
+
+
+def _bucket_file_stats(table_dir: str) -> dict[str, tuple]:
+    """(inode, mtime_ns, size) of every data file, keyed by rel path."""
+    out = {}
+    for root, _, files in os.walk(table_dir):
+        for f in files:
+            p = os.path.join(root, f)
+            st = os.stat(p)
+            out[os.path.relpath(p, table_dir)] = (st.st_ino, st.st_mtime_ns, st.st_size)
+    return out
+
+
+def test_merge_touches_only_delta_buckets(spark, tmp_path):
+    """The scale contract: a small arriving file must not rewrite (or
+    even re-read) buckets its keys don't hash into — untouched bucket
+    files stay byte-identical (same inode, same mtime)."""
+    land = tmp_path / "landing"
+    land.mkdir()
+    wh = str(tmp_path / "wh")
+    base = land / "PriceIndex_base.csv"
+    base.write_text("\n".join([HEADER] + [_row(f"D{i}", f"{i}.0") for i in range(200)]) + "\n")
+    ingest_file(spark, str(base), wh, keys=["DGUID"], n_buckets=16)
+    table_dir = os.path.join(wh, "priceindex")
+    before = _bucket_file_stats(table_dir)
+    n_buckets_before = len({p.split("/")[0] for p in before})
+    assert n_buckets_before > 4  # corpus actually spreads over buckets
+
+    one = land / "price_one.csv"
+    one.write_text("\n".join([HEADER, _row("D7", "777.7")]) + "\n")
+    rep = ingest_file(spark, str(one), wh, keys=["DGUID"], n_buckets=16)
+    assert rep.status == "ok" and rep.extras["buckets_touched"] == 1
+
+    after = _bucket_file_stats(table_dir)
+    changed = {
+        p.split("/")[0]
+        for p in set(before) | set(after)
+        if before.get(p) != after.get(p)
+    }
+    changed.discard("_SUCCESS")
+    assert len(changed) == 1  # exactly one bucket dir replaced
+    # and the merge result is correct
+    final = {r.DGUID: r.VALUE for r in read_permanent(spark, wh, "priceindex").collect()}
+    assert final["D7"] == "777.7" and final["D8"] == "8.0" and len(final) == 200
+
+
+def test_unkeyed_append_validates_per_file_not_cumulative(spark, tmp_path):
+    """ADVICE regression: the 2nd+ appended file must validate its own
+    row count, not the cumulative table count."""
+    land = tmp_path / "landing"
+    land.mkdir()
+    wh = str(tmp_path / "wh")
+    for day, n in [("d1", 10), ("d2", 7), ("d3", 3)]:
+        f = land / f"PriceIndex_{day}.csv"
+        f.write_text("\n".join([HEADER] + [_row(f"{day}_{i}", "1.0") for i in range(n)]) + "\n")
+        rep = ingest_file(spark, str(f), wh)  # no keys: plain append
+        assert (rep.status, rep.loaded_rows) == ("ok", n)
+    assert spark.read.parquet(os.path.join(wh, "priceindex")).count() == 20
+
+
+def test_ingest_audit_log_appends_and_rolls_up(spark, tmp_path):
+    from python_lambda_ecs_container_data_etl_aws_spark.sources.audit import (
+        load_ingest_log,
+        status_rollup,
+    )
+
+    land = tmp_path / "landing"
+    land.mkdir()
+    wh = str(tmp_path / "wh")
+    log_dir = str(tmp_path / "log")
+    ok = land / "PriceIndex_ok.csv"
+    ok.write_text("\n".join([HEADER] + [_row(f"D{i}", "1.0") for i in range(5)]) + "\n")
+    ingest_file(spark, str(ok), wh, keys=["DGUID"], log_dir=log_dir)
+    bad = land / "price_bad.csv"
+    bad.write_text("\n".join([HEADER] + [_row("X", "1") + ",extra,extra"] * 7) + "\n")
+    ingest_file(spark, str(bad), wh, keys=["DGUID"], log_dir=log_dir)
+    # idempotent re-run of the good file: APPENDS a second row (the log
+    # is the immutable record), table stays deduped by the merge
+    ingest_file(spark, str(ok), wh, keys=["DGUID"], log_dir=log_dir)
+
+    log = load_ingest_log(spark, log_dir)
+    rows = log.collect()
+    assert len(rows) == 3
+    assert {r.status for r in rows} == {"ok", "rejected"}
+    roll = {r.status: (r.n_loads, r.total_rows) for r in status_rollup(log).collect()}
+    assert roll["ok"] == (2, 10) and roll["rejected"][0] == 1
+    assert read_permanent(spark, wh, "priceindex").count() == 5
+
+
+def test_on_reject_hook_fires_for_quarantine_and_maxerrors(spark, tmp_path):
+    rejected = []
+    land = tmp_path / "landing"
+    land.mkdir()
+    wh = str(tmp_path / "wh")
+    unknown = land / "mystery.csv"
+    unknown.write_text("a,b\n1,2\n")
+    ingest_file(spark, str(unknown), wh, on_reject=rejected.append)
+    bad = land / "price_bad.csv"
+    bad.write_text("\n".join([HEADER] + [_row("X", "1") + ",x,x"] * 7) + "\n")
+    ingest_file(spark, str(bad), wh, on_reject=rejected.append)
+    good = land / "PriceIndex_good.csv"
+    good.write_text("\n".join([HEADER, _row("D1", "1.0")]) + "\n")
+    ingest_file(spark, str(good), wh, on_reject=rejected.append)
+    assert [r.status for r in rejected] == ["skipped", "rejected"]
+    assert rejected[0].route == registry.ROUTE_QUARANTINE
+
+
+def test_legacy_unbucketed_table_migrates_on_first_keyed_merge(spark, tmp_path):
+    """Tables written by the old flat layout upgrade in place on the
+    first keyed ingest, then merge bucket-scoped thereafter."""
+    wh = str(tmp_path / "wh")
+    table_dir = os.path.join(wh, "priceindex")
+    # simulate a legacy flat table
+    legacy = spark.createDataFrame(
+        [tuple(_row(f"D{i}", f"{i}.0").split(",")) for i in range(20)],
+        ", ".join(f"{c} string" for c in registry.PRICEINDEX.canonical_columns),
+    )
+    legacy.write.mode("overwrite").parquet(table_dir)
+    land = tmp_path / "landing"
+    land.mkdir()
+    f = land / "price_up.csv"
+    f.write_text("\n".join([HEADER, _row("D3", "333.3"), _row("D77", "77.0")]) + "\n")
+    rep = ingest_file(spark, str(f), wh, keys=["DGUID"], n_buckets=8)
+    assert rep.status == "ok"
+    final = {r.DGUID: r.VALUE for r in read_permanent(spark, wh, "priceindex").collect()}
+    assert len(final) == 21 and final["D3"] == "333.3" and final["D77"] == "77.0"
+    # layout is now bucketed
+    assert any(e.startswith("__bucket=") for e in os.listdir(table_dir))
