@@ -1,0 +1,204 @@
+"""Round-2 contract queries q37-q39: audit-log status rollup, nested
+S3-event envelope parsing, and wall-clock timezone conversion.
+
+- q37 exercises the audit-log rollup (audit.status_rollup) — the
+  reference probes `log_for_loading` after every load
+  (`2.2 loading-lambda-for-mysql.py:273,311,389`). The log relation is
+  derived deterministically from ``events`` (same pattern as the files
+  fixture) so both engines see the identical table; the *real* log
+  table (parquet appends from ingest_file) is covered by pytest.
+- q38 is the true F14 obligation: the S3 event envelope is an
+  ARRAY<STRUCT> (`2.1 leader-lambda-for-mysql.py:138-155` —
+  Records[].eventName / .s3.object.key|size), parsed with a typed
+  ``from_json`` + explode + the P4 ``ObjectCreated:`` gate
+  (`2.1:167-171`) + P8 url-decode of the key (`2.1:159-164`).
+- q39 is F11: UTC instants rendered in America/New_York wall-clock
+  (`2.2:596-604` converts now→EST before its recency window). Events
+  near UTC midnight roll into the previous NY day, so the rollup is
+  sensitive to the conversion actually happening.
+
+Scale: all three are single-shuffle groupBy plans over generated
+columns; JSON parse and tz conversion are per-row JVM expressions
+inside whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.tz import to_wallclock
+from ..sources.audit import status_rollup
+from .core import ORACLE, _q
+
+# --------------------------------------------------------------------------
+# q37 audit-log status rollup
+
+ORACLE["q37_audit_rollup"] = """
+WITH log AS (
+    SELECT CASE WHEN event_id % 7 = 0 THEN 'rejected'
+                WHEN event_id % 7 = 1 THEN 'count_mismatch'
+                ELSE 'ok' END AS status,
+           event_id % 1000 AS loaded_rows,
+           CASE WHEN event_id % 7 = 0 THEN event_id % 10 ELSE 0 END AS bad_rows,
+           strftime(CAST(CAST(ts AS TIMESTAMP) AS DATE), '%Y-%m-%d') AS log_date
+    FROM events
+)
+SELECT log_date, status,
+       COUNT(*) AS n_loads,
+       CAST(SUM(loaded_rows) AS BIGINT) AS total_rows,
+       CAST(SUM(bad_rows) AS BIGINT) AS total_bad
+FROM log GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+@_q("q37_audit_rollup")
+def q37(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select("event_id", "ts_us")
+    eid = F.col("event_id")
+    log = e.select(
+        F.when(eid % 7 == 0, F.lit("rejected"))
+        .when(eid % 7 == 1, F.lit("count_mismatch"))
+        .otherwise(F.lit("ok"))
+        .alias("status"),
+        (eid % 1000).cast("bigint").alias("loaded_rows"),
+        F.when(eid % 7 == 0, eid % 10).otherwise(F.lit(0)).cast("bigint").alias("bad_rows"),
+        F.to_date(F.timestamp_micros(F.col("ts_us"))).cast("string").alias("log_date"),
+    )
+    return status_rollup(log)
+
+
+# --------------------------------------------------------------------------
+# q38 nested S3-event envelope: ARRAY<STRUCT> from_json + explode + gate
+
+_ENVELOPE_SCHEMA = (
+    "Records ARRAY<STRUCT<eventName: STRING, "
+    "s3: STRUCT<bucket: STRUCT<name: STRING>, "
+    "object: STRUCT<key: STRING, size: BIGINT>>>>"
+)
+
+
+def _envelope_col() -> Column:
+    """Two-record S3 event envelope JSON, derived from event_id (the
+    Spark twin of the oracle's `||` construction — byte-identical)."""
+    sid = F.col("event_id").cast("string")
+    name0 = (
+        F.when(F.col("event_id") % 3 == 0, F.lit("ObjectCreated:Put"))
+        .when(F.col("event_id") % 3 == 1, F.lit("ObjectCreated:CompleteMultipartUpload"))
+        .otherwise(F.lit("ObjectRemoved:Delete"))
+    )
+    name1 = F.when(F.col("event_id") % 2 == 0, F.lit("ObjectCreated:Copy")).otherwise(
+        F.lit("ObjectAccessed:Get")
+    )
+    return F.concat(
+        F.lit('{"Records":[{"eventName":"'),
+        name0,
+        F.lit('","s3":{"bucket":{"name":"upload-bucket"},"object":{"key":"data%2Fd%20'),
+        sid,
+        F.lit('.csv","size":'),
+        (F.col("event_id") % 1000).cast("string"),
+        F.lit('}}},{"eventName":"'),
+        name1,
+        F.lit('","s3":{"bucket":{"name":"backup-bucket"},"object":{"key":"logs%2Fl%20'),
+        sid,
+        F.lit('.txt","size":'),
+        ((F.col("event_id") * 7) % 1000).cast("string"),
+        F.lit("}}}]}"),
+    )
+
+
+_ENV_SQL = """
+        '{"Records":[{"eventName":"'
+        || CASE event_id % 3 WHEN 0 THEN 'ObjectCreated:Put'
+                             WHEN 1 THEN 'ObjectCreated:CompleteMultipartUpload'
+                             ELSE 'ObjectRemoved:Delete' END
+        || '","s3":{"bucket":{"name":"upload-bucket"},"object":{"key":"data%2Fd%20'
+        || CAST(event_id AS VARCHAR)
+        || '.csv","size":' || CAST(event_id % 1000 AS VARCHAR)
+        || '}}},{"eventName":"'
+        || CASE event_id % 2 WHEN 0 THEN 'ObjectCreated:Copy' ELSE 'ObjectAccessed:Get' END
+        || '","s3":{"bucket":{"name":"backup-bucket"},"object":{"key":"logs%2Fl%20'
+        || CAST(event_id AS VARCHAR)
+        || '.txt","size":' || CAST((event_id * 7) % 1000 AS VARCHAR)
+        || '}}}]}'
+"""
+
+ORACLE["q38_event_envelope"] = f"""
+WITH env AS (
+    SELECT event_id, {_ENV_SQL} AS j FROM events
+),
+rec AS (
+    SELECT event_id,
+           json_extract_string(j, '$.Records[' || i || '].eventName') AS event_name,
+           json_extract_string(j, '$.Records[' || i || '].s3.object.key') AS key,
+           CAST(json_extract(j, '$.Records[' || i || '].s3.object.size') AS BIGINT) AS size
+    FROM env, range(0, 2) t(i)
+)
+SELECT event_name,
+       COUNT(*) AS n_objects,
+       CAST(SUM(size) AS BIGINT) AS total_size,
+       COUNT(DISTINCT replace(replace(key, '%2F', '/'), '%20', ' ')) AS n_keys
+FROM rec
+WHERE event_name LIKE 'ObjectCreated:%'
+GROUP BY 1 ORDER BY 1
+"""
+
+
+@_q("q38_event_envelope")
+def q38(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select("event_id")
+    parsed = e.select(F.from_json(_envelope_col(), _ENVELOPE_SCHEMA).alias("env"))
+    rec = parsed.select(F.explode(F.col("env.Records")).alias("r")).select(
+        F.col("r.eventName").alias("event_name"),
+        F.url_decode(F.col("r.s3.object.key")).alias("decoded_key"),
+        F.col("r.s3.object.size").alias("size"),
+    )
+    return (
+        rec.filter(F.col("event_name").startswith("ObjectCreated:"))
+        .groupBy("event_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_objects"),
+            F.sum("size").cast("bigint").alias("total_size"),
+            F.countDistinct("decoded_key").alias("n_keys"),
+        )
+        .orderBy("event_name")
+    )
+
+
+# --------------------------------------------------------------------------
+# q39 wall-clock timezone rollup (F11)
+
+_TZ = "America/New_York"
+
+ORACLE["q39_tz_wallclock"] = f"""
+WITH e AS (
+    SELECT user_id,
+           timezone('{_TZ}', timezone('UTC', CAST(ts AS TIMESTAMP))) AS ny
+    FROM events
+)
+SELECT strftime(CAST(ny AS DATE), '%Y-%m-%d') AS ny_date,
+       CAST(EXTRACT(hour FROM ny) AS INT) AS ny_hour,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS n_users
+FROM e GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+@_q("q39_tz_wallclock")
+def q39(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select("user_id", "ts_us")
+    ny = to_wallclock("ts_us", _TZ)
+    return (
+        e.select(
+            F.to_date(ny).cast("string").alias("ny_date"),
+            F.hour(ny).alias("ny_hour"),
+            "user_id",
+        )
+        .groupBy("ny_date", "ny_hour")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("ny_date", "ny_hour")
+    )

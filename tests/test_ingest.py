@@ -157,3 +157,32 @@ def test_http_collect_file_url(tmp_path):
     assert os.path.basename(dest) == "PriceIndex_2023.csv"
     assert os.path.basename(os.path.dirname(dest)) == __import__("datetime").date.today().isoformat()
     assert open(dest).read().startswith("Date,GEO")
+
+
+def test_wallclock_recency_gate_tz_and_dst(spark):
+    """F11: the gate compares NY wall-clocks, so across the spring-
+    forward DST jump (2024-03-10 07:00 UTC) an event 31 instant-minutes
+    before "now" appears 1h31m older in wall-clock terms and is dropped,
+    while the same spread away from a transition keeps it."""
+    from python_lambda_ecs_container_data_etl_aws_spark.functions.tz import (
+        wallclock_recency_gate,
+    )
+
+    US = 1_000_000
+    # away from DST: wall-clock gap == instant gap
+    base = 1704067200 * US  # 2024-01-01 00:00:00 UTC
+    plain = spark.createDataFrame(
+        [(1, base), (2, base - 29 * 60 * US), (3, base - 31 * 60 * US)],
+        "id bigint, ts_us bigint",
+    )
+    kept = {r.id for r in wallclock_recency_gate(plain, now_us=base).collect()}
+    assert kept == {1, 2}
+    # across spring-forward: 02:00 EST jumps to 03:00 EDT at 07:00 UTC
+    jump = 1710054000 * US  # 2024-03-10 07:00:00 UTC == 03:00 EDT
+    dst = spark.createDataFrame(
+        [(1, jump + 60 * US), (2, jump - 29 * 60 * US)],
+        "id bigint, ts_us bigint",
+    )
+    kept = {r.id for r in wallclock_recency_gate(dst, now_us=jump + 60 * US).collect()}
+    # row 2 is 30 instant-minutes old but 1h30m wall-clock-old: dropped
+    assert kept == {1}
