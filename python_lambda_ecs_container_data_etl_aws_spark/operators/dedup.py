@@ -156,14 +156,20 @@ def minhash_signatures(
     return hashed.groupBy("id").agg(*aggs)
 
 
-def lsh_candidate_pairs(sig: DataFrame, num_bands: int = 16) -> DataFrame:
+def lsh_candidate_pairs(
+    sig: DataFrame, num_bands: int = 16, max_bucket_size: int | None = None
+) -> DataFrame:
     """Band the signature and bucket-join: docs sharing any band bucket
     become candidate pairs (a_id < b_id, distinct).
 
     Scale shape: explode to (band, bucket_hash) rows → self-join per
-    bucket. Bucket sizes are the skew risk at 100 TB; AQE skew-join
-    plus a bucket-size cap (drop degenerate mega-buckets, they are
-    boilerplate text anyway) keep it bounded.
+    bucket. Bucket sizes are the skew risk at 100 TB: one boilerplate
+    phrase shared by 10M docs makes a bucket whose self-join is 10M² —
+    ``max_bucket_size`` drops those degenerate buckets before the join
+    (a doc pair that REALLY is a near-dup still meets in its other,
+    non-boilerplate bands, so recall loss is confined to pairs similar
+    only in the skewed content). AQE skew-join handles the moderate
+    skew below the cap.
     """
     hcols = [c for c in sig.columns if c.startswith("h")]
     rows_per_band = len(hcols) // num_bands
@@ -179,6 +185,15 @@ def lsh_candidate_pairs(sig: DataFrame, num_bands: int = 16) -> DataFrame:
     exploded = sig.select(
         F.col("id"), F.explode(F.array(*bands)).alias("bb")
     ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    if max_bucket_size is not None:
+        # one extra shuffle on the same (band, bucket) keys the join
+        # uses; the window count never materializes mega-bucket pairs
+        wb = Window.partitionBy("band", "bucket")
+        exploded = (
+            exploded.withColumn("__bsz", F.count(F.lit(1)).over(wb))
+            .filter(F.col("__bsz") <= max_bucket_size)
+            .drop("__bsz")
+        )
     a, b = exploded.alias("a"), exploded.alias("b")
     return (
         a.join(
@@ -201,6 +216,7 @@ def minhash_lsh_dedup(
     num_bands: int = 16,
     ngram: int = 3,
     seed: int = 42,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs ≥ threshold: MinHash-LSH candidates, exact
     Jaccard verify. Returns (a_id, b_id, jaccard).
@@ -212,7 +228,7 @@ def minhash_lsh_dedup(
     identical."""
     sh = shingles(df, text_col, id_col, ngram).persist()
     sig = minhash_signatures(sh, num_hashes, seed)
-    cand = lsh_candidate_pairs(sig, num_bands)
+    cand = lsh_candidate_pairs(sig, num_bands, max_bucket_size)
     return jaccard_pairs(sh, threshold, candidates=cand)
 
 

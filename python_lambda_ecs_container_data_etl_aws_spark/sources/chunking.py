@@ -24,6 +24,19 @@ def add_autoid(df: DataFrame, order_cols: list[str], partitions: int | None = No
     Parallel equivalent of ROW_NUMBER() OVER (ORDER BY ...): range
     partitioning preserves global order across partitions; offsets are
     computed from per-partition counts (one tiny collect).
+
+    The per-partition offset joins in as a broadcast (pid → offset)
+    relation — NOT a chained CASE WHEN literal: an expression with one
+    branch per partition is O(P) deep and blows past JVM codegen method
+    limits somewhere past ~10k partitions, exactly the partition counts
+    a 100 TB input arrives with. The broadcast table is one row per
+    partition regardless of P.
+
+    Lifetime note: ``ranged`` stays persisted until the caller's action
+    completes (the numbering pass must see the same physical
+    partitioning the offsets were computed from). Callers running many
+    plans in one session should ``spark.catalog.clearCache()`` between
+    them (bench.py does).
     """
     if partitions is None:
         partitions = df.sparkSession.sparkContext.defaultParallelism
@@ -36,18 +49,19 @@ def add_autoid(df: DataFrame, order_cols: list[str], partitions: int | None = No
         .persist()
     )
     counts = {r["__pid"]: r["cnt"] for r in ranged.groupBy("__pid").agg(F.count(F.lit(1)).alias("cnt")).collect()}
-    offsets, acc = {}, 0
+    offsets, acc = [], 0
     for pid in sorted(counts):
-        offsets[pid] = acc
+        offsets.append((pid, acc))
         acc += counts[pid]
-    offset_col = F.coalesce(
-        *[F.when(F.col("__pid") == pid, F.lit(off)) for pid, off in offsets.items()],
-        F.lit(0),
-    ) if offsets else F.lit(0)
+    off_df = df.sparkSession.createDataFrame(
+        offsets or [(0, 0)], "__pid INT, __off BIGINT"
+    )
     w = Window.partitionBy("__pid").orderBy(*order_cols)
     return (
-        ranged.withColumn("autoid", (F.row_number().over(w) + offset_col).cast("bigint"))
-        .drop("__pid")
+        ranged.withColumn("__rn", F.row_number().over(w))
+        .join(F.broadcast(off_df), "__pid")
+        .withColumn("autoid", (F.col("__rn") + F.col("__off")).cast("bigint"))
+        .drop("__pid", "__rn", "__off")
     )
 
 

@@ -193,3 +193,26 @@ def test_frame_sample_plan(spark, docs):
     rows = frames.collect()
     assert all(r.frame_idx % 10 == 0 for r in rows)
     assert len(rows) >= 10
+
+
+def test_lsh_bucket_cap_bounds_candidates_keeps_planted_pairs(spark):
+    """100 TB skew defense: a boilerplate-heavy corpus creates mega
+    buckets whose self-join is quadratic; the cap drops them while
+    pairs that are near-dups on distinctive content survive."""
+    boiler = " ".join(f"standard legal disclaimer clause {i % 4} applies" for i in range(6))
+    rows = [(i, f"{boiler} unique suffix {i} tail {i}") for i in range(60)]
+    planted_a = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 2
+    rows.append((100, planted_a + "end one"))
+    rows.append((101, planted_a + "end two"))
+    corpus = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+
+    sh = dedup.shingles(corpus)
+    sig = dedup.minhash_signatures(sh)
+    n_uncapped = dedup.lsh_candidate_pairs(sig).count()
+    n_capped = dedup.lsh_candidate_pairs(sig, max_bucket_size=10).count()
+    assert n_capped < n_uncapped / 4  # mega-buckets actually dropped
+    found = {
+        (r.a_id, r.b_id)
+        for r in dedup.minhash_lsh_dedup(corpus, threshold=0.5, max_bucket_size=10).collect()
+    }
+    assert (100, 101) in found

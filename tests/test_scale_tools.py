@@ -249,3 +249,24 @@ def test_legacy_unbucketed_table_migrates_on_first_keyed_merge(spark, tmp_path):
     assert len(final) == 21 and final["D3"] == "333.3" and final["D77"] == "77.0"
     # layout is now bucketed
     assert any(e.startswith("__bucket=") for e in os.listdir(table_dir))
+
+
+def test_add_autoid_survives_1000_partitions(spark):
+    """Codegen regression: the per-partition offset is a broadcast join,
+    not an O(P)-deep WHEN chain — the plan must compile and ids must
+    stay dense at partition counts where a literal chain would blow the
+    JVM method limit."""
+    from python_lambda_ecs_container_data_etl_aws_spark.sources import chunking
+
+    df = spark.range(3000).select(F.col("id").alias("k"))
+    out = chunking.add_autoid(df, ["k"], partitions=1000)
+    stats = out.agg(
+        F.min("autoid").alias("mn"),
+        F.max("autoid").alias("mx"),
+        F.count(F.lit(1)).alias("c"),
+        F.countDistinct("autoid").alias("d"),
+    ).collect()[0]
+    assert (stats.mn, stats.mx, stats.c, stats.d) == (1, 3000, 3000, 3000)
+    head = out.orderBy("k").limit(3).collect()
+    assert [r.autoid for r in head] == [1, 2, 3]
+    spark.catalog.clearCache()
