@@ -34,9 +34,14 @@ def main() -> None:
     for name in sorted(QUERIES):
         t0 = time.perf_counter()
         df = QUERIES[name](spark, sf_dir)
-        n = df.count() if len(df.columns) > 6 else len(df.collect())
-        _ = n
+        # collect() uniformly: count() would let Catalyst prune unused
+        # projection columns and under-measure wide queries
+        _ = len(df.collect())
         timings[name] = round(time.perf_counter() - t0, 3)
+        # operators persist intermediates (shingles, signatures, ranged
+        # partitions) whose lifetime is the consuming action — drop them
+        # so 39 queries in one session don't accumulate cached blocks
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     print(

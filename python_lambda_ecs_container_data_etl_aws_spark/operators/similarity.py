@@ -127,6 +127,7 @@ def ivf_fit(
     iters: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    fit_fraction: float | None = None,
 ) -> list[list[float]]:
     """Deterministic k-means-lite for IVF cells.
 
@@ -135,16 +136,25 @@ def ivf_fit(
     expressions, means via posexplode + groupBy), only the k×dim
     centroid matrix ever touches the driver — the classic
     Spark k-means shape.
+
+    ``fit_fraction`` fits on a seeded sample — the standard move at
+    scale: centroid quality needs only a sketch of the density, not
+    every vector, and each Lloyd iteration is a full job over the fit
+    set. Assignment/probing (ivf_assign, ivf_topk) always run over the
+    FULL corpus regardless.
     """
+    fit = emb
+    if fit_fraction is not None and fit_fraction < 1.0:
+        fit = emb.sample(withReplacement=False, fraction=fit_fraction, seed=42)
     init = (
-        emb.orderBy(id_col)
+        fit.orderBy(id_col)
         .limit(n_cells)
         .select(vec_col)
         .collect()
     )
     centroids = [[float(x) for x in r[0]] for r in init]
     for _ in range(iters):
-        assigned = ivf_assign(emb, centroids, id_col, vec_col)
+        assigned = ivf_assign(fit, centroids, id_col, vec_col)
         comp = assigned.select(
             "cell", F.posexplode(vec_col).alias("pos", "val")
         )
@@ -191,13 +201,14 @@ def ivf_topk(
     iters: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    fit_fraction: float | None = None,
 ) -> DataFrame:
     """IVF ANN: cluster the corpus into cells, probe each query's
     ``n_probe`` nearest cells, exact-cosine only within probed cells.
     Candidate cost ≈ |Q| · (n_probe/n_cells) · |C| — the inverted-file
     pruning that makes brute force tractable at scale. Returns
     (query_id, cand_id, cosine, rnk); recall tuned by n_probe."""
-    centroids = ivf_fit(emb, n_cells, iters, id_col, vec_col)
+    centroids = ivf_fit(emb, n_cells, iters, id_col, vec_col, fit_fraction)
     cand_cells = ivf_assign(emb, centroids, id_col, vec_col).select(
         F.col(id_col).alias("cand_id"), F.col(vec_col).alias("c_emb"), "cell"
     )

@@ -123,10 +123,12 @@ def q27(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q35(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN top-3 (rows-only: k-means cell means are float-order
     sensitive, so not SQL-reproducible); recall vs brute force is
-    property-tested."""
+    property-tested. The k-means fit runs on a 25% seeded sample (the
+    scale posture: fit on a sketch, assign/probe the full corpus)."""
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.ivf_topk(
-        emb, emb.filter(F.col("vec_id") < 10), k=3, n_cells=8, n_probe=3
+        emb, emb.filter(F.col("vec_id") < 10), k=3, n_cells=8, n_probe=3,
+        fit_fraction=0.25,
     ).orderBy("query_id", "rnk")
 
 

@@ -216,3 +216,16 @@ def test_lsh_bucket_cap_bounds_candidates_keeps_planted_pairs(spark):
         for r in dedup.minhash_lsh_dedup(corpus, threshold=0.5, max_bucket_size=10).collect()
     }
     assert (100, 101) in found
+
+
+def test_ivf_sampled_fit_recall_vs_brute_force(spark, emb):
+    """The scale posture (fit on a sketch) must not tank recall."""
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = similarity.brute_force_topk(emb, queries, k=5)
+    got = similarity.ivf_topk(
+        emb, queries, k=5, n_cells=8, n_probe=4, fit_fraction=0.25
+    )
+    exact_set = {(r.query_id, r.cand_id) for r in exact.collect()}
+    got_set = {(r.query_id, r.cand_id) for r in got.collect()}
+    recall = len(exact_set & got_set) / len(exact_set)
+    assert recall >= 0.5, f"sampled-fit IVF recall too low: {recall}"
