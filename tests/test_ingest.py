@@ -186,3 +186,26 @@ def test_wallclock_recency_gate_tz_and_dst(spark):
     kept = {r.id for r in wallclock_recency_gate(dst, now_us=jump + 60 * US).collect()}
     # row 2 is 30 instant-minutes old but 1h30m wall-clock-old: dropped
     assert kept == {1}
+
+
+def test_db_init_script_executes_against_catalog(spark, tmp_path):
+    """The db_init route consumer: a .sql script replayed against the
+    Spark SQL catalog (the reference replays it against MySQL via ECS,
+    2.1:190-236)."""
+    from python_lambda_ecs_container_data_etl_aws_spark.sources.db_init import (
+        run_init_script,
+        split_statements,
+    )
+
+    script = tmp_path / "init_views.sql"
+    script.write_text(
+        "-- init script\n"
+        "CREATE OR REPLACE TEMPORARY VIEW init_t AS\n"
+        "SELECT 1 AS k, 'a' AS v; -- inline comment\n"
+        "CREATE OR REPLACE TEMPORARY VIEW init_t2 AS\n"
+        "SELECT k + 1 AS k2 FROM init_t;\n"
+    )
+    assert len(split_statements(script.read_text())) == 2
+    n = run_init_script(spark, str(script))
+    assert n == 2
+    assert spark.sql("SELECT k2 FROM init_t2").collect()[0].k2 == 2

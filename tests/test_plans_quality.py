@@ -49,3 +49,29 @@ def test_q02_projection_reaches_scan(spark):
 def test_q13_uses_semi_anti_joins_not_except(spark):
     plan = _plan(spark, "q13_snapshot_reconcile")
     assert "LeftSemi" in plan and "LeftAnti" in plan
+
+
+def test_q38_json_parse_stays_in_codegen(spark):
+    # the envelope parse must be JVM expressions (from_json/explode),
+    # never a Python UDF stage
+    plan = _plan(spark, "q38_event_envelope")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Generate explode" in plan or "Generate" in plan
+
+
+def test_q39_tz_rollup_canonical_distinct_agg_shape(spark):
+    plan = _plan(spark, "q39_tz_wallclock")
+    assert "BatchEvalPython" not in plan
+    # exact countDistinct = the standard two-phase distinct aggregate:
+    # exactly two hash exchanges (expand-on-user_id, then final), never
+    # more (a third would mean the tz expression broke partial aggregation)
+    assert plan.count("hashpartitioning(") == 2, plan
+
+
+def test_q37_audit_rollup_prunes_scan(spark):
+    import re
+
+    plan = _plan(spark, "q37_audit_rollup")
+    schemas = re.findall(r"ReadSchema: (struct<[^\n]*)", plan)
+    # only event_id and ts are read from events
+    assert schemas and all("props" not in s and "user_id" not in s for s in schemas)
