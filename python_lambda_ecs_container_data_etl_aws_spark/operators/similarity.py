@@ -249,6 +249,72 @@ def ivf_topk(
     )
 
 
+def lsh_near_dup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_bits: int = 16,
+    num_bands: int = 8,
+    seed: int = 42,
+    dim: int = 64,
+) -> DataFrame:
+    """Embedding near-duplicate PAIRS at scale: banded hyperplane-LSH
+    buckets generate candidates (corpus self-join per bucket, linear in
+    bucket sizes), exact cosine verifies ≥ threshold. Returns
+    (a_id, b_id, cosine).
+
+    This is the scale path for the exact pair-join (q29): all-pairs
+    cosine is O(N²·dim) and unrunnable at corpus scale; LSH makes the
+    candidate set proportional to true-duplicate density. High
+    thresholds (≥0.9, the dedup regime) collide in most bands, so
+    recall is high exactly where the operator is meant to operate;
+    precision is exact (verify stage).
+    """
+    width = num_bits // num_bands
+    mask = (1 << width) - 1
+    sig = lsh_signature(emb, vec_col, num_bits, seed, dim)
+    bands = [
+        F.struct(
+            F.lit(i).alias("band"),
+            F.shiftrightunsigned(F.col("sig"), i * width)
+            .bitwiseAND(F.lit(mask))
+            .alias("bucket"),
+        )
+        for i in range(num_bands)
+    ]
+    exploded = sig.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("emb"),
+        F.explode(F.array(*bands)).alias("bb"),
+    ).select("id", "emb", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    a, b = exploded.alias("a"), exploded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("a_id"),
+            F.col("a.emb").alias("a_emb"),
+            F.col("b.id").alias("b_id"),
+            F.col("b.emb").alias("b_emb"),
+        )
+        .distinct()
+    )
+    scored = cand.select(
+        "a_id",
+        "b_id",
+        (
+            _dot(F.col("a_emb"), F.col("b_emb"))
+            / (F.sqrt(_norm_sq(F.col("a_emb"))) * F.sqrt(_norm_sq(F.col("b_emb"))))
+        ).alias("cosine"),
+    )
+    return scored.filter(F.col("cosine") >= threshold)
+
+
 def lsh_topk(
     emb: DataFrame,
     queries: DataFrame,

@@ -72,6 +72,31 @@ def tumbling_counts(
     )
 
 
+def session_counts(
+    events: DataFrame,
+    time_col: str = "event_time",
+    gap: str = "30 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Gap-based sessionization as a native streaming agg — q34's
+    streaming twin via ``F.session_window``: a session closes when a
+    user goes ``gap`` without an event, exactly the batch LAG+SUM
+    definition. The engine merges/extends open sessions in the state
+    store and only emits a session once the watermark passes its end —
+    so closed sessions agree with the batch computation.
+    """
+    return (
+        events.withWatermark(time_col, watermark)
+        .groupBy(F.session_window(F.col(time_col), gap).alias("w"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("w.start")).alias("session_start_us"),
+            "n_events",
+        )
+    )
+
+
 def dedup_within_watermark(
     events: DataFrame,
     keys: list[str],

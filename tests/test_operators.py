@@ -229,3 +229,22 @@ def test_ivf_sampled_fit_recall_vs_brute_force(spark, emb):
     got_set = {(r.query_id, r.cand_id) for r in got.collect()}
     recall = len(exact_set & got_set) / len(exact_set)
     assert recall >= 0.5, f"sampled-fit IVF recall too low: {recall}"
+
+
+def test_lsh_near_dup_pairs_finds_planted_dups(spark, emb):
+    """Scale path for embedding near-dedup: plant exact+noisy copies,
+    assert LSH-candidates + verify recovers them with exact precision."""
+    planted = emb.filter(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda v: v * F.lit(1.001) + F.lit(0.0001)
+        ).alias("embedding"),
+    )
+    corpus = emb.select("vec_id", "embedding").unionByName(planted)
+    pairs = similarity.lsh_near_dup_pairs(corpus, threshold=0.99)
+    got = {(r.a_id, r.b_id) for r in pairs.collect()}
+    expected = {(i, i + 1000000) for i in range(20)}
+    found = expected & got
+    assert len(found) >= 18  # near-identical copies collide in bands
+    # precision is exact: every returned pair really is >= threshold
+    assert all(r.cosine >= 0.99 for r in pairs.collect())

@@ -205,3 +205,48 @@ def test_ingest_stream_exactly_once_and_completion_hook(spark, event_batches, tm
         transform=lambda df: df.filter(F.col("event_type") != "error"),
     )
     assert spark.read.parquet(out).count() == expected
+
+
+def test_stream_sessions_agree_with_batch_gap_logic(spark, event_batches, tmp_path):
+    """q34's streaming twin: closed session windows (session_window +
+    watermark) must agree with the batch LAG+cumulative-SUM session
+    definition on (user, session_start, n_events)."""
+    landing, e, _ = event_batches
+    stream = runner.file_stream(
+        spark, landing, EVENT_SCHEMA, fmt="parquet", max_files_per_trigger=1
+    )
+    sess = runner.session_counts(stream)
+    runner.run_stream_to_memory(sess, "sess_counts", str(tmp_path / "ck_sess"))
+    got = {
+        (r.user_id, r.session_start_us): r.n_events
+        for r in spark.table("sess_counts").collect()
+    }
+    assert got, "stream emitted no closed sessions"
+
+    # batch twin: gap-based sessionization (same 30-min gap)
+    from pyspark.sql import Window
+
+    GAP_US = 1800000000
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    prev = F.lag("ts_us").over(w)
+    batch = (
+        e.select("user_id", "event_id", F.unix_micros("event_time").alias("ts_us"))
+        .withColumn(
+            "new_sess",
+            F.when(prev.isNull() | ((F.col("ts_us") - prev) > GAP_US), 1).otherwise(0),
+        )
+        .withColumn(
+            "sess_no",
+            F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .groupBy("user_id", "sess_no")
+        .agg(F.min("ts_us").alias("session_start_us"), F.count(F.lit(1)).alias("n_events"))
+    )
+    batch_map = {
+        (r.user_id, r.session_start_us): r.n_events for r in batch.collect()
+    }
+    # every closed stream session matches the batch session exactly
+    for key, n in got.items():
+        assert batch_map.get(key) == n, (key, n, batch_map.get(key))
+    # and the stream closed the bulk of them (only tail sessions stay open)
+    assert len(got) >= 0.8 * len(batch_map)
