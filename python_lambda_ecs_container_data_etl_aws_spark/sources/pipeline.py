@@ -73,16 +73,25 @@ def _bucket_expr(keys: list[str], n_buckets: int):
 def _swap_bucket_dirs(staging_dir: str, table_dir: str) -> int:
     """Atomically move every ``__bucket=*`` dir from staging into the
     table: rename old aside → rename new in → drop old. Each bucket
-    flips in one rename; a crash leaves buckets fully-old or fully-new."""
+    flips in one rename; a crash leaves buckets fully-old or fully-new.
+
+    The aside name is DOT-prefixed (``.__bucket=k__old``): Spark's file
+    index skips '.'/'_'-prefixed paths, so a crash-leftover aside dir is
+    invisible to partition discovery — an un-prefixed leftover would
+    parse as a malformed partition value and fail every later read."""
     os.makedirs(table_dir, exist_ok=True)
+    # scrub leftovers from any previously interrupted swap (all buckets,
+    # not just the ones this delta touches)
+    for entry in os.listdir(table_dir):
+        if entry.startswith(".") and entry.endswith("__old"):
+            shutil.rmtree(os.path.join(table_dir, entry), ignore_errors=True)
     n = 0
     for entry in sorted(os.listdir(staging_dir)):
         if not entry.startswith(f"{BUCKET_COL}="):
             continue
         src = os.path.join(staging_dir, entry)
         dst = os.path.join(table_dir, entry)
-        old = dst + "__old"
-        shutil.rmtree(old, ignore_errors=True)  # leftover from a crash
+        old = os.path.join(table_dir, "." + entry + "__old")
         if os.path.isdir(dst):
             os.rename(dst, old)
         os.rename(src, dst)

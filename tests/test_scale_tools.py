@@ -270,3 +270,33 @@ def test_add_autoid_survives_1000_partitions(spark):
     head = out.orderBy("k").limit(3).collect()
     assert [r.autoid for r in head] == [1, 2, 3]
     spark.catalog.clearCache()
+
+
+def test_bucket_swap_recovers_from_leftover_old_dirs(spark, tmp_path):
+    """Crash simulation: a stale `__bucket=k__old` dir from an
+    interrupted swap must not break (or double-count) the next ingest."""
+    land = tmp_path / "landing"
+    land.mkdir()
+    wh = str(tmp_path / "wh")
+    base = land / "PriceIndex_base.csv"
+    base.write_text("\n".join([HEADER] + [_row(f"D{i}", f"{i}.0") for i in range(50)]) + "\n")
+    ingest_file(spark, str(base), wh, keys=["DGUID"], n_buckets=8)
+    table_dir = os.path.join(wh, "priceindex")
+    some_bucket = next(e for e in os.listdir(table_dir) if e.startswith("__bucket="))
+    # simulate a crash mid-swap: the aside dir (dot-prefixed, so Spark's
+    # partition discovery must ignore it) is still on disk
+    import shutil
+
+    leftover = os.path.join(table_dir, "." + some_bucket + "__old")
+    shutil.copytree(os.path.join(table_dir, some_bucket), leftover)
+    # reads stay clean even BEFORE the next ingest scrubs it
+    assert read_permanent(spark, wh, "priceindex").count() == 50
+    upd = land / "price_upd.csv"
+    upd.write_text("\n".join([HEADER, _row("D1", "111.1")]) + "\n")
+    rep = ingest_file(spark, str(upd), wh, keys=["DGUID"], n_buckets=8)
+    assert rep.status == "ok"
+    assert not os.path.exists(leftover)  # scrubbed by the swap
+    final = read_permanent(spark, wh, "priceindex")
+    assert final.count() == 50
+    vals = {r.DGUID: r.VALUE for r in final.collect()}
+    assert vals["D1"] == "111.1"
