@@ -115,6 +115,7 @@ def ingest_file(
     n_buckets: int = 64,
     log_dir: str | None = None,
     on_reject: Callable[[IngestReport], None] | None = None,
+    quarantine_dir: str | None = None,
 ) -> IngestReport:
     """Route → canonical read → maxerrors gate → merge (bucket-scoped
     upsert on keys, else append) → count-validate → archive → audit.
@@ -125,6 +126,10 @@ def ingest_file(
     (`2.1:546-552`) — called for quarantined and maxerrors-rejected
     files; SNS/email/Slack is the caller's choice, the seam is ours.
     ``log_dir`` appends every outcome to the audit log (audit.py).
+    ``quarantine_dir`` persists malformed source lines (raw_line +
+    source file) so rejected data is inspectable, not just counted —
+    written for BOTH outcomes: the bad rows of an accepted load and the
+    full bad set of a rejected one.
     """
 
     def _finish(report: IngestReport, rejected: bool = False) -> IngestReport:
@@ -148,6 +153,12 @@ def ingest_file(
         )
 
     res: IngestResult = read_csv_canonical(spark, file_path, spec, maxerrors=maxerrors)
+    if quarantine_dir and res.bad_rows > 0:
+        (
+            res.quarantine.withColumn("source_file", F.lit(fname))
+            .write.mode("append")
+            .parquet(quarantine_dir)
+        )
     if not res.accepted:
         return _finish(
             IngestReport(

@@ -300,3 +300,24 @@ def test_bucket_swap_recovers_from_leftover_old_dirs(spark, tmp_path):
     assert final.count() == 50
     vals = {r.DGUID: r.VALUE for r in final.collect()}
     assert vals["D1"] == "111.1"
+
+
+def test_quarantine_dir_persists_bad_rows(spark, tmp_path):
+    """Rejected data is inspectable, not just counted: malformed lines
+    land in the quarantine table tagged with their source file."""
+    land = tmp_path / "landing"
+    land.mkdir()
+    wh = str(tmp_path / "wh")
+    qdir = str(tmp_path / "quarantine")
+    mixed = land / "PriceIndex_mixed.csv"
+    mixed.write_text(
+        "\n".join([HEADER] + [_row(f"D{i}", "1.0") for i in range(8)]
+                  + [_row("BAD", "9") + ",extra,extra"] * 2) + "\n"
+    )
+    rep = ingest_file(spark, str(mixed), wh, keys=["DGUID"], quarantine_dir=qdir)
+    assert rep.status == "ok" and rep.bad_rows == 2  # within maxerrors
+    q = spark.read.parquet(qdir)
+    assert q.count() == 2
+    rows = q.collect()
+    assert all(r.source_file == "PriceIndex_mixed.csv" for r in rows)
+    assert all("extra" in r.raw_line for r in rows)
