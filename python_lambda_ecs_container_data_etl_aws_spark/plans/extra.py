@@ -1,5 +1,6 @@
-"""Round-2 contract queries q37-q39: audit-log status rollup, nested
-S3-event envelope parsing, and wall-clock timezone conversion.
+"""Round-2 contract queries q37-q41: audit-log status rollup, nested
+S3-event envelope parsing, wall-clock timezone conversion, and corpus
+profiling (vocabulary heavy-hitters, doc-length histogram).
 
 - q37 exercises the audit-log rollup (audit.status_rollup) — the
   reference probes `log_for_loading` after every load
@@ -183,6 +184,61 @@ SELECT strftime(CAST(ny AS DATE), '%Y-%m-%d') AS ny_date,
        COUNT(DISTINCT user_id) AS n_users
 FROM e GROUP BY 1, 2 ORDER BY 1, 2
 """
+
+
+# --------------------------------------------------------------------------
+# q40 vocabulary heavy-hitters — top-50 tokens by corpus frequency, the
+# vocab/stopword-discovery pass of an LLM-data pipeline. One shuffle
+# (groupBy token, map-side partial agg) + TakeOrderedAndProject for the
+# top-k (never a global sort); deterministic tiebreak on the token.
+
+_TOPK_TOKENS = 50
+
+ORACLE["q40_token_topk"] = f"""
+SELECT t, COUNT(*) AS n FROM (
+    SELECT unnest(string_split(text, ' ')) AS t FROM documents
+) GROUP BY 1 ORDER BY n DESC, t LIMIT {_TOPK_TOKENS}
+"""
+
+
+@_q("q40_token_topk")
+def q40(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(F.explode(F.split("text", " ")).alias("t"))
+    return (
+        tok.groupBy("t")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "t")
+        .limit(_TOPK_TOKENS)
+    )
+
+
+# --------------------------------------------------------------------------
+# q41 document-length histogram — corpus profiling: 100-char buckets
+# with per-bucket count and bounds. All-integer arithmetic; one shuffle.
+
+ORACLE["q41_doclen_histogram"] = """
+SELECT n_chars // 100 AS bucket,
+       COUNT(*) AS n_docs,
+       CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+       CAST(MAX(n_chars) AS BIGINT) AS max_chars
+FROM documents GROUP BY 1 ORDER BY 1
+"""
+
+
+@_q("q41_doclen_histogram")
+def q41(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.expr("n_chars div 100").alias("bucket"), "n_chars")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_chars").cast("bigint").alias("min_chars"),
+            F.max("n_chars").cast("bigint").alias("max_chars"),
+        )
+        .orderBy("bucket")
+    )
 
 
 @_q("q39_tz_wallclock")
