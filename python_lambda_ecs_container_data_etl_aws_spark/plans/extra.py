@@ -241,6 +241,107 @@ def q41(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# q42 as-of join — for each purchase, the user's most recent view at or
+# before it (the funnel attribution query; trades↔quotes in finance).
+# Spark side: operators/temporal.asof_join (union + last-ignoreNulls
+# window, one shuffle per key). Oracle: DuckDB's native ASOF JOIN —
+# independent implementations of the same semantics must agree exactly.
+# Views are pre-aggregated to unique (user, instant) so the as-of match
+# is well-defined in both engines; values quantize to integers.
+
+ORACLE["q42_asof_view_before_purchase"] = """
+WITH quotes AS (
+    SELECT user_id, epoch_us(ts) AS ts_us,
+           MAX(CAST(floor(value * 1000) AS BIGINT)) AS view_v
+    FROM events WHERE event_type = 'view' GROUP BY 1, 2
+),
+trades AS (
+    SELECT event_id, user_id, epoch_us(ts) AS ts_us
+    FROM events WHERE event_type = 'purchase'
+)
+SELECT t.event_id, t.user_id, t.ts_us,
+       q.ts_us AS view_ts_us, q.view_v,
+       t.ts_us - q.ts_us AS gap_us
+FROM trades t ASOF JOIN quotes q
+  ON t.user_id = q.user_id AND t.ts_us >= q.ts_us
+ORDER BY t.event_id
+"""
+
+
+@_q("q42_asof_view_before_purchase")
+def q42(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.temporal import asof_join
+
+    e = load_table(spark, sf_dir, "events")
+    quotes = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts_us")
+        .agg(F.max(F.floor(F.col("value") * 1000).cast("bigint")).alias("view_v"))
+    )
+    trades = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts_us"
+    )
+    out = asof_join(trades, quotes, on=["user_id"])
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        F.col("__matched_ts_us").alias("view_ts_us"),
+        "view_v",
+        (F.col("ts_us") - F.col("__matched_ts_us")).alias("gap_us"),
+    ).orderBy("event_id")
+
+
+# --------------------------------------------------------------------------
+# q43 range join — events falling inside fixed maintenance windows
+# (first 12h of each January day). Spark side: the binned range join
+# (explode intervals into hour bins → hash join → residual filter) —
+# the shape that survives where an inequality join would go
+# nested-loop. Oracle: DuckDB runs the plain inequality join.
+
+_DAY_US = 86_400_000_000
+_JAN1_US = 1_704_067_200_000_000  # 2024-01-01T00:00:00Z
+
+ORACLE["q43_range_join_windows"] = f"""
+WITH win AS (
+    SELECT i AS win_id,
+           {_JAN1_US} + (i - 1) * {_DAY_US} AS start_us,
+           {_JAN1_US} + (i - 1) * {_DAY_US} + {_DAY_US // 2} AS end_us
+    FROM range(1, 31) t(i)
+)
+SELECT win_id,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT e.user_id) AS n_users
+FROM win JOIN events e
+  ON epoch_us(e.ts) BETWEEN start_us AND end_us
+GROUP BY 1 ORDER BY 1
+"""
+
+
+@_q("q43_range_join_windows")
+def q43(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.temporal import range_join_binned
+
+    e = load_table(spark, sf_dir, "events").select("user_id", "ts_us")
+    win = spark.range(1, 31).select(
+        F.col("id").cast("int").alias("win_id"),
+        (F.lit(_JAN1_US) + (F.col("id") - 1) * F.lit(_DAY_US)).alias("start_us"),
+        (
+            F.lit(_JAN1_US) + (F.col("id") - 1) * F.lit(_DAY_US) + F.lit(_DAY_US // 2)
+        ).alias("end_us"),
+    )
+    joined = range_join_binned(win, e, "start_us", "end_us", "ts_us")
+    return (
+        joined.groupBy("win_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("win_id")
+    )
+
+
 @_q("q39_tz_wallclock")
 def q39(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events").select("user_id", "ts_us")

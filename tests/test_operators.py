@@ -248,3 +248,61 @@ def test_lsh_near_dup_pairs_finds_planted_dups(spark, emb):
     assert len(found) >= 18  # near-identical copies collide in bands
     # precision is exact: every returned pair really is >= threshold
     assert all(r.cosine >= 0.99 for r in pairs.collect())
+
+
+def test_asof_join_semantics_inclusive_and_tolerance(spark):
+    from python_lambda_ecs_container_data_etl_aws_spark.operators import temporal
+
+    left = spark.createDataFrame(
+        [(1, 100, "a"), (1, 200, "b"), (2, 50, "c"), (3, 10, "d")],
+        "k bigint, ts_us bigint, tag string",
+    )
+    right = spark.createDataFrame(
+        [(1, 100, 10), (1, 150, 15), (2, 60, 20)],
+        "k bigint, ts_us bigint, v int",
+    )
+    out = {
+        (r.k, r.ts_us): (r["__matched_ts_us"], r.v)
+        for r in temporal.asof_join(left, right, on=["k"]).collect()
+    }
+    # inclusive: left@100 matches right@100; left@200 takes the latest (150)
+    assert out == {(1, 100): (100, 10), (1, 200): (150, 15)}
+    # k=2: right@60 is AFTER left@50 -> no match; k=3: no right rows at all
+    tol = {
+        (r.k, r.ts_us): r.v
+        for r in temporal.asof_join(left, right, on=["k"], tolerance_us=30).collect()
+    }
+    # tolerance 30: left@200 vs right@150 is 50 old -> dropped
+    assert tol == {(1, 100): 10}
+
+
+def test_range_join_binned_equals_naive_inequality_join(spark):
+    from python_lambda_ecs_container_data_etl_aws_spark.operators import temporal
+
+    iv = spark.createDataFrame(
+        [(1, 0, 1000), (1, 500, 1500), (2, 200, 300)],
+        "k bigint, start_us bigint, end_us bigint",
+    )
+    pts = spark.createDataFrame(
+        [(1, 0), (1, 500), (1, 1000), (1, 1600), (2, 250), (2, 299), (3, 250)],
+        "k bigint, ts_us bigint",
+    )
+    got = {
+        (r.k, r.start_us, r.ts_us)
+        for r in temporal.range_join_binned(
+            iv, pts, "start_us", "end_us", "ts_us", keys=["k"], bin_us=400
+        ).collect()
+    }
+    naive = {
+        (r.k, r.start_us, r.ts_us)
+        for r in iv.alias("i")
+        .join(
+            pts.alias("p"),
+            (F.col("i.k") == F.col("p.k"))
+            & (F.col("p.ts_us") >= F.col("i.start_us"))
+            & (F.col("p.ts_us") <= F.col("i.end_us")),
+        )
+        .select("i.k", "i.start_us", "p.ts_us")
+        .collect()
+    }
+    assert got == naive and len(got) == 7

@@ -75,3 +75,17 @@ def test_q37_audit_rollup_prunes_scan(spark):
     schemas = re.findall(r"ReadSchema: (struct<[^\n]*)", plan)
     # only event_id and ts are read from events
     assert schemas and all("props" not in s and "user_id" not in s for s in schemas)
+
+
+def test_q42_asof_is_one_key_shuffle_no_range_join(spark):
+    # the as-of join must be the union+window plan: no BroadcastNestedLoop,
+    # no range self-join — window over one hash exchange on user_id
+    plan = _plan(spark, "q42_asof_view_before_purchase")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Window" in plan
+
+
+def test_q43_range_join_is_hash_join_not_nested_loop(spark):
+    plan = _plan(spark, "q43_range_join_windows")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Join" in plan  # the binned equi-join survives as a hash join
