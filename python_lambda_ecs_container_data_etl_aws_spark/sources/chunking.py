@@ -65,6 +65,55 @@ def add_autoid(df: DataFrame, order_cols: list[str], partitions: int | None = No
     )
 
 
+def add_prefix_sum(
+    df: DataFrame,
+    order_cols: list[str],
+    value_col: str,
+    out_col: str = "running_total",
+    partitions: int | None = None,
+) -> DataFrame:
+    """Append a global running total of ``value_col`` ordered by
+    ``order_cols`` — ``SUM(v) OVER (ORDER BY ...)`` without the
+    single-partition global window.
+
+    Same two-pass shape as :func:`add_autoid` (which is the
+    ``value_col = 1`` special case): range-partition by the ordering
+    key, window-cumsum *within* each partition, then add per-partition
+    base offsets computed from a one-row-per-partition collect and
+    broadcast back. Feeds sequence packing (q46) and any token-budget
+    arithmetic over a corpus ordering.
+    """
+    if partitions is None:
+        partitions = df.sparkSession.sparkContext.defaultParallelism
+    ranged = (
+        df.repartitionByRange(partitions, *order_cols)
+        .withColumn("__pid", F.spark_partition_id())
+        .persist()
+    )
+    sums = {
+        r["__pid"]: r["s"]
+        for r in ranged.groupBy("__pid")
+        .agg(F.sum(F.col(value_col)).cast("bigint").alias("s"))
+        .collect()
+    }
+    offsets, acc = [], 0
+    for pid in sorted(sums):
+        offsets.append((pid, acc))
+        acc += int(sums[pid] or 0)
+    off_df = df.sparkSession.createDataFrame(offsets or [(0, 0)], "__pid INT, __off BIGINT")
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        ranged.withColumn("__ps", F.sum(F.col(value_col)).over(w).cast("bigint"))
+        .join(F.broadcast(off_df), "__pid")
+        .withColumn(out_col, (F.col("__ps") + F.col("__off")).cast("bigint"))
+        .drop("__pid", "__ps", "__off")
+    )
+
+
 def lines_per_file(total_rows: int, size_mib: float, target_mib: float = 5.0) -> int:
     """The reference's split formula: ``int(N * target / size_mib)``
     (`2.1:453`), floored at 1."""

@@ -321,3 +321,28 @@ def test_quarantine_dir_persists_bad_rows(spark, tmp_path):
     rows = q.collect()
     assert all(r.source_file == "PriceIndex_mixed.csv" for r in rows)
     assert all("extra" in r.raw_line for r in rows)
+
+
+def test_add_prefix_sum_matches_global_window(spark):
+    """The two-pass prefix sum must equal SUM OVER (ORDER BY) exactly,
+    at any partition count (partition boundaries shift the per-partition
+    cumsums and offsets but not the global totals)."""
+    from pyspark.sql import Window
+
+    from python_lambda_ecs_container_data_etl_aws_spark.sources import chunking
+
+    df = spark.range(500).select(
+        F.col("id").alias("k"), ((F.col("id") * 37) % 13 + 1).alias("v")
+    )
+    w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    expected = {
+        r.k: r.c
+        for r in df.select("k", F.sum("v").over(w).cast("bigint").alias("c")).collect()
+    }
+    for parts in (3, 8, 64):
+        got = {
+            r.k: r.running_total
+            for r in chunking.add_prefix_sum(df, ["k"], "v", partitions=parts).collect()
+        }
+        assert got == expected, f"prefix sum diverged at partitions={parts}"
+        spark.catalog.clearCache()
