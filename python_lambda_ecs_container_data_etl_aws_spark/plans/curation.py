@@ -69,18 +69,26 @@ ORDER BY t.doc_id
 @_q("q44_decontaminate")
 def q44(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    dsh = dedup_ops.doc_shingles(d, "text", "doc_id", 3).join(
-        d.select(F.col("doc_id").alias("id"), "source"), "id"
-    )
+    # Filter by source BEFORE shingling (each side tokenizes only its
+    # own rows), and persist the train shingle arrays once — they feed
+    # two branches (sizes + the overlap explode). The benchmark set is
+    # a single-consumer distinct projection: small enough to broadcast
+    # into the overlap join (AQE picks that up from its runtime size).
     bench_sh = (
-        dsh.filter(F.col("source") == _BENCH_SOURCE)
+        dedup_ops.doc_shingles(d.filter(F.col("source") == _BENCH_SOURCE), "text", "doc_id", 3)
         .select(F.explode("sh").alias("s"))
         .distinct()
     )
-    train = dsh.filter(F.col("source") != _BENCH_SOURCE).filter(F.size("sh") > 0)
-    train_sh = train.select("id", F.explode("sh").alias("s"))
-    ov = train_sh.join(bench_sh, "s").groupBy("id").agg(
-        F.count(F.lit(1)).alias("n_overlap")
+    train = (
+        dedup_ops.doc_shingles(d.filter(F.col("source") != _BENCH_SOURCE), "text", "doc_id", 3)
+        .filter(F.size("sh") > 0)
+        .persist()
+    )
+    ov = (
+        train.select("id", F.explode("sh").alias("s"))
+        .join(bench_sh, "s")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
     )
     sizes = train.select("id", F.size("sh").alias("n_shingles"))
     return (
