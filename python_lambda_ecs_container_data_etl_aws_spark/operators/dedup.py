@@ -76,25 +76,39 @@ def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: i
 def doc_shingles(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
 ) -> DataFrame:
-    """Per-row distinct shingle ARRAY: (id, sh array<string>).
+    """Per-row distinct shingle ARRAY: (id, sh array<string>), one row
+    per document that has at least ``n`` tokens (shorter docs have no
+    shingles and are dropped — a row filter, matching the zero-shingle
+    semantics of :func:`shingles`).
 
     The zero-shuffle twin of :func:`shingles` — shingle-distinctness is
     a per-document property, so ``array_distinct`` inside the row does
     what the corpus-wide ``explode().distinct()`` shuffle did. At 100 TB
     this removes an entire exchange of the (id, shingle) relation; the
     array stays bounded by document length.
+
+    The short-doc gate runs on the TOKEN count before the shingle array
+    exists. Filtering downstream on ``size(sh) > 0`` instead would be
+    pushed below the projection by Catalyst and re-evaluate the whole
+    interpreted transform + array_distinct pipeline inside the filter —
+    the same 2-3x-per-row duplication the session excludes
+    InferFiltersFromGenerate for. The token-count gate also makes the
+    sequence bounds trivially non-negative, so no ANSI CASE guard is
+    needed around the generator.
     """
     parts = ", ".join(f"toks[i+{j}]" for j in range(n))
     gen = (
-        f"CASE WHEN size(toks) >= {n} "
-        f"THEN array_distinct(transform(sequence(0, size(toks) - {n}), "
-        f"i -> concat_ws(' ', {parts}))) "
-        f"ELSE array() END"
+        f"array_distinct(transform(sequence(0, size(toks) - {n}), "
+        f"i -> concat_ws(' ', {parts})))"
     )
-    return df.select(
-        F.col(id_col).alias("id"),
-        F.split(F.col(text_col), " ").alias("toks"),
-    ).select("id", F.expr(gen).alias("sh"))
+    return (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.split(F.col(text_col), " ").alias("toks"),
+        )
+        .filter(F.size("toks") >= n)
+        .select("id", F.expr(gen).alias("sh"))
+    )
 
 
 def jaccard_pairs(sh: DataFrame, threshold: float, candidates: DataFrame | None = None) -> DataFrame:
@@ -261,11 +275,8 @@ def minhash_lsh_dedup(
     candidate filter at low similarity — the exact verify discards
     those, and ``max_bucket_size`` bounds the degenerate-bucket blowup
     a boilerplate-heavy corpus could produce."""
-    dsh = (
-        doc_shingles(df, text_col, id_col, ngram)
-        .filter(F.size("sh") > 0)  # zero-shingle docs can never pair
-        .persist()
-    )
+    # doc_shingles drops zero-shingle docs (they can never pair)
+    dsh = doc_shingles(df, text_col, id_col, ngram).persist()
     # Signatures via explode + codegen'd hash-aggregate: the K min()
     # aggregates run in whole-stage codegen, which beats a per-row
     # higher-order-function fold (interpreted lambdas allocate a

@@ -79,11 +79,9 @@ def q44(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.explode("sh").alias("s"))
         .distinct()
     )
-    train = (
-        dedup_ops.doc_shingles(d.filter(F.col("source") != _BENCH_SOURCE), "text", "doc_id", 3)
-        .filter(F.size("sh") > 0)
-        .persist()
-    )
+    train = dedup_ops.doc_shingles(
+        d.filter(F.col("source") != _BENCH_SOURCE), "text", "doc_id", 3
+    ).persist()
     ov = (
         train.select("id", F.explode("sh").alias("s"))
         .join(bench_sh, "s")

@@ -89,3 +89,32 @@ def test_q43_range_join_is_hash_join_not_nested_loop(spark):
     plan = _plan(spark, "q43_range_join_windows")
     assert "BroadcastNestedLoopJoin" not in plan
     assert "Join" in plan  # the binned equi-join survives as a hash join
+
+
+def test_q44_no_python_stage_and_single_exchange_overlap(spark):
+    # overlap join + per-doc count stay JVM-side; the shingle pipeline
+    # must not appear in an inferred pushed-down filter (the excluded
+    # InferFiltersFromGenerate rule would clone it into Filter nodes)
+    plan = _plan(spark, "q44_decontaminate")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "array_distinct" not in " ".join(
+        re.findall(r"Condition : ([^\n]*)", plan)
+    ), "shingle pipeline cloned into a filter — InferFiltersFromGenerate regressed"
+
+
+def test_q46_prefix_sum_avoids_global_window(spark):
+    # the running total must be a per-partition window (__pid key) +
+    # broadcast offset join, never SUM OVER () on a single partition
+    plan = _plan(spark, "q46_pack_contexts")
+    specs = " ".join(re.findall(r"windowspecdefinition\(([^)]*)", plan))
+    assert "__pid" in specs, f"window not partitioned by __pid: {specs}"
+    assert "BroadcastHashJoin" in plan  # the (pid, offset) relation
+
+
+def test_explode_queries_have_no_inferred_generate_filters(spark):
+    # session-level guard: the InferFiltersFromGenerate exclusion is
+    # active (it re-evaluates interpreted HOF arrays 3x per row)
+    assert (
+        "InferFiltersFromGenerate"
+        in spark.conf.get("spark.sql.optimizer.excludedRules", "")
+    )
