@@ -306,3 +306,60 @@ def test_range_join_binned_equals_naive_inequality_join(spark):
         .collect()
     }
     assert got == naive and len(got) == 7
+
+
+def test_dedup_operators_on_degenerate_corpora(spark):
+    """Empty corpus, all-short corpus, and all-identical corpus must
+    return clean results, not ANSI crashes or candidate blowups."""
+    schema = "doc_id BIGINT, text STRING"
+    empty = spark.createDataFrame([], schema)
+    assert dedup.minhash_lsh_dedup(empty).count() == 0
+    assert dedup.simhash_pairs(empty, max_distance=6).count() == 0
+    spark.catalog.clearCache()
+
+    # every doc under the shingle width: no pairs, no crash
+    short = spark.createDataFrame([(i, "a b") for i in range(5)], schema)
+    assert dedup.doc_shingles(short).count() == 0
+    assert dedup.minhash_lsh_dedup(short).count() == 0
+    spark.catalog.clearCache()
+
+    # all-identical docs: the worst-case mega-bucket — every pair is a
+    # true dup at jaccard 1.0 / hamming 0
+    n = 30
+    same = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon zeta") for i in range(n)], schema
+    )
+    mh = dedup.minhash_lsh_dedup(same, threshold=0.99).collect()
+    assert len(mh) == n * (n - 1) // 2
+    assert all(abs(r.jaccard - 1.0) < 1e-12 for r in mh)
+    sh = dedup.simhash_pairs(same, max_distance=0).collect()
+    assert len(sh) == n * (n - 1) // 2 and all(r.hamming == 0 for r in sh)
+    spark.catalog.clearCache()
+
+
+def test_shingles_and_simhash_handle_unicode(spark):
+    """Multibyte text must hash/shingle without mojibake-induced
+    divergence between engines (md5 operates on UTF-8 bytes)."""
+    rows = [
+        (1, "café au lait très bon goût vraiment"),
+        (2, "café au lait très bon goût vraiment"),
+        (3, "数据 管理 系统 非常 好用 真的"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+    pairs = {(r.a_id, r.b_id) for r in dedup.minhash_lsh_dedup(df, threshold=0.9).collect()}
+    assert pairs == {(1, 2)}
+    sh = {(r.a_id, r.b_id) for r in dedup.simhash_pairs(df, max_distance=0).collect()}
+    assert (1, 2) in sh
+    spark.catalog.clearCache()
+
+
+def test_prefix_sum_empty_and_single_row(spark):
+    from python_lambda_ecs_container_data_etl_aws_spark.sources import chunking
+
+    schema = "k BIGINT, v BIGINT"
+    empty = spark.createDataFrame([], schema)
+    assert chunking.add_prefix_sum(empty, ["k"], "v").count() == 0
+    one = spark.createDataFrame([(7, 42)], schema)
+    got = chunking.add_prefix_sum(one, ["k"], "v").collect()
+    assert len(got) == 1 and got[0].running_total == 42
+    spark.catalog.clearCache()
