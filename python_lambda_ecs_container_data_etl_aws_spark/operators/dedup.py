@@ -313,6 +313,112 @@ def minhash_lsh_dedup(
     return verified.filter(F.col("jaccard") >= threshold)
 
 
+def connected_components(
+    edges: DataFrame,
+    a_col: str = "a_id",
+    b_col: str = "b_id",
+    max_iter: int = 25,
+    driver_threshold: int = 1_000_000,
+) -> DataFrame:
+    """Resolve near-duplicate PAIRS into clusters: (node, cluster_rep)
+    where ``cluster_rep`` is the minimum node id in the node's connected
+    component. The step a dedup pipeline runs after pair generation —
+    "keep one document per near-dup cluster" needs the cluster, not the
+    pairs.
+
+    Two execution paths, picked by edge count:
+
+    - ``<= driver_threshold`` edges: collect to a driver union-find.
+      The edge list after near-dup thresholding is SPARSE — orders of
+      magnitude smaller than the corpus — and a distributed iteration
+      pays multiple whole-job round-trips per round, which dwarfs a
+      union-find over a few hundred thousand tuples. The default
+      threshold (1M edges ≈ 16 MB) is comfortably driver-safe.
+    - above it: distributed min-label propagation — every node starts
+      labeled with itself; each round takes the min of its own and its
+      neighbors' labels; converges in O(component diameter) rounds.
+      Each round is one join + one groupBy on the cached edge relation;
+      only the per-round changed-count reaches the driver. At extreme
+      scale the published refinement is large-star/small-star
+      (Kiveris et al., "Connected Components in MapReduce"), which
+      shortcuts long chains; the per-round plan shape is the same.
+
+    Raises ``RuntimeError`` if the distributed path does not converge
+    within ``max_iter`` — a diameter that large means the "clusters"
+    are one giant hairball and the caller's threshold needs raising,
+    not silent wrong labels.
+    """
+    e2 = edges.select(
+        F.col(a_col).cast("bigint").alias("a"), F.col(b_col).cast("bigint").alias("b")
+    ).persist()
+    n_edges = e2.count()
+    if n_edges <= driver_threshold:
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            root = x
+            while parent.setdefault(root, root) != root:
+                root = parent[root]
+            while parent[x] != root:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        # collect(), not toLocalIterator(): the latter runs one job per
+        # partition; the edge count is already bounded by the threshold
+        for row in e2.collect():
+            ra, rb = find(row.a), find(row.b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        e2.unpersist()
+        assign = [(n, find(n)) for n in parent]
+        spark = edges.sparkSession
+        # one partition: this is driver-sized data — fanning it out to
+        # defaultParallelism slices only buys shuffle/sampling jobs in
+        # whatever the caller does next
+        return spark.createDataFrame(
+            assign, "node BIGINT, cluster_rep BIGINT"
+        ).coalesce(1)
+    edges = e2.select(F.col("a").alias(a_col), F.col("b").alias(b_col))
+    # persist + materialize the symmetric edge relation: every round's
+    # join consumes it, and without the cache each round would recompute
+    # the caller's whole pair-generation pipeline (for near-dup edges
+    # that is the full MinHash-LSH plan).
+    sym = (
+        edges.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .union(edges.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        .persist()
+    )
+    labels = (
+        sym.select(F.col("src").alias("node")).distinct().withColumn("label", F.col("node"))
+    ).persist()
+    labels.count()
+    for _ in range(max_iter):
+        nb = (
+            sym.join(labels, sym["src"] == labels["node"])
+            .groupBy("dst")
+            .agg(F.min("label").alias("nb_min"))
+        )
+        new_labels = (
+            labels.join(nb, labels["node"] == nb["dst"], "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce("nb_min", "label")).alias("label"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            return labels.select("node", F.col("label").alias("cluster_rep"))
+    raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
+
+
 # --------------------------------------------------------------------------
 # SimHash
 

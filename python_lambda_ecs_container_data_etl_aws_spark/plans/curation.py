@@ -1,4 +1,4 @@
-"""Training-corpus curation queries q44-q46: the pre-training prep
+"""Training-corpus curation queries q44-q48: the pre-training prep
 steps a 100 TB data pipeline runs AFTER dedup/quality (q17-q30) and
 BEFORE tokenizer/trainer handoff.
 
@@ -18,6 +18,12 @@ BEFORE tokenizer/trainer handoff.
   the scalable two-pass prefix sum (sources/chunking.add_prefix_sum),
   NOT a single-partition global window. Greedy boundary semantics: a
   document belongs to the bin its first token lands in.
+- q47 cluster resolution: near-dup PAIRS folded into connected
+  components (min-label propagation) — the "keep one doc per cluster"
+  step; oracle = recursive-CTE walk of the exact-Jaccard pair graph.
+- q48 per-label embedding centroids: exact integer per-position sums →
+  centroid norm with one IEEE division — vector aggregation without
+  float-order nondeterminism.
 
 The reference has no corpus-curation stage (its pipeline ends at
 MySQL/DynamoDB loads); these extend the LLM-operator suite that
@@ -147,6 +153,126 @@ def q45(spark: SparkSession, sf_dir: str) -> DataFrame:
 # document's FIRST token lands in (greedy packing with straddle).
 
 _CTX_TOKENS = 512
+
+# --------------------------------------------------------------------------
+# q47 near-dup cluster resolution — pairs → connected components →
+# per-cluster rollup. Spark side: min-label propagation over the
+# MinHash-LSH pair set (operators/dedup.connected_components); the
+# oracle walks the exact-Jaccard pair graph with a recursive CTE.
+# The two edge sets are equal (q25's oracle proves LSH+verify ≡ exact
+# at the threshold), so cluster assignments must agree exactly.
+
+ORACLE["q47_neardup_clusters"] = f"""
+WITH RECURSIVE tok AS (
+    SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+sh AS (
+    SELECT DISTINCT doc_id, s FROM tok,
+    UNNEST(list_transform(range(1, len(toks) - 1),
+                          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS u(s)
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+inter AS (
+    SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_inter
+    FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+),
+edges AS (
+    SELECT a_id, b_id FROM inter
+    JOIN sizes sa ON sa.doc_id = a_id
+    JOIN sizes sb ON sb.doc_id = b_id
+    WHERE n_inter / (sa.n + sb.n - n_inter) >= 0.5
+),
+sym AS (
+    SELECT a_id AS s, b_id AS d FROM edges
+    UNION ALL SELECT b_id, a_id FROM edges
+),
+walk(node, label) AS (
+    SELECT DISTINCT s, s FROM sym
+    UNION
+    SELECT sym.d, walk.label FROM walk JOIN sym ON sym.s = walk.node
+),
+cc AS (SELECT node, MIN(label) AS cluster_rep FROM walk GROUP BY node)
+SELECT cluster_rep,
+       COUNT(*) AS n_docs,
+       CAST(MAX(node) AS BIGINT) AS max_doc
+FROM cc GROUP BY 1 ORDER BY 1
+"""
+
+
+@_q("q47_neardup_clusters")
+def q47(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    pairs = dedup_ops.minhash_lsh_dedup(d, threshold=0.5)
+    cc = dedup_ops.connected_components(pairs)
+    return (
+        cc.groupBy("cluster_rep")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.max("node").cast("bigint").alias("max_doc"),
+        )
+        .orderBy("cluster_rep")
+    )
+
+
+# --------------------------------------------------------------------------
+# q48 per-label embedding centroids — the vector-aggregation shape of
+# cluster analysis / class prototypes. Components quantized to integers
+# (floor(v*1000)) so the per-position sums are exact bigints in both
+# engines; the centroid norm is assembled from those sums with a single
+# IEEE division + sqrt (no float accumulation order anywhere).
+
+ORACLE["q48_label_centroids"] = """
+WITH comp AS (
+    SELECT label, vec_id, i AS pos,
+           CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT) AS qv
+    FROM embeddings, range(1, 65) t(i)
+),
+per_pos AS (
+    SELECT label, pos, CAST(SUM(qv) AS BIGINT) AS s
+    FROM comp GROUP BY 1, 2
+),
+norms AS (
+    SELECT label, CAST(SUM(s * s) AS BIGINT) AS sumsq FROM per_pos GROUP BY 1
+),
+counts AS (SELECT label, COUNT(DISTINCT vec_id) AS n_vecs FROM comp GROUP BY 1)
+SELECT c.label, c.n_vecs, n.sumsq,
+       sqrt(CAST(n.sumsq AS DOUBLE)) / c.n_vecs AS centroid_norm
+FROM counts c JOIN norms n ON c.label = n.label
+ORDER BY c.label
+"""
+
+
+@_q("q48_label_centroids")
+def q48(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    comp = emb.select(
+        "label",
+        "vec_id",
+        F.posexplode("embedding").alias("pos0", "val"),
+    ).select(
+        "label",
+        "vec_id",
+        (F.col("pos0") + 1).alias("pos"),
+        F.floor(F.col("val").cast("double") * 1000).cast("bigint").alias("qv"),
+    )
+    per_pos = comp.groupBy("label", "pos").agg(F.sum("qv").cast("bigint").alias("s"))
+    norms = per_pos.groupBy("label").agg(
+        F.sum(F.col("s") * F.col("s")).cast("bigint").alias("sumsq")
+    )
+    counts = comp.groupBy("label").agg(F.countDistinct("vec_id").alias("n_vecs"))
+    return (
+        counts.join(norms, "label")
+        .select(
+            "label",
+            "n_vecs",
+            "sumsq",
+            (F.sqrt(F.col("sumsq").cast("double")) / F.col("n_vecs")).alias(
+                "centroid_norm"
+            ),
+        )
+        .orderBy("label")
+    )
 
 ORACLE["q46_pack_contexts"] = f"""
 WITH t AS (

@@ -363,3 +363,33 @@ def test_prefix_sum_empty_and_single_row(spark):
     got = chunking.add_prefix_sum(one, ["k"], "v").collect()
     assert len(got) == 1 and got[0].running_total == 42
     spark.catalog.clearCache()
+
+
+def test_connected_components_resolves_planted_clusters(spark):
+    """Chain, triangle, and isolated pair must resolve to min-label
+    components; nodes without edges never appear."""
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4),        # chain -> rep 1
+         (10, 11), (11, 12), (10, 12),  # triangle -> rep 10
+         (20, 21)],                     # pair -> rep 20
+        "a_id BIGINT, b_id BIGINT",
+    )
+    got = {r.node: r.cluster_rep for r in dedup.connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+    spark.catalog.clearCache()
+
+
+def test_connected_components_distributed_path_agrees_with_driver_path(spark):
+    """Forcing the label-propagation path (driver_threshold=0) must
+    produce the same clusters as the union-find path."""
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
+        "a_id BIGINT, b_id BIGINT",
+    )
+    driver = {(r.node, r.cluster_rep) for r in dedup.connected_components(edges).collect()}
+    dist = {
+        (r.node, r.cluster_rep)
+        for r in dedup.connected_components(edges, driver_threshold=0).collect()
+    }
+    assert driver == dist and len(driver) == 9
+    spark.catalog.clearCache()
