@@ -1,4 +1,4 @@
-"""Training-corpus curation queries q44-q48: the pre-training prep
+"""Training-corpus curation queries q44-q50: the pre-training prep
 steps a 100 TB data pipeline runs AFTER dedup/quality (q17-q30) and
 BEFORE tokenizer/trainer handoff.
 
@@ -24,6 +24,10 @@ BEFORE tokenizer/trainer handoff.
 - q48 per-label embedding centroids: exact integer per-position sums →
   centroid norm with one IEEE division — vector aggregation without
   float-order nondeterminism.
+- q49 quality filter funnel: ordered rejection rules, each doc
+  attributed to the first rule it fails (the C4/Gopher funnel report).
+- q50 mixture rebalancing: deterministic hash-gated per-source
+  downsampling to target rates; achieved-vs-target report.
 
 The reference has no corpus-curation stage (its pipeline ends at
 MySQL/DynamoDB loads); these extend the LLM-operator suite that
@@ -153,6 +157,130 @@ def q45(spark: SparkSession, sf_dir: str) -> DataFrame:
 # document's FIRST token lands in (greedy packing with straddle).
 
 _CTX_TOKENS = 512
+
+# --------------------------------------------------------------------------
+# q49 quality filter funnel — ordered rejection rules, each document
+# attributed to the FIRST rule it fails (the C4/Gopher-style funnel
+# report: "how many docs did each rule cost?"). One conditional
+# aggregation pass; the rule chain is a CASE expression in both
+# engines, so attribution is identical by construction.
+
+ORACLE["q49_quality_funnel"] = """
+WITH m AS (
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_tokens,
+           len(list_filter(string_split(text, ' '),
+               x -> x IN ('the', 'a', 'of', 'and', 'to'))) AS n_stop,
+           length(regexp_replace(text, '[^a-z]', '', 'g')) AS n_alpha,
+           n_chars
+    FROM documents
+),
+staged AS (
+    SELECT CASE WHEN n_tokens < 20 THEN 1
+                WHEN n_tokens > 200 THEN 2
+                WHEN n_stop = 0 THEN 3
+                WHEN n_alpha / n_chars < 0.5 THEN 4
+                ELSE 0 END AS stage_id
+    FROM m
+)
+SELECT stage_id,
+       CASE stage_id WHEN 1 THEN 'too_short' WHEN 2 THEN 'too_long'
+                     WHEN 3 THEN 'no_stopwords' WHEN 4 THEN 'low_alpha'
+                     ELSE 'kept' END AS stage,
+       COUNT(*) AS n_docs
+FROM staged GROUP BY 1, 2 ORDER BY 1
+"""
+
+
+@_q("q49_quality_funnel")
+def q49(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    m = d.select(
+        F.size(F.split("text", " ")).alias("n_tokens"),
+        F.expr(
+            "size(filter(split(text, ' '), x -> x IN ('the', 'a', 'of', 'and', 'to')))"
+        ).alias("n_stop"),
+        F.length(F.regexp_replace("text", "[^a-z]", "")).alias("n_alpha"),
+        "n_chars",
+    )
+    stage_id = (
+        F.when(F.col("n_tokens") < 20, 1)
+        .when(F.col("n_tokens") > 200, 2)
+        .when(F.col("n_stop") == 0, 3)
+        .when(F.col("n_alpha") / F.col("n_chars") < 0.5, 4)
+        .otherwise(0)
+    )
+    stage = (
+        F.when(F.col("stage_id") == 1, "too_short")
+        .when(F.col("stage_id") == 2, "too_long")
+        .when(F.col("stage_id") == 3, "no_stopwords")
+        .when(F.col("stage_id") == 4, "low_alpha")
+        .otherwise("kept")
+    )
+    return (
+        m.select(stage_id.alias("stage_id"))
+        .groupBy("stage_id")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .select("stage_id", stage.alias("stage"), "n_docs")
+        .orderBy("stage_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# q50 mixture rebalancing — deterministic per-source downsampling to
+# target rates (the "adjust the source mixture" step before training).
+# Keep-decision = md5 bucket of doc_id under the source's rate; the
+# report shows achieved vs target per source. Hash-based, so the
+# sample is reproducible across runs, engines, and partitionings.
+
+ORACLE["q50_mixture_sample"] = """
+WITH h AS (
+    SELECT source,
+           CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100 AS b,
+           CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 0 THEN 40 ELSE 80 END AS rate
+    FROM documents
+)
+SELECT source, rate,
+       COUNT(*) AS n_total,
+       CAST(SUM(CASE WHEN b < rate THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN b < rate THEN 1 ELSE 0 END) AS BIGINT) / COUNT(*) AS kept_frac
+FROM h GROUP BY 1, 2 ORDER BY 1
+"""
+
+
+@_q("q50_mixture_sample")
+def q50(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    b = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 15),
+            16,
+            10,
+        ).cast("bigint")
+        % 100
+    )
+    rate = F.when(
+        F.substring("source", 4, 10).cast("int") % 2 == 0, F.lit(40)
+    ).otherwise(F.lit(80))
+    h = d.select("source", b.alias("b"), rate.alias("rate"))
+    return (
+        h.groupBy("source", "rate")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(F.when(F.col("b") < F.col("rate"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_kept"),
+        )
+        .select(
+            "source",
+            "rate",
+            "n_total",
+            "n_kept",
+            (F.col("n_kept") / F.col("n_total")).alias("kept_frac"),
+        )
+        .orderBy("source")
+    )
+
 
 # --------------------------------------------------------------------------
 # q47 near-dup cluster resolution — pairs → connected components →
