@@ -370,14 +370,18 @@ def connected_components(
             if ra != rb:
                 parent[max(ra, rb)] = min(ra, rb)
         e2.unpersist()
-        assign = [(n, find(n)) for n in parent]
+        import pandas as pd
+
         spark = edges.sparkSession
-        # one partition: this is driver-sized data — fanning it out to
-        # defaultParallelism slices only buys shuffle/sampling jobs in
-        # whatever the caller does next
-        return spark.createDataFrame(
-            assign, "node BIGINT, cluster_rep BIGINT"
-        ).coalesce(1)
+        # hand the assignment back through Arrow (pandas), not
+        # parallelize: a tuple-list createDataFrame is a Python-RDD
+        # scan whose first aggregation measured ~4s of per-session
+        # overhead; the Arrow local relation costs milliseconds
+        pdf = pd.DataFrame(
+            {"node": list(parent), "cluster_rep": [find(n) for n in parent]},
+            dtype="int64",
+        )
+        return spark.createDataFrame(pdf)
     edges = e2.select(F.col("a").alias(a_col), F.col("b").alias(b_col))
     # persist + materialize the symmetric edge relation: every round's
     # join consumes it, and without the cache each round would recompute
