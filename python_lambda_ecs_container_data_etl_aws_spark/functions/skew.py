@@ -11,7 +11,7 @@ Both are semantic no-ops: tests assert salted output ≡ unsalted output.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 

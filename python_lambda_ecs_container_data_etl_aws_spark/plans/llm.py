@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..operators import dedup as dedup_ops
-from .core import ORACLE, QUERIES, _q
+from .core import ORACLE, _q
 
 # Shared lexical resources (tiny, literal in both dialects).
 STOPWORDS = ("the", "a", "of", "and", "to")
