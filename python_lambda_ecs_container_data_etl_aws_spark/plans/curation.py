@@ -388,7 +388,10 @@ def q48(spark: SparkSession, sf_dir: str) -> DataFrame:
     norms = per_pos.groupBy("label").agg(
         F.sum(F.col("s") * F.col("s")).cast("bigint").alias("sumsq")
     )
-    counts = comp.groupBy("label").agg(F.countDistinct("vec_id").alias("n_vecs"))
+    # vec_id is unique per row, so COUNT(DISTINCT vec_id) over the
+    # exploded components ≡ COUNT(*) over the vectors — the plain count
+    # skips the explode and reads only the label column in this branch
+    counts = emb.groupBy("label").agg(F.count(F.lit(1)).alias("n_vecs"))
     return (
         counts.join(norms, "label")
         .select(
