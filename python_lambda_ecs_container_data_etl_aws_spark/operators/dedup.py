@@ -396,20 +396,28 @@ def connected_components(
         sym.select(F.col("src").alias("node")).distinct().withColumn("label", F.col("node"))
     ).persist()
     labels.count()
-    for _ in range(max_iter):
+
+    def propagate(lbl: DataFrame) -> DataFrame:
         nb = (
-            sym.join(labels, sym["src"] == labels["node"])
+            sym.join(lbl, sym["src"] == lbl["node"])
             .groupBy("dst")
             .agg(F.min("label").alias("nb_min"))
         )
-        new_labels = (
-            labels.join(nb, labels["node"] == nb["dst"], "left")
-            .select(
-                "node",
-                F.least(F.col("label"), F.coalesce("nb_min", "label")).alias("label"),
-            )
-            .persist()
+        return lbl.join(nb, lbl["node"] == nb["dst"], "left").select(
+            "node",
+            F.least(F.col("label"), F.coalesce("nb_min", "label")).alias("label"),
         )
+
+    # Batch ROUNDS_PER_CHECK propagation rounds between materializations:
+    # the convergence count is a full driver round-trip, and chaining a
+    # few lazy rounds under one action amortizes it (the extra rounds
+    # after actual convergence are no-ops on already-minimal labels).
+    ROUNDS_PER_CHECK = 3
+    for _ in range(0, max_iter, ROUNDS_PER_CHECK):
+        new_labels = labels
+        for _r in range(ROUNDS_PER_CHECK):
+            new_labels = propagate(new_labels)
+        new_labels = new_labels.persist()
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "node")
