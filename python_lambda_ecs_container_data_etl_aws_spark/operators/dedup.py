@@ -290,10 +290,9 @@ def minhash_lsh_dedup(
         dsh.select("id", F.explode("sh").alias("shingle")), num_hashes, seed
     ).persist()
     cand = lsh_candidate_pairs(sig, num_bands, max_bucket_size)
-    docs = dsh
     verified = (
-        cand.join(docs.alias("da"), F.col("a_id") == F.col("da.id"))
-        .join(docs.alias("db"), F.col("b_id") == F.col("db.id"))
+        cand.join(dsh.alias("da"), F.col("a_id") == F.col("da.id"))
+        .join(dsh.alias("db"), F.col("b_id") == F.col("db.id"))
         .select(
             "a_id",
             "b_id",
