@@ -29,6 +29,17 @@ def main() -> None:
     QUERIES["q01_ingest_count"](spark, sf_dir).collect()
     QUERIES["q04_recency_window"](spark, sf_dir).collect()
     QUERIES["q11_latest_version_dedup"](spark, sf_dir).collect()
+    # Also warm the two engine paths the above never touch: interpreted
+    # higher-order functions (shingle/signature folds) and the Python
+    # worker pool (mapInPandas) — synthetic micro-jobs, not catalog
+    # queries, so nothing measured gets a silent second run.
+    spark.range(1000).selectExpr(
+        "aggregate(transform(sequence(0, 50), i -> concat('t', i)),"
+        " cast(0 as bigint), (a, v) -> a + length(v))"
+    ).collect()
+    spark.range(1000).toDF("v").mapInPandas(
+        lambda it: it, schema="v bigint"
+    ).collect()
 
     timings: dict[str, float] = {}
     for name in sorted(QUERIES):
