@@ -54,7 +54,15 @@ _EVENTS_SCHEMA = StructType(
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one test table; ``events`` gets its nanos timestamp normalized."""
+    """Load one test table; ``events`` gets its nanos timestamp normalized.
+
+    Applies the package's runtime confs to the session first — an
+    externally-created (driver) session must get the same optimizer
+    posture the queries were tuned for (AQE, the
+    InferFiltersFromGenerate exclusion), not just the nanos conf that
+    events needs for correctness.
+    """
+    configure(spark)
     if name == "events":
         return load_events(spark, sf_dir)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
