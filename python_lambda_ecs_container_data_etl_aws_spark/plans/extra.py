@@ -1,6 +1,8 @@
-"""Round-2 contract queries q37-q41: audit-log status rollup, nested
-S3-event envelope parsing, wall-clock timezone conversion, and corpus
-profiling (vocabulary heavy-hitters, doc-length histogram).
+"""Round-2 contract queries q37-q43 + q51: audit-log status rollup,
+nested S3-event envelope parsing, wall-clock timezone conversion,
+corpus profiling (vocabulary heavy-hitters, doc-length histogram),
+temporal joins (as-of, binned range), and incremental report
+maintenance.
 
 - q37 exercises the audit-log rollup (audit.status_rollup) — the
   reference probes `log_for_loading` after every load
@@ -339,6 +341,84 @@ def q43(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("user_id").alias("n_users"),
         )
         .orderBy("win_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# q51 incremental report maintenance — the q08 upsert fixture's report
+# aggregates maintained from the DELTA instead of recomputed from the
+# merged table: new = base − replaced + delta per group
+# (sources/merge.incremental_agg_merge). The reference re-runs its full
+# reporting SP after every load (`2.2:376-398`); at scale the rebuild
+# is the bottleneck, and additive measures only need the aggregates of
+# the replaced rows and the arriving delta. The oracle recomputes from
+# the merged relation — the two must agree exactly (DECIMAL sums, so
+# the subtraction is exact and the final double cast is one operation).
+
+ORACLE["q51_incremental_report"] = """
+WITH perm AS (
+    SELECT o_orderkey, o_totalprice, o_orderpriority
+    FROM orders WHERE o_orderkey % 7 <> 0
+),
+delta AS (
+    SELECT o_orderkey, o_totalprice + 100000.0 AS o_totalprice, o_orderpriority
+    FROM orders WHERE o_orderkey % 3 = 0
+),
+merged AS (
+    SELECT * FROM delta
+    UNION ALL
+    SELECT p.* FROM perm p
+    WHERE NOT EXISTS (SELECT 1 FROM delta d WHERE d.o_orderkey = p.o_orderkey)
+)
+SELECT o_orderpriority,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM merged GROUP BY 1 ORDER BY 1
+"""
+
+
+@_q("q51_incremental_report")
+def q51(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.merge import incremental_agg_merge
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+        "o_orderpriority",
+    )
+    perm = o.filter(F.col("o_orderkey") % 7 != 0)
+    # the delta is "orders where %3=0" — it includes keys absent from
+    # perm (multiples of 21), i.e. genuine inserts alongside updates
+    delta = o.filter(F.col("o_orderkey") % 3 == 0).select(
+        "o_orderkey",
+        (F.col("price") + F.lit(100000.0).cast("decimal(18,2)")).alias("price"),
+        "o_orderpriority",
+    )
+    replaced = perm.join(
+        delta.select("o_orderkey"), "o_orderkey", "left_semi"
+    )
+
+    def report_state(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("price").alias("sum_price"),
+        )
+
+    out = incremental_agg_merge(
+        report_state(perm),
+        report_state(replaced),
+        report_state(delta),
+        keys=["o_orderpriority"],
+        measures=["n_orders", "sum_price"],
+    )
+    return (
+        out.filter(F.col("n_orders") > 0)
+        .select(
+            "o_orderpriority",
+            F.col("n_orders").cast("bigint").alias("n_orders"),
+            F.col("sum_price").cast("double").alias("sum_price"),
+        )
+        .orderBy("o_orderpriority")
     )
 
 

@@ -346,3 +346,22 @@ def test_add_prefix_sum_matches_global_window(spark):
         }
         assert got == expected, f"prefix sum diverged at partitions={parts}"
         spark.catalog.clearCache()
+
+
+def test_incremental_agg_merge_retracts_emptied_groups(spark):
+    """A group whose every row is replaced into another group must reach
+    count 0 (caller filters it); the receiving group gains exactly the
+    moved measures."""
+    from python_lambda_ecs_container_data_etl_aws_spark.sources.merge import (
+        incremental_agg_merge,
+    )
+
+    base = spark.createDataFrame([("a", 2, 10), ("b", 1, 5)], "g STRING, n BIGINT, s BIGINT")
+    retract = spark.createDataFrame([("a", 2, 10)], "g STRING, n BIGINT, s BIGINT")
+    delta = spark.createDataFrame([("b", 2, 12)], "g STRING, n BIGINT, s BIGINT")
+    out = {
+        r.g: (r.n, r.s)
+        for r in incremental_agg_merge(base, retract, delta, ["g"], ["n", "s"]).collect()
+    }
+    assert out == {"a": (0, 0), "b": (3, 17)}
+    spark.catalog.clearCache()
