@@ -23,23 +23,36 @@ def main() -> None:
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # Warm the JVM/codegen paths (scan, join, agg, window) once so
-    # per-query times measure the plans, not first-run JIT — q03
-    # measured 8.0s cold vs 0.7s steady-state for this reason.
-    QUERIES["q01_ingest_count"](spark, sf_dir).collect()
-    QUERIES["q04_recency_window"](spark, sf_dir).collect()
-    QUERIES["q11_latest_version_dedup"](spark, sf_dir).collect()
-    # Also warm the two engine paths the above never touch: interpreted
-    # higher-order functions (shingle/signature folds) and the Python
-    # worker pool (mapInPandas) — synthetic micro-jobs, not catalog
-    # queries, so nothing measured gets a silent second run.
-    spark.range(1000).selectExpr(
-        "aggregate(transform(sequence(0, 50), i -> concat('t', i)),"
-        " cast(0 as bigint), (a, v) -> a + length(v))"
-    ).collect()
-    spark.range(1000).toDF("v").mapInPandas(
-        lambda it: it, schema="v bigint"
-    ).collect()
+    # Warm EVERY query's codegen shape at sf0.001 before timing: C2
+    # compilation of the big generated methods (signature folds, literal
+    # matrices) is 3-10s per shape and lands nondeterministically on
+    # whichever run triggers it — q26 measured 8.2s cold vs 2.4s steady
+    # in the same session. Warming on a DIFFERENT (tiny) dataset keeps
+    # the timed pass honest: JIT warm, measured data cold, cache cleared.
+    warm_dir = os.environ.get("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
+    if os.path.isdir(warm_dir) and os.path.abspath(warm_dir) != os.path.abspath(
+        sf_dir.rstrip("/")
+    ):
+        for name in sorted(QUERIES):
+            try:
+                QUERIES[name](spark, warm_dir).collect()
+            except Exception:
+                pass
+            spark.catalog.clearCache()
+    else:
+        # No separate warm dataset: minimal warm of the shared engine
+        # paths (scan/join/agg/window, interpreted HOFs, Python workers)
+        # without giving any measured query a silent second run.
+        QUERIES["q01_ingest_count"](spark, sf_dir).collect()
+        QUERIES["q04_recency_window"](spark, sf_dir).collect()
+        QUERIES["q11_latest_version_dedup"](spark, sf_dir).collect()
+        spark.range(1000).selectExpr(
+            "aggregate(transform(sequence(0, 50), i -> concat('t', i)),"
+            " cast(0 as bigint), (a, v) -> a + length(v))"
+        ).collect()
+        spark.range(1000).toDF("v").mapInPandas(
+            lambda it: it, schema="v bigint"
+        ).collect()
 
     timings: dict[str, float] = {}
     for name in sorted(QUERIES):
