@@ -46,6 +46,7 @@ from . import registry
 from .audit import log_ingest
 from .loader import IngestResult, read_csv_canonical, validate_counts
 from .merge import upsert
+from .report import ReportSpec, aggregate_state, refresh_report
 
 BUCKET_COL = "__bucket"
 
@@ -116,6 +117,8 @@ def ingest_file(
     log_dir: str | None = None,
     on_reject: Callable[[IngestReport], None] | None = None,
     quarantine_dir: str | None = None,
+    report_spec: ReportSpec | None = None,
+    report_dir: str | None = None,
 ) -> IngestReport:
     """Route → canonical read → maxerrors gate → merge (bucket-scoped
     upsert on keys, else append) → count-validate → archive → audit.
@@ -130,6 +133,12 @@ def ingest_file(
     source file) so rejected data is inspectable, not just counted —
     written for BOTH outcomes: the bad rows of an accepted load and the
     full bad set of a rejected one.
+    ``report_spec``/``report_dir`` maintain an incremental report table
+    alongside the load — the reference's load→rebuild-report loop
+    (`2.2:376-398`) with the rebuild made delta-scoped
+    (report.refresh_report): the retraction state is aggregated from
+    exactly the rows the merge replaces, the delta state from this
+    file's rows, and the fact table is never re-scanned.
     """
 
     def _finish(report: IngestReport, rejected: bool = False) -> IngestReport:
@@ -177,6 +186,18 @@ def ingest_file(
     loaded = res.good.count()
     extras: dict = {}
 
+    def _retract_state(pre_merge: DataFrame) -> DataFrame:
+        # Aggregate the rows this merge will REPLACE, materialized
+        # (persist + count) before the table is rewritten — the relation
+        # is derived from the pre-merge table and Spark reads lazily.
+        replaced = pre_merge.join(
+            res.good.select(*keys).distinct(), keys, "left_semi"
+        )
+        state = aggregate_state(replaced, report_spec).persist()
+        state.count()
+        return state
+
+    retract = None
     if keys is not None:
         delta = res.good.withColumn(BUCKET_COL, _bucket_expr(keys, n_buckets))
         if os.path.isdir(table_dir) and _is_bucketed(table_dir):
@@ -189,6 +210,8 @@ def ingest_file(
             perm = spark.read.parquet(table_dir).filter(
                 F.col(BUCKET_COL).isin(touched)
             )
+            if report_spec is not None:
+                retract = _retract_state(perm)
             merged = upsert(perm, delta, keys)
             staging = table_dir + "__staging"
             merged.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(staging)
@@ -196,13 +219,12 @@ def ingest_file(
         else:
             if os.path.isdir(table_dir):
                 # legacy unbucketed layout: one-time migration
-                delta = upsert(
-                    spark.read.parquet(table_dir).withColumn(
-                        BUCKET_COL, _bucket_expr(keys, n_buckets)
-                    ),
-                    delta,
-                    keys,
+                old = spark.read.parquet(table_dir).withColumn(
+                    BUCKET_COL, _bucket_expr(keys, n_buckets)
                 )
+                if report_spec is not None:
+                    retract = _retract_state(old)
+                delta = upsert(old, delta, keys)
             staging = table_dir + "__staging"
             delta.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(staging)
             extras["buckets_touched"] = _swap_bucket_dirs(staging, table_dir)
@@ -210,6 +232,17 @@ def ingest_file(
         res.good.write.mode(
             "append" if os.path.isdir(table_dir) else "overwrite"
         ).parquet(table_dir)
+
+    if report_spec is not None:
+        refresh_report(
+            spark,
+            report_dir or table_dir + "__report",
+            report_spec,
+            delta_state=aggregate_state(res.good, report_spec),
+            retract_state=retract,
+        )
+        if retract is not None:
+            retract.unpersist()
 
     ok = validate_counts(res.src_rows - res.bad_rows, loaded, maxerrors)
     report = IngestReport(

@@ -1,0 +1,106 @@
+"""Maintained report table — incremental view maintenance wired into
+the ingest lifecycle.
+
+The reference re-runs its full reporting stored procedure after every
+load (`2.2 loading-lambda-for-mysql.py:376-398`, logged to
+`log_for_reporting` at `2.2:389`): load file → rebuild report. At
+100 TB the rebuild, not the load, is the bottleneck — every arriving
+5 MiB file re-aggregates the whole fact table. For ADDITIVE measures
+(counts, exact-typed sums) the maintained state only needs the
+aggregates of (a) the rows the merge replaced and (b) the arriving
+delta: ``new = base − retract + delta`` per group
+(merge.incremental_agg_merge). Cost scales with the delta and the
+number of groups, never the fact table.
+
+The report table itself is |groups|-sized, so a full atomic rewrite of
+the report directory per refresh is the cheap part; the win is never
+re-scanning the facts.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .merge import incremental_agg_merge
+
+
+@dataclass(frozen=True)
+class ReportSpec:
+    """Declares the maintained aggregate: GROUP BY ``group_keys``,
+    COUNT(*) AS n_rows, plus one SUM per ``sums`` entry.
+
+    ``sums`` maps output column name → SQL expression over the fact
+    columns. Use exact types (CAST(... AS DECIMAL(p,s)) / BIGINT) so the
+    retraction subtraction is exact — float sums would drift under
+    incremental maintenance.
+    """
+
+    group_keys: tuple[str, ...]
+    sums: tuple[tuple[str, str], ...] = ()
+
+    @property
+    def measures(self) -> list[str]:
+        return ["n_rows", *[name for name, _ in self.sums]]
+
+
+def aggregate_state(df: DataFrame, spec: ReportSpec) -> DataFrame:
+    """The report state of ``df``: one row per group with additive
+    measures. Used for deltas, retractions, and full rebuilds alike."""
+    return df.groupBy(*[F.col(k) for k in spec.group_keys]).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        *[F.sum(F.expr(expr)).alias(name) for name, expr in spec.sums],
+    )
+
+
+def _swap_dir(staging: str, final: str) -> None:
+    """Atomically swap ``staging`` in as ``final``: rename old aside →
+    rename new in → drop old (dot-prefixed aside, invisible to any
+    reader that lists the parent; crash leaves old-or-new, never
+    destroyed)."""
+    parent, name = os.path.split(final.rstrip("/"))
+    aside = os.path.join(parent, f".{name}__old")
+    shutil.rmtree(aside, ignore_errors=True)
+    if os.path.isdir(final):
+        os.rename(final, aside)
+    os.rename(staging, final)
+    shutil.rmtree(aside, ignore_errors=True)
+
+
+def refresh_report(
+    spark: SparkSession,
+    report_dir: str,
+    spec: ReportSpec,
+    delta_state: DataFrame,
+    retract_state: DataFrame | None = None,
+) -> None:
+    """Fold one load's delta (and the merge's retractions) into the
+    maintained report table at ``report_dir``.
+
+    ``retract_state`` must be MATERIALIZED by the caller (persist +
+    count) before the permanent table is rewritten — it is derived from
+    the pre-merge table, and Spark evaluates lazily.
+    """
+    if os.path.isdir(report_dir):
+        base = spark.read.parquet(report_dir)
+        if retract_state is None:
+            retract_state = spark.createDataFrame([], base.schema)
+        state = incremental_agg_merge(
+            base, retract_state, delta_state, list(spec.group_keys), spec.measures
+        )
+    else:
+        state = delta_state
+    # groups whose every row was replaced away retract to n_rows = 0 —
+    # they have no surviving facts and leave the report
+    state = state.filter(F.col("n_rows") > 0)
+    staging = report_dir.rstrip("/") + "__staging"
+    state.coalesce(1).write.mode("overwrite").parquet(staging)
+    _swap_dir(staging, report_dir)
+
+
+def read_report(spark: SparkSession, report_dir: str) -> DataFrame:
+    return spark.read.parquet(report_dir)

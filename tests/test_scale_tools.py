@@ -365,3 +365,75 @@ def test_incremental_agg_merge_retracts_emptied_groups(spark):
     }
     assert out == {"a": (0, 0), "b": (3, 17)}
     spark.catalog.clearCache()
+
+
+def _geo_row(dguid: str, value: str, geo: str) -> str:
+    return f"2023-01-01,{geo},{dguid},food,u,1,f,2,v,c,{value},ok,,n,1"
+
+
+def test_maintained_report_tracks_every_load(spark, tmp_path):
+    """The load→rebuild-report loop with the rebuild made incremental:
+    after every ingest (inserts, key updates that move rows across
+    groups, and a replayed file) the maintained report must equal a
+    full recompute from the permanent table — including a group whose
+    rows are all replaced away retracting OUT of the report."""
+    from python_lambda_ecs_container_data_etl_aws_spark.sources.report import (
+        ReportSpec,
+        aggregate_state,
+        read_report,
+    )
+
+    land = tmp_path / "landing"
+    land.mkdir()
+    wh = str(tmp_path / "wh")
+    rdir = str(tmp_path / "report")
+    spec = ReportSpec(
+        group_keys=("GEO",),
+        sums=(("sum_value", "CAST(VALUE AS DECIMAL(18,6))"),),
+    )
+
+    def check():
+        got = {
+            r.GEO: (r.n_rows, float(r.sum_value))
+            for r in read_report(spark, rdir).collect()
+        }
+        want = {
+            r.GEO: (r.n_rows, float(r.sum_value))
+            for r in aggregate_state(
+                read_permanent(spark, wh, "priceindex"), spec
+            ).collect()
+        }
+        assert got == want and got
+        return got
+
+    def ingest(name: str, rows: list[str]):
+        f = land / name
+        f.write_text("\n".join([HEADER] + rows) + "\n")
+        rep = ingest_file(
+            spark, str(f), wh, keys=["DGUID"], n_buckets=8,
+            report_spec=spec, report_dir=rdir,
+        )
+        assert rep.status == "ok"
+        return check()
+
+    base = [_geo_row(f"A{i}", f"{i}.5", "Canada") for i in range(6)] + [
+        _geo_row(f"B{i}", "2.0", "Ontario") for i in range(3)
+    ]
+    got = ingest("PriceIndex_base.csv", base)
+    assert got["Canada"] == (6, sum(i + 0.5 for i in range(6)))
+
+    # updates: change values in-place AND move every Ontario row to
+    # Quebec (Ontario must retract to zero and vanish), plus inserts
+    upd = (
+        [_geo_row("A0", "100.0", "Canada")]
+        + [_geo_row(f"B{i}", "7.0", "Quebec") for i in range(3)]
+        + [_geo_row(f"C{i}", "1.0", "Canada") for i in range(2)]
+    )
+    got = ingest("PriceIndex_upd.csv", upd)
+    assert "Ontario" not in got and got["Quebec"] == (3, 21.0)
+    assert got["Canada"] == (8, 100.0 + sum(i + 0.5 for i in range(1, 6)) + 2.0)
+
+    # replaying the same file must be a no-op for the report (upsert
+    # idempotence carries over to the maintained state)
+    again = ingest("PriceIndex_upd2.csv", upd)
+    assert again == got
