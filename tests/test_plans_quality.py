@@ -118,3 +118,18 @@ def test_explode_queries_have_no_inferred_generate_filters(spark):
         "InferFiltersFromGenerate"
         in spark.conf.get("spark.sql.optimizer.excludedRules", "")
     )
+
+
+def test_q51_incremental_merge_is_one_union_agg_no_smj(spark):
+    """The maintenance merge must stay cheap: per-state partial aggs
+    exchange on the (tiny) group key, the union feeds ONE final
+    aggregate, the replaced-rows semi-join broadcasts — no sort-merge
+    join and no fact-table-sized shuffle anywhere."""
+    plan = _plan(spark, "q51_incremental_report")
+    assert "SortMergeJoin" not in plan
+    assert re.search(r"BroadcastHashJoin LeftSemi", plan)
+    # the three aggregate states union into ONE final aggregate — the
+    # union itself adds no exchange (exchanges sit below, on the
+    # |groups|-sized states, plus the final orderBy's range partition)
+    tree = plan.split("\n\n")[0]
+    assert len(re.findall(r"\bUnion\b", tree)) == 1
