@@ -77,6 +77,7 @@ def refresh_report(
     spec: ReportSpec,
     delta_state: DataFrame,
     retract_state: DataFrame | None = None,
+    marker_batch_id: int | None = None,
 ) -> None:
     """Fold one load's delta (and the merge's retractions) into the
     maintained report table at ``report_dir``.
@@ -84,6 +85,11 @@ def refresh_report(
     ``retract_state`` must be MATERIALIZED by the caller (persist +
     count) before the permanent table is rewritten — it is derived from
     the pre-merge table, and Spark evaluates lazily.
+
+    ``marker_batch_id`` (streaming replay guard) is written into the
+    staging dir as ``_last_batch`` BEFORE the swap — underscore-prefixed
+    so parquet readers skip it — making state and marker flip in the
+    same atomic rename (see streaming.runner.refresh_report_once).
     """
     if os.path.isdir(report_dir):
         base = spark.read.parquet(report_dir)
@@ -99,7 +105,19 @@ def refresh_report(
     state = state.filter(F.col("n_rows") > 0)
     staging = report_dir.rstrip("/") + "__staging"
     state.coalesce(1).write.mode("overwrite").parquet(staging)
+    if marker_batch_id is not None:
+        with open(os.path.join(staging, "_last_batch"), "w") as fh:
+            fh.write(str(marker_batch_id))
     _swap_dir(staging, report_dir)
+
+
+def last_applied_batch(report_dir: str) -> int:
+    """The ``_last_batch`` marker inside the report dir, or -1."""
+    marker = os.path.join(report_dir, "_last_batch")
+    if os.path.isfile(marker):
+        with open(marker) as fh:
+            return int(fh.read().strip() or -1)
+    return -1
 
 
 def read_report(spark: SparkSession, report_dir: str) -> DataFrame:

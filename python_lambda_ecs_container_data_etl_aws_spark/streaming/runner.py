@@ -214,3 +214,74 @@ def ingest_stream(
         .start()
     )
     q.awaitTermination()
+
+
+def report_stream(
+    spark: SparkSession,
+    landing_dir: str,
+    schema: StructType,
+    out_dir: str,
+    checkpoint_dir: str,
+    report_spec,
+    report_dir: str,
+    fmt: str = "csv",
+    transform: Callable[[DataFrame], DataFrame] | None = None,
+) -> None:
+    """Streaming twin of the maintained report (sources/report.py): the
+    load→rebuild-report loop (`2.2:376-398`) as a continuous pipeline.
+    Each micro-batch appends its facts to ``out_dir`` and folds its
+    aggregate state into the report — the report is always |batch| work
+    behind the stream, never a fact-table rescan.
+
+    ``foreachBatch`` re-delivers a batch after a crash (at-least-once),
+    so the refresh is guarded by a persisted batch-id high-water mark:
+    a replayed batch id is a no-op for the report, keeping the
+    maintained state effectively-once. (The fact append shares the
+    standard parquet-sink caveat; on Delta both writes join one txn.)
+    """
+    src = file_stream(spark, landing_dir, schema, fmt)
+    if transform is not None:
+        src = transform(src)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(out_dir)
+        refresh_report_once(spark, report_dir, report_spec, batch_df, batch_id)
+
+    q = (
+        src.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def refresh_report_once(
+    spark: SparkSession,
+    report_dir: str,
+    report_spec,
+    batch_df: DataFrame,
+    batch_id: int,
+) -> bool:
+    """Fold ``batch_df``'s aggregate state into the report unless this
+    ``batch_id`` was already applied (crash-replay guard). Returns
+    whether a refresh happened.
+
+    The ``_last_batch`` marker travels INSIDE the report staging dir,
+    so state and marker flip in one atomic rename: a crash anywhere
+    leaves either the old report (old marker → replay re-applies) or
+    the new report (new marker → replay no-ops) — never a half-applied
+    batch. That turns foreachBatch's at-least-once re-delivery into an
+    effectively-once report."""
+    from ..sources.report import aggregate_state, last_applied_batch, refresh_report
+
+    if batch_id <= last_applied_batch(report_dir):
+        return False
+    refresh_report(
+        spark,
+        report_dir,
+        report_spec,
+        aggregate_state(batch_df, report_spec),
+        marker_batch_id=batch_id,
+    )
+    return True

@@ -250,3 +250,53 @@ def test_stream_sessions_agree_with_batch_gap_logic(spark, event_batches, tmp_pa
         assert batch_map.get(key) == n, (key, n, batch_map.get(key))
     # and the stream closed the bulk of them (only tail sessions stay open)
     assert len(got) >= 0.8 * len(batch_map)
+
+
+def test_report_stream_maintains_aggregates_and_replay_guard(spark, event_batches, tmp_path):
+    """The streaming maintained report: after draining the landing dir
+    the report must equal a full recompute over the fact sink; a
+    restart with no new input must not change it; and a re-delivered
+    batch id (crash replay) must be a no-op because state + marker flip
+    in one atomic rename."""
+    from python_lambda_ecs_container_data_etl_aws_spark.sources.report import (
+        ReportSpec,
+        aggregate_state,
+        last_applied_batch,
+        read_report,
+    )
+
+    landing, _, _ = event_batches
+    out, ck = str(tmp_path / "facts"), str(tmp_path / "ck_rep")
+    rdir = str(tmp_path / "report")
+    spec = ReportSpec(
+        group_keys=("event_type",),
+        sums=(("sum_user", "CAST(user_id AS DECIMAL(18,0))"),),
+    )
+
+    def snapshot():
+        return {
+            r.event_type: (r.n_rows, int(r.sum_user))
+            for r in read_report(spark, rdir).collect()
+        }
+
+    runner.report_stream(spark, landing, EVENT_SCHEMA, out, ck, spec, rdir, fmt="parquet")
+    got = snapshot()
+    want = {
+        r.event_type: (r.n_rows, int(r.sum_user))
+        for r in aggregate_state(spark.read.parquet(out), spec).collect()
+    }
+    assert got == want and got
+
+    # restart, no new files → unchanged (checkpoint + marker)
+    runner.report_stream(spark, landing, EVENT_SCHEMA, out, ck, spec, rdir, fmt="parquet")
+    assert snapshot() == got
+
+    # crash-replay simulation: re-deliver an already-applied batch id
+    last = last_applied_batch(rdir)
+    assert last >= 0
+    replay = spark.read.parquet(out).limit(50)
+    applied = runner.refresh_report_once(spark, rdir, spec, replay, last)
+    assert applied is False and snapshot() == got
+    # a NEW batch id does apply
+    applied = runner.refresh_report_once(spark, rdir, spec, replay, last + 1)
+    assert applied is True and snapshot() != got
