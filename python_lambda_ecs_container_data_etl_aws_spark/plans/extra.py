@@ -439,3 +439,100 @@ def q39(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("ny_date", "ny_hour")
     )
+
+
+# --------------------------------------------------------------------------
+# q52 table profile — per-column null/distinct/min/max stats
+# (operators/profile.profile_columns). The natural extension of the
+# reference's A2 count probe (`2.2:300-308`) to column-level quality
+# stats. One column-pruned scan per column, NOT one Expand-multiplied
+# shuffle — see the operator docstring for the 100 TB argument.
+
+ORACLE["q52_table_profile"] = """
+SELECT * FROM (
+    SELECT 'o_custkey' AS col, COUNT(*) AS n_rows,
+           COUNT(*) - COUNT(o_custkey) AS n_nulls,
+           COUNT(DISTINCT o_custkey) AS n_distinct,
+           CAST(MIN(o_custkey) AS VARCHAR) AS min_val,
+           CAST(MAX(o_custkey) AS VARCHAR) AS max_val
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderdate', COUNT(*), COUNT(*) - COUNT(o_orderdate),
+           COUNT(DISTINCT CAST(o_orderdate AS DATE)),
+           CAST(MIN(CAST(o_orderdate AS DATE)) AS VARCHAR),
+           CAST(MAX(CAST(o_orderdate AS DATE)) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', COUNT(*), COUNT(*) - COUNT(o_orderpriority),
+           COUNT(DISTINCT o_orderpriority),
+           CAST(MIN(o_orderpriority) AS VARCHAR),
+           CAST(MAX(o_orderpriority) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', COUNT(*), COUNT(*) - COUNT(o_orderstatus),
+           COUNT(DISTINCT o_orderstatus),
+           CAST(MIN(o_orderstatus) AS VARCHAR),
+           CAST(MAX(o_orderstatus) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice', COUNT(*),
+           COUNT(*) - COUNT(o_totalprice),
+           COUNT(DISTINCT CAST(o_totalprice AS DECIMAL(18,2))),
+           CAST(MIN(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR),
+           CAST(MAX(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR)
+    FROM orders
+) ORDER BY col
+"""
+
+
+@_q("q52_table_profile")
+def q52(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.profile import profile_columns
+
+    o = load_table(spark, sf_dir, "orders")
+    return profile_columns(
+        o,
+        {
+            "o_custkey": "o_custkey",
+            "o_orderdate": "CAST(o_orderdate AS DATE)",
+            "o_orderpriority": "o_orderpriority",
+            "o_orderstatus": "o_orderstatus",
+            "o_totalprice": "CAST(o_totalprice AS DECIMAL(18,2))",
+        },
+    ).orderBy("col")
+
+
+# --------------------------------------------------------------------------
+# q53 salted hot-key join — functions/skew.salted_join surfaced into the
+# hash contract. The salt is a semantic no-op (the oracle is the PLAIN
+# join), so the query proves the skew mitigation preserves join
+# semantics exactly: big side salted by a deterministic row hash, small
+# side replicated across the salt buckets, join on (key, salt).
+
+ORACLE["q53_salted_join"] = """
+SELECT o.o_orderpriority,
+       COUNT(*) AS n_items,
+       CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY 1 ORDER BY 1
+"""
+
+
+@_q("q53_salted_join")
+def q53(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.skew import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"),
+        F.col("l_quantity").cast("decimal(18,2)").alias("qty"),
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    joined = salted_join(li, o, "o_orderkey", salt_buckets=8)
+    return (
+        joined.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum("qty").cast("double").alias("sum_qty"),
+        )
+        .orderBy("o_orderpriority")
+    )

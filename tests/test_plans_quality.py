@@ -133,3 +133,20 @@ def test_q51_incremental_merge_is_one_union_agg_no_smj(spark):
     # |groups|-sized states, plus the final orderBy's range partition)
     tree = plan.split("\n\n")[0]
     assert len(re.findall(r"\bUnion\b", tree)) == 1
+
+
+def test_q52_profile_scans_prune_to_one_column_each(spark):
+    """The profile must run one column-pruned scan per profiled column
+    — an Expand-based multi-distinct (N× row replication into the
+    shuffle) would be the 100 TB anti-pattern."""
+    plan = _plan(spark, "q52_table_profile")
+    assert "Expand" not in plan
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    assert len(schemas) == 5
+    assert all(s.count(":") == 1 for s in schemas), schemas
+
+
+def test_q53_salted_join_no_nested_loop_or_cartesian(spark):
+    plan = _plan(spark, "q53_salted_join")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
