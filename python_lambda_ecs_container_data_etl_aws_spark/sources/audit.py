@@ -81,3 +81,56 @@ def status_rollup(log: DataFrame) -> DataFrame:
         )
         .orderBy("log_date", "status")
     )
+
+
+def compact_log(spark: SparkSession, log_dir: str, log_date: str) -> int:
+    """Compact one closed ``log_date`` partition: N one-row appended
+    files → one file, atomically swapped in. The nightly small-file
+    maintenance the module docstring promises — every `ingest_file`
+    appends one tiny parquet file per outcome, which is the right write
+    path (no read-modify-write on the hot log) but leaves day
+    partitions made of thousands of 1-row files. Returns the number of
+    rows compacted.
+
+    Only run on CLOSED days (no concurrent appends): an append racing
+    the swap would be lost. Idempotent — re-compacting is a no-op
+    rewrite.
+    """
+    import os
+    import shutil
+
+    part = os.path.join(log_dir, f"log_date={log_date}")
+    if not os.path.isdir(part):
+        return 0
+    rows = spark.read.parquet(part)
+    n = rows.count()
+    staging = part + "__staging"
+    rows.coalesce(1).write.mode("overwrite").parquet(staging)
+    aside = os.path.join(log_dir, f".log_date={log_date}__old")
+    shutil.rmtree(aside, ignore_errors=True)
+    os.rename(part, aside)
+    os.rename(staging, part)
+    shutil.rmtree(aside, ignore_errors=True)
+    # drop the staging _SUCCESS marker noise? keep parquet dir as-is
+    return n
+
+
+def expire_log(log_dir: str, keep_after: str) -> list[str]:
+    """Retention: drop log_date partitions strictly OLDER than
+    ``keep_after`` (ISO date string — lexicographic compare is date
+    compare). Partition-dir deletes, no data scan. Returns the dropped
+    dates."""
+    import os
+    import shutil
+
+    dropped = []
+    if not os.path.isdir(log_dir):
+        return dropped
+    for entry in sorted(os.listdir(log_dir)):
+        if not entry.startswith("log_date="):
+            continue
+        day = entry.split("=", 1)[1]
+        if day < keep_after:
+            shutil.rmtree(os.path.join(log_dir, entry), ignore_errors=True)
+            dropped.append(day)
+    return dropped

@@ -62,3 +62,54 @@ def test_upsert_algebra(perm_keys, delta_keys, spark):
         assert rows[k] == f"p{k}"
     twice = {r.k: r.v for r in merge.upsert(once, delta, ["k"]).collect()}
     assert twice == rows
+
+
+@given(
+    perm_rows=st.lists(
+        st.tuples(st.integers(0, 25), st.integers(0, 3), st.integers(-50, 50)),
+        max_size=20,
+        unique_by=lambda t: t[0],
+    ),
+    delta_rows=st.lists(
+        st.tuples(st.integers(0, 25), st.integers(0, 3), st.integers(-50, 50)),
+        max_size=12,
+        unique_by=lambda t: t[0],
+    ),
+)
+@settings(max_examples=8, deadline=None)
+def test_incremental_merge_equals_recompute_over_upsert(perm_rows, delta_rows, spark):
+    """∀ perm, delta: maintaining the report incrementally
+    (base − replaced + delta) equals recomputing it from the merged
+    table — the invariant the ingest-wired maintained report relies on,
+    including rows that change group under the upsert."""
+    from pyspark.sql import functions as F
+
+    from python_lambda_ecs_container_data_etl_aws_spark.sources import merge
+
+    schema = "k int, g int, v bigint"
+    perm = spark.createDataFrame(perm_rows or [(None,) * 3], schema).filter(
+        "k is not null"
+    )
+    delta = spark.createDataFrame(delta_rows or [(None,) * 3], schema).filter(
+        "k is not null"
+    )
+
+    def state(df):
+        return df.groupBy("g").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("v").alias("s")
+        )
+
+    replaced = perm.join(delta.select("k"), "k", "left_semi")
+    maintained = {
+        r.g: (r.n, r.s)
+        for r in merge.incremental_agg_merge(
+            state(perm), state(replaced), state(delta), ["g"], ["n", "s"]
+        )
+        .filter("n > 0")
+        .collect()
+    }
+    recomputed = {
+        r.g: (r.n, r.s)
+        for r in state(merge.upsert(perm, delta, ["k"])).collect()
+    }
+    assert maintained == recomputed

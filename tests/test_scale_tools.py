@@ -437,3 +437,48 @@ def test_maintained_report_tracks_every_load(spark, tmp_path):
     # idempotence carries over to the maintained state)
     again = ingest("PriceIndex_upd2.csv", upd)
     assert again == got
+
+
+def test_audit_log_compaction_and_retention(spark, tmp_path):
+    """Nightly maintenance: a closed day's N one-row append files
+    compact to one file with identical content; retention drops whole
+    partitions older than the cutoff without scanning data."""
+    from python_lambda_ecs_container_data_etl_aws_spark.sources.audit import (
+        compact_log,
+        expire_log,
+        load_ingest_log,
+        log_ingest,
+    )
+    from python_lambda_ecs_container_data_etl_aws_spark.sources.pipeline import (
+        IngestReport,
+    )
+
+    log_dir = str(tmp_path / "log")
+    us = 1_700_000_000_000_000  # 2023-11-14 UTC
+    day_us = 86_400_000_000
+    for d in range(3):
+        for i in range(4):
+            log_ingest(
+                spark,
+                log_dir,
+                IngestReport(file=f"f{d}_{i}.csv", route="priceindex",
+                             loaded_rows=10 + i, status="ok"),
+                now_us=us + d * day_us + i,
+            )
+    before = load_ingest_log(spark, log_dir)
+    days = sorted(str(r.log_date) for r in before.select("log_date").distinct().collect())
+    assert len(days) == 3
+    content_before = sorted(map(tuple, before.collect()))
+
+    d0 = os.path.join(log_dir, f"log_date={days[0]}")
+    files_before = [f for f in os.listdir(d0) if f.endswith(".parquet")]
+    assert len(files_before) == 4
+    assert compact_log(spark, log_dir, days[0]) == 4
+    files_after = [f for f in os.listdir(d0) if f.endswith(".parquet")]
+    assert len(files_after) == 1
+    assert sorted(map(tuple, load_ingest_log(spark, log_dir).collect())) == content_before
+
+    # retention: drop everything before the last day
+    assert expire_log(log_dir, keep_after=days[2]) == days[:2]
+    left = load_ingest_log(spark, log_dir)
+    assert {str(r.log_date) for r in left.collect()} == {days[2]}
