@@ -194,6 +194,25 @@ def minhash_signatures(
     return hashed.groupBy("id").agg(*aggs)
 
 
+def banded_buckets(sig: DataFrame, num_bands: int = 16) -> DataFrame:
+    """Band a signature relation into (id, band, bucket) rows — one
+    xxhash64 bucket per band over that band's hash columns."""
+    hcols = [c for c in sig.columns if c.startswith("h")]
+    rows_per_band = len(hcols) // num_bands
+    bands = []
+    for bnd in range(num_bands):
+        cols = hcols[bnd * rows_per_band : (bnd + 1) * rows_per_band]
+        bands.append(
+            F.struct(
+                F.lit(bnd).alias("band"),
+                F.xxhash64(*[F.col(c) for c in cols]).alias("bucket"),
+            )
+        )
+    return sig.select(F.col("id"), F.explode(F.array(*bands)).alias("bb")).select(
+        "id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+
+
 def lsh_candidate_pairs(
     sig: DataFrame, num_bands: int = 16, max_bucket_size: int | None = None
 ) -> DataFrame:
@@ -209,20 +228,7 @@ def lsh_candidate_pairs(
     only in the skewed content). AQE skew-join handles the moderate
     skew below the cap.
     """
-    hcols = [c for c in sig.columns if c.startswith("h")]
-    rows_per_band = len(hcols) // num_bands
-    bands = []
-    for bnd in range(num_bands):
-        cols = hcols[bnd * rows_per_band : (bnd + 1) * rows_per_band]
-        bands.append(
-            F.struct(
-                F.lit(bnd).alias("band"),
-                F.xxhash64(*[F.col(c) for c in cols]).alias("bucket"),
-            )
-        )
-    exploded = sig.select(
-        F.col("id"), F.explode(F.array(*bands)).alias("bb")
-    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    exploded = banded_buckets(sig, num_bands)
     if max_bucket_size is not None:
         # one extra shuffle on the same (band, bucket) keys the join
         # uses; the window count never materializes mega-bucket pairs
@@ -290,7 +296,13 @@ def minhash_lsh_dedup(
         dsh.select("id", F.explode("sh").alias("shingle")), num_hashes, seed
     ).persist()
     cand = lsh_candidate_pairs(sig, num_bands, max_bucket_size)
-    verified = (
+    return _jaccard_verify(cand, dsh).filter(F.col("jaccard") >= threshold)
+
+
+def _jaccard_verify(cand: DataFrame, dsh: DataFrame) -> DataFrame:
+    """Exact Jaccard for (a_id, b_id) candidates: two id-joins against
+    the per-doc shingle arrays + ``array_intersect`` inside the row."""
+    return (
         cand.join(dsh.alias("da"), F.col("a_id") == F.col("da.id"))
         .join(dsh.alias("db"), F.col("b_id") == F.col("db.id"))
         .select(
@@ -309,7 +321,78 @@ def minhash_lsh_dedup(
             ).alias("jaccard"),
         )
     )
-    return verified.filter(F.col("jaccard") >= threshold)
+
+
+def minhash_lsh_dedup_incremental(
+    old_df: DataFrame,
+    new_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    num_hashes: int = 32,
+    num_bands: int = 16,
+    ngram: int = 3,
+    seed: int = 42,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Near-dup pairs of a NEW document batch against an existing
+    corpus PLUS within the batch itself — the daily LLM-pipeline
+    operation "dedupe today's crawl against the index" — WITHOUT ever
+    forming old-old pairs.
+
+    The reference has no incremental operator (it reloads and re-runs
+    its SPs wholesale per file, `2.2:209-217`); this is the dedup
+    analogue of the bucket-scoped merge: work scales with the batch,
+    not the corpus. Shape:
+
+    - corpus side: shingle + signature + banding, ONE pass (in
+      production these are precomputed and stored with the index —
+      the relation here is exactly what you would persist);
+    - candidates = new-bands ⋈ old-bands on (band, bucket) — the
+      corpus relation is probed only on buckets the batch occupies
+      (broadcast the batch side at real scale) — plus the batch's own
+      ``lsh_candidate_pairs`` self-join (batch-sized, tiny);
+    - exact-Jaccard verify over the union, same as the full dedup.
+
+    Never materialized: old×old candidates — the quadratic term that
+    makes full re-dedup of a 100 TB corpus per arriving batch a
+    non-starter. Caller contract: old/new id sets are disjoint.
+    Output: (a_id, b_id, jaccard), a_id < b_id, ≥ threshold.
+    """
+    dsh_old = doc_shingles(old_df, text_col, id_col, ngram).persist()
+    dsh_new = doc_shingles(new_df, text_col, id_col, ngram).persist()
+
+    def sig_of(dsh: DataFrame) -> DataFrame:
+        return minhash_signatures(
+            dsh.select("id", F.explode("sh").alias("shingle")), num_hashes, seed
+        )
+
+    bands_old = banded_buckets(sig_of(dsh_old), num_bands)
+    bands_new = banded_buckets(sig_of(dsh_new), num_bands).persist()
+    if max_bucket_size is not None:
+        wb = Window.partitionBy("band", "bucket")
+        bands_old = (
+            bands_old.withColumn("__bsz", F.count(F.lit(1)).over(wb))
+            .filter(F.col("__bsz") <= max_bucket_size)
+            .drop("__bsz")
+        )
+    cross = (
+        bands_new.alias("n")
+        .join(
+            bands_old.alias("o"),
+            (F.col("n.band") == F.col("o.band"))
+            & (F.col("n.bucket") == F.col("o.bucket")),
+        )
+        .select(
+            F.least(F.col("n.id"), F.col("o.id")).alias("a_id"),
+            F.greatest(F.col("n.id"), F.col("o.id")).alias("b_id"),
+        )
+        .distinct()
+    )
+    within = lsh_candidate_pairs(sig_of(dsh_new).persist(), num_bands, max_bucket_size)
+    cand = cross.unionByName(within).distinct()
+    dsh = dsh_old.unionByName(dsh_new)
+    return _jaccard_verify(cand, dsh).filter(F.col("jaccard") >= threshold)
 
 
 def connected_components(

@@ -157,3 +157,47 @@ def q28(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     mm = multimodal.documents_as_multimodal(docs)
     return multimodal.extract_features(mm).orderBy("item_id")
+
+
+# --------------------------------------------------------------------------
+# q54 incremental near-dup — today's batch (doc_id % 10 = 0) deduped
+# against the existing corpus without forming old-old pairs
+# (operators/dedup.minhash_lsh_dedup_incremental). Oracle = the exact
+# all-pairs Jaccard restricted to pairs touching a new doc; equality
+# holds for the same reason as q25 (deterministic verify ≡ exact at the
+# threshold, band-miss probability ~2e-4 at planted similarities).
+
+ORACLE["q54_incremental_neardup"] = f"""
+WITH tok AS (
+    SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+shingle AS (
+    SELECT DISTINCT doc_id, s FROM tok,
+    UNNEST(list_transform(range(1, len(toks) - 1),
+                          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS u(s)
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingle GROUP BY 1),
+inter AS (
+    SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_inter
+    FROM shingle a JOIN shingle b ON a.s = b.s AND a.doc_id < b.doc_id
+    WHERE a.doc_id % 10 = 0 OR b.doc_id % 10 = 0
+    GROUP BY 1, 2
+)
+SELECT a_id, b_id,
+       n_inter / (sa.n + sb.n - n_inter) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = a_id
+JOIN sizes sb ON sb.doc_id = b_id
+WHERE n_inter / (sa.n + sb.n - n_inter) >= {_THRESH}
+ORDER BY a_id, b_id
+"""
+
+
+@_q("q54_incremental_neardup")
+def q54(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 10 != 0)
+    new = docs.filter(F.col("doc_id") % 10 == 0)
+    return dedup.minhash_lsh_dedup_incremental(
+        old, new, threshold=_THRESH
+    ).orderBy("a_id", "b_id")

@@ -393,3 +393,22 @@ def test_connected_components_distributed_path_agrees_with_driver_path(spark):
     }
     assert driver == dist and len(driver) == 9
     spark.catalog.clearCache()
+
+
+def test_incremental_minhash_equals_exact_on_new_side_pairs(spark, docs):
+    """Split the corpus into old/new: the incremental dedup must find
+    exactly the exact-Jaccard pairs touching a new doc (cross + within
+    batch) and NONE of the old-old pairs — the quadratic term it exists
+    to avoid."""
+    old = docs.filter(F.col("doc_id") % 10 != 0)
+    new = docs.filter(F.col("doc_id") % 10 == 0)
+    got = {
+        (r.a_id, r.b_id)
+        for r in dedup.minhash_lsh_dedup_incremental(old, new, threshold=0.5).collect()
+    }
+    exact = _exact_pairs(docs, threshold=0.5)
+    want = {
+        (a, b) for a, b in exact if a % 10 == 0 or b % 10 == 0
+    }
+    assert got == want and got, "incremental must equal exact on new-side pairs"
+    assert all(a % 10 == 0 or b % 10 == 0 for a, b in got)
