@@ -285,3 +285,92 @@ def refresh_report_once(
         marker_batch_id=batch_id,
     )
     return True
+
+
+def dedup_ingest_stream(
+    spark: SparkSession,
+    landing_dir: str,
+    schema: StructType,
+    corpus_dir: str,
+    checkpoint_dir: str,
+    fmt: str = "parquet",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+) -> None:
+    """Continuous corpus curation: each arriving micro-batch of
+    documents is near-dup-deduped AGAINST THE CORPUS SO FAR (plus
+    within itself) before its survivors are appended — the streaming
+    composition of `dedup.minhash_lsh_dedup_incremental`, so old-old
+    pairs are never formed and per-batch work scales with the batch.
+
+    Drop policy (greedy, deterministic): a new doc that near-dups any
+    corpus doc is dropped; within a batch pair both-new, the higher id
+    is dropped (ids are required unique across the stream).
+
+    Exactly-once without a transaction log: each batch writes its
+    survivors to ``corpus_dir/batch=<batch_id>`` with overwrite — a
+    crash-replayed batch overwrites its own directory instead of
+    double-appending.
+    """
+    import os
+
+    from ..operators.dedup import minhash_lsh_dedup, minhash_lsh_dedup_incremental
+
+    src = file_stream(spark, landing_dir, schema, fmt)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch = batch_df.persist()
+        has_corpus = os.path.isdir(corpus_dir) and any(
+            e.startswith("batch=") for e in os.listdir(corpus_dir)
+        )
+        if has_corpus:
+            corpus = spark.read.parquet(corpus_dir).drop("batch")
+            pairs = minhash_lsh_dedup_incremental(
+                corpus, batch, text_col, id_col, threshold
+            )
+        else:
+            pairs = minhash_lsh_dedup(batch, text_col, id_col, threshold)
+        new_ids = batch.select(F.col(id_col).alias("nid"))
+        p = (
+            pairs.join(
+                new_ids.withColumnRenamed("nid", "a_new"),
+                F.col("a_id") == F.col("a_new"),
+                "left",
+            )
+            .join(
+                new_ids.withColumnRenamed("nid", "b_new"),
+                F.col("b_id") == F.col("b_new"),
+                "left",
+            )
+        )
+        drop = (
+            # new doc duplicating an old one — whichever side it is on
+            p.filter(F.col("b_new").isNotNull() & F.col("a_new").isNull())
+            .select(F.col("b_id").alias("drop_id"))
+            .unionByName(
+                p.filter(F.col("a_new").isNotNull() & F.col("b_new").isNull())
+                .select(F.col("a_id").alias("drop_id"))
+            )
+            # both new: keep the lower id
+            .unionByName(
+                p.filter(F.col("a_new").isNotNull() & F.col("b_new").isNotNull())
+                .select(F.col("b_id").alias("drop_id"))
+            )
+            .distinct()
+        )
+        survivors = batch.join(
+            drop, F.col(id_col) == F.col("drop_id"), "left_anti"
+        )
+        survivors.write.mode("overwrite").parquet(
+            os.path.join(corpus_dir, f"batch={batch_id}")
+        )
+        batch.unpersist()
+
+    q = (
+        src.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

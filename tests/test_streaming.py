@@ -3,6 +3,8 @@ exactly-once ingest through restarts, and the ST6 completion hook."""
 
 from __future__ import annotations
 
+import os
+
 import pytest
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
@@ -300,3 +302,41 @@ def test_report_stream_maintains_aggregates_and_replay_guard(spark, event_batche
     # a NEW batch id does apply
     applied = runner.refresh_report_once(spark, rdir, spec, replay, last + 1)
     assert applied is True and snapshot() != got
+
+
+def test_dedup_ingest_stream_curates_corpus_across_batches(spark, tmp_path):
+    """Continuous corpus curation: within-batch dups drop (lower id
+    wins), later batches dedupe against the corpus so far, and a
+    restart with no new input changes nothing."""
+    from pyspark.sql.types import LongType, StringType
+
+    doc_schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+    landing = str(tmp_path / "landing")
+    corpus = str(tmp_path / "corpus")
+    ck = str(tmp_path / "ck_cur")
+
+    dup_text = "alpha beta gamma delta epsilon zeta eta theta"
+    uniq1 = "one two three four five six seven eight"
+    uniq2 = "crimson harbor lantern whisper meadow orbit canyon drift"
+
+    def arrive(rows):
+        spark.createDataFrame(rows, doc_schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(landing)
+
+    def drain():
+        runner.dedup_ingest_stream(
+            spark, landing, doc_schema, corpus, ck, threshold=0.5
+        )
+        return {r.doc_id for r in spark.read.parquet(corpus).collect()}
+
+    # batch 0: doc 3 duplicates doc 1 within the batch → lower id kept
+    arrive([(1, dup_text), (2, uniq1), (3, dup_text)])
+    assert drain() == {1, 2}
+    # batch 1: doc 11 duplicates corpus doc 1 → dropped; 12 unique → kept
+    arrive([(11, dup_text), (12, uniq2)])
+    assert drain() == {1, 2, 12}
+    # restart, nothing new → unchanged
+    assert drain() == {1, 2, 12}
