@@ -412,3 +412,93 @@ def test_incremental_minhash_equals_exact_on_new_side_pairs(spark, docs):
     }
     assert got == want and got, "incremental must equal exact on new-side pairs"
     assert all(a % 10 == 0 or b % 10 == 0 for a, b in got)
+
+
+def test_approx_distinct_within_error_of_exact(spark):
+    li = load_table(spark, SF_DIR, "lineitem")
+    from python_lambda_ecs_container_data_etl_aws_spark.operators import sketch
+
+    approx = {
+        r.l_returnflag: r.n_distinct_approx
+        for r in sketch.approx_distinct_by(li, ["l_returnflag"], "l_orderkey").collect()
+    }
+    exact = {
+        r.l_returnflag: r.n
+        for r in li.groupBy("l_returnflag")
+        .agg(F.countDistinct("l_orderkey").alias("n"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for k in exact:
+        assert abs(approx[k] - exact[k]) <= 4 * 0.05 * exact[k] + 2, (
+            k, approx[k], exact[k],
+        )
+
+
+def test_approx_quantiles_rank_error_bounded(spark):
+    li = load_table(spark, SF_DIR, "lineitem").select(
+        "l_returnflag", F.col("l_extendedprice").alias("v")
+    )
+    from python_lambda_ecs_container_data_etl_aws_spark.operators import sketch
+
+    got = {
+        r.l_returnflag: (r.q_50, r.q_95)
+        for r in sketch.approx_quantiles_by(
+            li, ["l_returnflag"], "v", [0.5, 0.95]
+        ).collect()
+    }
+    rows = li.collect()
+    import collections
+
+    groups = collections.defaultdict(list)
+    for r in rows:
+        groups[r.l_returnflag].append(r.v)
+    for k, vals in groups.items():
+        vals.sort()
+        n = len(vals)
+        for p, q in [(0.5, got[k][0]), (0.95, got[k][1])]:
+            # the sketch returns an element whose rank is within
+            # n/accuracy of the target rank
+            import bisect
+
+            rank = bisect.bisect_left(vals, q)
+            assert abs(rank - p * n) <= n / 10_000 + 2, (k, p, rank, n)
+
+
+def test_bloom_filtered_semi_join_injects_runtime_filter(spark):
+    """With the selective side barred from broadcasting, Catalyst must
+    inject the runtime Bloom filter (might_contain on the probe scan),
+    and the result must equal the plain semi-join exactly."""
+    from python_lambda_ecs_container_data_etl_aws_spark.operators import sketch
+
+    li = load_table(spark, SF_DIR, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"), "l_quantity"
+    )
+    urgent = (
+        load_table(spark, SF_DIR, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey")
+    )
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in [
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        ]
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "1KB",
+        )
+        j = sketch.bloom_filtered_semi_join(li, urgent, "o_orderkey")
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan and "bloom_filter_agg" in plan
+        n = j.count()
+    finally:
+        for k, v in saved.items():
+            if v is not None:
+                spark.conf.set(k, v)
+    exact = li.join(urgent, "o_orderkey", "left_semi").count()
+    assert n == exact
