@@ -228,17 +228,28 @@ def lsh_candidate_pairs(
     only in the skewed content). AQE skew-join handles the moderate
     skew below the cap.
     """
-    exploded = banded_buckets(sig, num_bands)
-    if max_bucket_size is not None:
-        # one extra shuffle on the same (band, bucket) keys the join
-        # uses; the window count never materializes mega-bucket pairs
-        wb = Window.partitionBy("band", "bucket")
-        exploded = (
-            exploded.withColumn("__bsz", F.count(F.lit(1)).over(wb))
-            .filter(F.col("__bsz") <= max_bucket_size)
-            .drop("__bsz")
-        )
-    a, b = exploded.alias("a"), exploded.alias("b")
+    return candidate_pairs_from_bands(
+        _cap_buckets(banded_buckets(sig, num_bands), max_bucket_size)
+    )
+
+
+def _cap_buckets(bands: DataFrame, max_bucket_size: int | None) -> DataFrame:
+    """Drop degenerate (band, bucket) groups larger than the cap — one
+    extra shuffle on the same keys the candidate join uses; the window
+    count never materializes mega-bucket pairs."""
+    if max_bucket_size is None:
+        return bands
+    wb = Window.partitionBy("band", "bucket")
+    return (
+        bands.withColumn("__bsz", F.count(F.lit(1)).over(wb))
+        .filter(F.col("__bsz") <= max_bucket_size)
+        .drop("__bsz")
+    )
+
+
+def candidate_pairs_from_bands(bands: DataFrame) -> DataFrame:
+    """Distinct (a_id < b_id) pairs sharing any (band, bucket)."""
+    a, b = bands.alias("a"), bands.alias("b")
     return (
         a.join(
             b,
@@ -359,27 +370,57 @@ def minhash_lsh_dedup_incremental(
     non-starter. Caller contract: old/new id sets are disjoint.
     Output: (a_id, b_id, jaccard), a_id < b_id, ≥ threshold.
     """
-    dsh_old = doc_shingles(old_df, text_col, id_col, ngram).persist()
-    dsh_new = doc_shingles(new_df, text_col, id_col, ngram).persist()
+    ish, ib = lsh_index_of(old_df, text_col, id_col, num_hashes, num_bands, ngram, seed)
+    nsh, nb = lsh_index_of(new_df, text_col, id_col, num_hashes, num_bands, ngram, seed)
+    ish, nsh, nb = ish.persist(), nsh.persist(), nb.persist()
+    return neardup_pairs_vs_index(
+        ish, ib, nsh, nb, threshold=threshold, max_bucket_size=max_bucket_size
+    )
 
-    def sig_of(dsh: DataFrame) -> DataFrame:
-        return minhash_signatures(
+
+def lsh_index_of(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    num_bands: int = 16,
+    ngram: int = 3,
+    seed: int = 42,
+) -> tuple[DataFrame, DataFrame]:
+    """The persistable LSH index of a corpus: ``(shingles, bands)`` —
+    (id, sh array) and (id, band, bucket) relations. At scale these are
+    what you STORE alongside the corpus (bucketed by (band, bucket) for
+    the candidate join); every incremental dedup batch then reads the
+    index instead of re-shingling the corpus (see
+    streaming.runner.dedup_ingest_stream, which appends each batch's
+    surviving index rows)."""
+    dsh = doc_shingles(df, text_col, id_col, ngram)
+    bands = banded_buckets(
+        minhash_signatures(
             dsh.select("id", F.explode("sh").alias("shingle")), num_hashes, seed
-        )
+        ),
+        num_bands,
+    )
+    return dsh, bands
 
-    bands_old = banded_buckets(sig_of(dsh_old), num_bands)
-    bands_new = banded_buckets(sig_of(dsh_new), num_bands).persist()
-    if max_bucket_size is not None:
-        wb = Window.partitionBy("band", "bucket")
-        bands_old = (
-            bands_old.withColumn("__bsz", F.count(F.lit(1)).over(wb))
-            .filter(F.col("__bsz") <= max_bucket_size)
-            .drop("__bsz")
-        )
+
+def neardup_pairs_vs_index(
+    index_sh: DataFrame,
+    index_bands: DataFrame,
+    batch_sh: DataFrame,
+    batch_bands: DataFrame,
+    threshold: float = 0.5,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Near-dup pairs of a batch against a prebuilt index (cross) plus
+    within the batch — the per-batch work of incremental dedup when the
+    corpus index is already materialized. Index-side work is ONE probe
+    of its band relation; nothing corpus-sized is recomputed."""
+    ib = _cap_buckets(index_bands, max_bucket_size)
     cross = (
-        bands_new.alias("n")
+        batch_bands.alias("n")
         .join(
-            bands_old.alias("o"),
+            ib.alias("o"),
             (F.col("n.band") == F.col("o.band"))
             & (F.col("n.bucket") == F.col("o.bucket")),
         )
@@ -389,9 +430,9 @@ def minhash_lsh_dedup_incremental(
         )
         .distinct()
     )
-    within = lsh_candidate_pairs(sig_of(dsh_new).persist(), num_bands, max_bucket_size)
+    within = candidate_pairs_from_bands(_cap_buckets(batch_bands, max_bucket_size))
     cand = cross.unionByName(within).distinct()
-    dsh = dsh_old.unionByName(dsh_new)
+    dsh = index_sh.unionByName(batch_sh)
     return _jaccard_verify(cand, dsh).filter(F.col("jaccard") >= threshold)
 
 

@@ -309,28 +309,42 @@ def dedup_ingest_stream(
     is dropped (ids are required unique across the stream).
 
     Exactly-once without a transaction log: each batch writes its
-    survivors to ``corpus_dir/batch=<batch_id>`` with overwrite — a
-    crash-replayed batch overwrites its own directory instead of
-    double-appending.
+    survivors (docs AND their index rows) to ``batch=<batch_id>``
+    subdirs with overwrite — a crash-replayed batch overwrites its own
+    directories instead of double-appending.
+
+    Per-batch cost scales with the batch: the corpus is never
+    re-shingled — its LSH index (shingle arrays + band buckets,
+    `dedup.lsh_index_of`) is PERSISTED beside the corpus and each
+    batch appends its survivors' rows. The index band relation is
+    probed once per batch; at real scale you'd bucket it by
+    (band, bucket) so the probe co-locates.
     """
     import os
 
-    from ..operators.dedup import minhash_lsh_dedup, minhash_lsh_dedup_incremental
+    from ..operators.dedup import (
+        _jaccard_verify,
+        candidate_pairs_from_bands,
+        lsh_index_of,
+        neardup_pairs_vs_index,
+    )
 
+    index_dir = corpus_dir.rstrip("/") + "__index"
     src = file_stream(spark, landing_dir, schema, fmt)
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         batch = batch_df.persist()
-        has_corpus = os.path.isdir(corpus_dir) and any(
-            e.startswith("batch=") for e in os.listdir(corpus_dir)
-        )
-        if has_corpus:
-            corpus = spark.read.parquet(corpus_dir).drop("batch")
-            pairs = minhash_lsh_dedup_incremental(
-                corpus, batch, text_col, id_col, threshold
-            )
+        bsh, bb = lsh_index_of(batch, text_col, id_col)
+        bsh, bb = bsh.persist(), bb.persist()
+        has_index = os.path.isdir(os.path.join(index_dir, "sh"))
+        if has_index:
+            ish = spark.read.parquet(os.path.join(index_dir, "sh")).drop("batch")
+            ib = spark.read.parquet(os.path.join(index_dir, "bands")).drop("batch")
+            pairs = neardup_pairs_vs_index(ish, ib, bsh, bb, threshold)
         else:
-            pairs = minhash_lsh_dedup(batch, text_col, id_col, threshold)
+            pairs = _jaccard_verify(candidate_pairs_from_bands(bb), bsh).filter(
+                F.col("jaccard") >= threshold
+            )
         new_ids = batch.select(F.col(id_col).alias("nid"))
         p = (
             pairs.join(
@@ -361,10 +375,22 @@ def dedup_ingest_stream(
         )
         survivors = batch.join(
             drop, F.col(id_col) == F.col("drop_id"), "left_anti"
-        )
+        ).persist()
         survivors.write.mode("overwrite").parquet(
             os.path.join(corpus_dir, f"batch={batch_id}")
         )
+        # append the survivors' index rows — the corpus is never
+        # re-shingled; replay overwrites the same batch dirs
+        surv_ids = survivors.select(F.col(id_col).alias("id"))
+        bsh.join(surv_ids, "id", "left_semi").write.mode("overwrite").parquet(
+            os.path.join(index_dir, "sh", f"batch={batch_id}")
+        )
+        bb.join(surv_ids, "id", "left_semi").write.mode("overwrite").parquet(
+            os.path.join(index_dir, "bands", f"batch={batch_id}")
+        )
+        survivors.unpersist()
+        bsh.unpersist()
+        bb.unpersist()
         batch.unpersist()
 
     q = (

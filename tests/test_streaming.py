@@ -340,3 +340,7 @@ def test_dedup_ingest_stream_curates_corpus_across_batches(spark, tmp_path):
     assert drain() == {1, 2, 12}
     # restart, nothing new → unchanged
     assert drain() == {1, 2, 12}
+    # the persisted LSH index tracks exactly the surviving docs — the
+    # corpus is never re-shingled on later batches
+    idx = spark.read.parquet(corpus + "__index/sh")
+    assert {r.id for r in idx.select("id").collect()} == {1, 2, 12}
