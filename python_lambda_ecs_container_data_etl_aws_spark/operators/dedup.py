@@ -417,12 +417,16 @@ def neardup_pairs_vs_index(
     corpus index is already materialized. Index-side work is ONE probe
     of its band relation; nothing corpus-sized is recomputed."""
     ib = _cap_buckets(index_bands, max_bucket_size)
+    # id-inequality matters: after a crash replay the batch's own docs
+    # may already sit in the index, and a self-pair (x, x) would read
+    # as "new duplicates old" and wipe the doc on re-delivery
     cross = (
         batch_bands.alias("n")
         .join(
             ib.alias("o"),
             (F.col("n.band") == F.col("o.band"))
-            & (F.col("n.bucket") == F.col("o.bucket")),
+            & (F.col("n.bucket") == F.col("o.bucket"))
+            & (F.col("n.id") != F.col("o.id")),
         )
         .select(
             F.least(F.col("n.id"), F.col("o.id")).alias("a_id"),
@@ -431,7 +435,12 @@ def neardup_pairs_vs_index(
         .distinct()
     )
     within = candidate_pairs_from_bands(_cap_buckets(batch_bands, max_bucket_size))
-    cand = cross.unionByName(within).distinct()
+    # no outer distinct: cross pairs carry exactly one index-side id and
+    # within pairs two batch-side ids, so under the disjoint-id contract
+    # the sets cannot overlap — deduplicating them again would re-shuffle
+    # the whole candidate relation. (With overlapping ids — the replay
+    # case — a pair may verify twice; downstream drop-sets distinct.)
+    cand = cross.unionByName(within)
     dsh = index_sh.unionByName(batch_sh)
     return _jaccard_verify(cand, dsh).filter(F.col("jaccard") >= threshold)
 

@@ -37,6 +37,8 @@ def profile_columns(df: DataFrame, cols: dict[str, str]) -> DataFrame:
 
     ``n_distinct`` excludes NULLs (ANSI COUNT(DISTINCT) semantics).
     """
+    if not cols:
+        raise ValueError("profile_columns: cols must be non-empty")
     parts = []
     for name, expr in cols.items():
         v = F.expr(expr)

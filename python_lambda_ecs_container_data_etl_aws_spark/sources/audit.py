@@ -100,18 +100,25 @@ def compact_log(spark: SparkSession, log_dir: str, log_date: str) -> int:
     import shutil
 
     part = os.path.join(log_dir, f"log_date={log_date}")
+    # both work dirs are DOT-prefixed so partition discovery never sees
+    # them — an un-prefixed leftover would parse as a malformed
+    # log_date value and break every later read
+    aside = os.path.join(log_dir, f".log_date={log_date}__old")
+    staging = os.path.join(log_dir, f".log_date={log_date}__staging")
+    # heal a crash between the two renames below: partition missing,
+    # old data in the aside → restore it before doing anything else
+    if not os.path.isdir(part) and os.path.isdir(aside):
+        os.rename(aside, part)
     if not os.path.isdir(part):
         return 0
+    shutil.rmtree(staging, ignore_errors=True)
     rows = spark.read.parquet(part)
     n = rows.count()
-    staging = part + "__staging"
     rows.coalesce(1).write.mode("overwrite").parquet(staging)
-    aside = os.path.join(log_dir, f".log_date={log_date}__old")
     shutil.rmtree(aside, ignore_errors=True)
     os.rename(part, aside)
     os.rename(staging, part)
     shutil.rmtree(aside, ignore_errors=True)
-    # drop the staging _SUCCESS marker noise? keep parquet dir as-is
     return n
 
 

@@ -46,7 +46,7 @@ from . import registry
 from .audit import log_ingest
 from .loader import IngestResult, read_csv_canonical, validate_counts
 from .merge import upsert
-from .report import ReportSpec, aggregate_state, refresh_report
+from .report import ReportSpec, aggregate_state, last_applied_marker, refresh_report
 
 BUCKET_COL = "__bucket"
 
@@ -186,21 +186,49 @@ def ingest_file(
     loaded = res.good.count()
     extras: dict = {}
 
-    def _retract_state(pre_merge: DataFrame) -> DataFrame:
-        # Aggregate the rows this merge will REPLACE, materialized
-        # (persist + count) before the table is rewritten — the relation
-        # is derived from the pre-merge table and Spark reads lazily.
-        replaced = pre_merge.join(
-            res.good.select(*keys).distinct(), keys, "left_semi"
-        )
-        state = aggregate_state(replaced, report_spec).persist()
-        state.count()
-        return state
+    # Report maintenance ordering + crash recovery: the incremental
+    # refresh runs BEFORE the table swap (its retract state reads the
+    # pre-merge table) and carries a per-load marker, so the designed
+    # recovery — re-running the same file after a crash — converges:
+    # a crash before the refresh re-derives the same retract from the
+    # unchanged table; a crash after it (mid- or pre-swap) skips the
+    # already-applied refresh via the marker and the idempotent merge
+    # heals the table. The marker is a high-water guard for the
+    # immediate-retry case; re-running an OLD file after newer loads
+    # re-applies (use a bootstrap/recompute to repair — see below).
+    rdir = report_dir or table_dir + "__report"
+    load_id = f"{fname}|{res.src_rows}|{res.bad_rows}"
+    table_existed = os.path.isdir(table_dir)
+    # A missing report over a table WITH history (first enablement, or
+    # operational loss) cannot be folded incrementally — bootstrap by
+    # full recompute from the merged table after the swap instead.
+    bootstrap_report = (
+        report_spec is not None and table_existed and not os.path.isdir(rdir)
+    )
 
-    retract = None
+    def _refresh_incremental(pre_merge: DataFrame | None) -> None:
+        if report_spec is None or bootstrap_report:
+            return
+        if last_applied_marker(rdir) == load_id:
+            return  # crash-recovery re-run: refresh already landed
+        retract = None
+        if pre_merge is not None:
+            replaced = pre_merge.join(
+                res.good.select(*keys).distinct(), keys, "left_semi"
+            )
+            retract = aggregate_state(replaced, report_spec)
+        refresh_report(
+            spark,
+            rdir,
+            report_spec,
+            delta_state=aggregate_state(res.good, report_spec),
+            retract_state=retract,
+            marker_batch_id=load_id,
+        )
+
     if keys is not None:
         delta = res.good.withColumn(BUCKET_COL, _bucket_expr(keys, n_buckets))
-        if os.path.isdir(table_dir) and _is_bucketed(table_dir):
+        if table_existed and _is_bucketed(table_dir):
             # Bucket-scoped merge: only partitions the delta hashes into
             # are read, merged, and swapped. Everything else: untouched.
             touched = sorted(
@@ -210,39 +238,41 @@ def ingest_file(
             perm = spark.read.parquet(table_dir).filter(
                 F.col(BUCKET_COL).isin(touched)
             )
-            if report_spec is not None:
-                retract = _retract_state(perm)
+            _refresh_incremental(perm)
             merged = upsert(perm, delta, keys)
             staging = table_dir + "__staging"
             merged.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(staging)
             extras["buckets_touched"] = _swap_bucket_dirs(staging, table_dir)
         else:
-            if os.path.isdir(table_dir):
+            if table_existed:
                 # legacy unbucketed layout: one-time migration
                 old = spark.read.parquet(table_dir).withColumn(
                     BUCKET_COL, _bucket_expr(keys, n_buckets)
                 )
-                if report_spec is not None:
-                    retract = _retract_state(old)
+                _refresh_incremental(old)
                 delta = upsert(old, delta, keys)
+            else:
+                _refresh_incremental(None)
             staging = table_dir + "__staging"
             delta.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(staging)
             extras["buckets_touched"] = _swap_bucket_dirs(staging, table_dir)
     else:
+        _refresh_incremental(None)
         res.good.write.mode(
-            "append" if os.path.isdir(table_dir) else "overwrite"
+            "append" if table_existed else "overwrite"
         ).parquet(table_dir)
 
-    if report_spec is not None:
+    if bootstrap_report:
+        merged_facts = spark.read.parquet(table_dir)
+        if BUCKET_COL in merged_facts.columns:
+            merged_facts = merged_facts.drop(BUCKET_COL)
         refresh_report(
             spark,
-            report_dir or table_dir + "__report",
+            rdir,
             report_spec,
-            delta_state=aggregate_state(res.good, report_spec),
-            retract_state=retract,
+            delta_state=aggregate_state(merged_facts, report_spec),
+            marker_batch_id=load_id,
         )
-        if retract is not None:
-            retract.unpersist()
 
     ok = validate_counts(res.src_rows - res.bad_rows, loaded, maxerrors)
     report = IngestReport(

@@ -57,13 +57,30 @@ def aggregate_state(df: DataFrame, spec: ReportSpec) -> DataFrame:
     )
 
 
-def _swap_dir(staging: str, final: str) -> None:
-    """Atomically swap ``staging`` in as ``final``: rename old aside →
-    rename new in → drop old (dot-prefixed aside, invisible to any
-    reader that lists the parent; crash leaves old-or-new, never
-    destroyed)."""
+def _aside_of(final: str) -> str:
     parent, name = os.path.split(final.rstrip("/"))
-    aside = os.path.join(parent, f".{name}__old")
+    return os.path.join(parent, f".{name}__old")
+
+
+def _recover_dir(final: str) -> None:
+    """Heal the one non-atomic window of :func:`_swap_dir`: a crash
+    between rename-aside and rename-in leaves ``final`` missing with
+    the old state in the aside — restore it. (A present ``final`` plus
+    a stale aside means the swap completed; the aside is droppable and
+    the next swap scrubs it.)"""
+    aside = _aside_of(final)
+    if not os.path.isdir(final) and os.path.isdir(aside):
+        os.rename(aside, final)
+
+
+def _swap_dir(staging: str, final: str) -> None:
+    """Swap ``staging`` in as ``final``: rename old aside → rename new
+    in → drop old (dot-prefixed aside, invisible to any reader that
+    lists the parent). Each rename is atomic; the one crash window
+    between them is healed by :func:`_recover_dir`, which every reader
+    and the next swap run first — so old-or-new, never destroyed."""
+    aside = _aside_of(final)
+    _recover_dir(final)
     shutil.rmtree(aside, ignore_errors=True)
     if os.path.isdir(final):
         os.rename(final, aside)
@@ -77,20 +94,30 @@ def refresh_report(
     spec: ReportSpec,
     delta_state: DataFrame,
     retract_state: DataFrame | None = None,
-    marker_batch_id: int | None = None,
+    marker_batch_id: int | str | None = None,
 ) -> None:
     """Fold one load's delta (and the merge's retractions) into the
     maintained report table at ``report_dir``.
 
-    ``retract_state`` must be MATERIALIZED by the caller (persist +
-    count) before the permanent table is rewritten — it is derived from
-    the pre-merge table, and Spark evaluates lazily.
+    ``retract_state`` is derived from the PRE-merge table: run this
+    refresh before the permanent table is rewritten (Spark evaluates
+    lazily — pipeline.ingest_file refreshes before its bucket swap),
+    or materialize the retract first.
 
-    ``marker_batch_id`` (streaming replay guard) is written into the
-    staging dir as ``_last_batch`` BEFORE the swap — underscore-prefixed
-    so parquet readers skip it — making state and marker flip in the
-    same atomic rename (see streaming.runner.refresh_report_once).
+    ``marker_batch_id`` (replay guard — a streaming batch id or a
+    pipeline load id) is written into the staging dir as ``_last_batch``
+    BEFORE the swap — underscore-prefixed so parquet readers skip it —
+    making state and marker flip in the same atomic rename (see
+    streaming.runner.refresh_report_once / pipeline.ingest_file).
+
+    A MISSING ``report_dir`` is treated as a first-ever bootstrap: the
+    state becomes the delta alone and any retract is ignored. Callers
+    maintaining a report over a table that already has history must
+    bootstrap explicitly (pipeline.ingest_file recomputes from the
+    merged table in that case) — folding a delta into a missing base
+    would silently diverge from the facts.
     """
+    _recover_dir(report_dir)
     if os.path.isdir(report_dir):
         base = spark.read.parquet(report_dir)
         if retract_state is None:
@@ -111,13 +138,24 @@ def refresh_report(
     _swap_dir(staging, report_dir)
 
 
-def last_applied_batch(report_dir: str) -> int:
-    """The ``_last_batch`` marker inside the report dir, or -1."""
+def last_applied_marker(report_dir: str) -> str | None:
+    """The raw ``_last_batch`` marker inside the report dir, or None."""
+    _recover_dir(report_dir)
     marker = os.path.join(report_dir, "_last_batch")
     if os.path.isfile(marker):
         with open(marker) as fh:
-            return int(fh.read().strip() or -1)
-    return -1
+            return fh.read().strip() or None
+    return None
+
+
+def last_applied_batch(report_dir: str) -> int:
+    """The ``_last_batch`` marker as a streaming batch id, or -1 (also
+    -1 for a non-numeric pipeline load-id marker)."""
+    raw = last_applied_marker(report_dir)
+    try:
+        return int(raw) if raw is not None else -1
+    except ValueError:
+        return -1
 
 
 def read_report(spark: SparkSession, report_dir: str) -> DataFrame:

@@ -336,7 +336,12 @@ def dedup_ingest_stream(
         batch = batch_df.persist()
         bsh, bb = lsh_index_of(batch, text_col, id_col)
         bsh, bb = bsh.persist(), bb.persist()
-        has_index = os.path.isdir(os.path.join(index_dir, "sh"))
+        # gate on BOTH index relations: bands is written first and sh
+        # last, so sh present → bands present; a crash between the two
+        # writes leaves only bands, which the replay safely overwrites
+        has_index = os.path.isdir(os.path.join(index_dir, "sh")) and os.path.isdir(
+            os.path.join(index_dir, "bands")
+        )
         if has_index:
             ish = spark.read.parquet(os.path.join(index_dir, "sh")).drop("batch")
             ib = spark.read.parquet(os.path.join(index_dir, "bands")).drop("batch")
@@ -382,11 +387,11 @@ def dedup_ingest_stream(
         # append the survivors' index rows — the corpus is never
         # re-shingled; replay overwrites the same batch dirs
         surv_ids = survivors.select(F.col(id_col).alias("id"))
-        bsh.join(surv_ids, "id", "left_semi").write.mode("overwrite").parquet(
-            os.path.join(index_dir, "sh", f"batch={batch_id}")
-        )
         bb.join(surv_ids, "id", "left_semi").write.mode("overwrite").parquet(
             os.path.join(index_dir, "bands", f"batch={batch_id}")
+        )
+        bsh.join(surv_ids, "id", "left_semi").write.mode("overwrite").parquet(
+            os.path.join(index_dir, "sh", f"batch={batch_id}")
         )
         survivors.unpersist()
         bsh.unpersist()

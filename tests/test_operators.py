@@ -500,5 +500,29 @@ def test_bloom_filtered_semi_join_injects_runtime_filter(spark):
         for k, v in saved.items():
             if v is not None:
                 spark.conf.set(k, v)
+            else:
+                spark.conf.unset(k)
     exact = li.join(urgent, "o_orderkey", "left_semi").count()
     assert n == exact
+
+
+def test_index_probe_with_overlapping_ids_forms_no_self_pairs(spark):
+    """Crash-replay shape: the batch's docs are already in the index.
+    Self-pairs (x, x) must not form — they would read as 'new dups old'
+    and wipe every replayed doc."""
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "one two three four five six"),
+            (3, "alpha beta gamma delta epsilon zeta"),
+        ],
+        "doc_id BIGINT, text STRING",
+    )
+    ish, ib = dedup.lsh_index_of(docs)
+    bsh, bb = dedup.lsh_index_of(docs)
+    pairs = {
+        (r.a_id, r.b_id)
+        for r in dedup.neardup_pairs_vs_index(ish, ib, bsh, bb, 0.5).collect()
+    }
+    assert all(a != b for a, b in pairs)
+    assert (1, 3) in pairs and not any(2 in p for p in pairs)

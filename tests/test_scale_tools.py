@@ -437,6 +437,9 @@ def test_maintained_report_tracks_every_load(spark, tmp_path):
     # idempotence carries over to the maintained state)
     again = ingest("PriceIndex_upd2.csv", upd)
     assert again == got
+    # crash-recovery re-run of the SAME file: the load-id marker skips
+    # the refresh entirely and the merge is idempotent
+    assert ingest("PriceIndex_upd2.csv", upd) == got
 
 
 def test_audit_log_compaction_and_retention(spark, tmp_path):
@@ -482,3 +485,66 @@ def test_audit_log_compaction_and_retention(spark, tmp_path):
     assert expire_log(log_dir, keep_after=days[2]) == days[:2]
     left = load_ingest_log(spark, log_dir)
     assert {str(r.log_date) for r in left.collect()} == {days[2]}
+
+
+def test_report_swap_crash_window_recovers_old_state(spark, tmp_path):
+    """Simulated crash between the two renames of the report swap: the
+    report dir is missing and the old state sits in the dot-aside —
+    every reader/refresh must restore it instead of silently
+    rebootstrapping from the next delta."""
+    from python_lambda_ecs_container_data_etl_aws_spark.sources.report import (
+        ReportSpec,
+        aggregate_state,
+        last_applied_batch,
+        read_report,
+        refresh_report,
+    )
+
+    spec = ReportSpec(group_keys=("g",), sums=())
+    rdir = str(tmp_path / "rep")
+    facts = spark.createDataFrame([("a",), ("a",), ("b",)], "g STRING")
+    refresh_report(spark, rdir, spec, aggregate_state(facts, spec), marker_batch_id=7)
+    # simulate the crash window
+    os.rename(rdir, str(tmp_path / ".rep__old"))
+    assert last_applied_batch(rdir) == 7  # reader healed the dir
+    got = {r.g: r.n_rows for r in read_report(spark, rdir).collect()}
+    assert got == {"a": 2, "b": 1}
+
+
+def test_maintained_report_bootstraps_over_existing_history(spark, tmp_path):
+    """Enabling report maintenance on a table that already has history
+    must bootstrap by full recompute, not fold a delta into nothing."""
+    from python_lambda_ecs_container_data_etl_aws_spark.sources.report import (
+        ReportSpec,
+        aggregate_state,
+        read_report,
+    )
+
+    land = tmp_path / "landing"
+    land.mkdir()
+    wh = str(tmp_path / "wh")
+    rdir = str(tmp_path / "report")
+    spec = ReportSpec(
+        group_keys=("GEO",), sums=(("sum_value", "CAST(VALUE AS DECIMAL(18,6))"),)
+    )
+    f1 = land / "PriceIndex_hist.csv"
+    f1.write_text(
+        "\n".join([HEADER] + [_geo_row(f"H{i}", "2.0", "Canada") for i in range(5)]) + "\n"
+    )
+    ingest_file(spark, str(f1), wh, keys=["DGUID"])  # no report yet
+    f2 = land / "PriceIndex_new.csv"
+    f2.write_text("\n".join([HEADER, _geo_row("N1", "9.0", "Quebec")]) + "\n")
+    ingest_file(
+        spark, str(f2), wh, keys=["DGUID"], report_spec=spec, report_dir=rdir
+    )
+    got = {
+        r.GEO: (r.n_rows, float(r.sum_value))
+        for r in read_report(spark, rdir).collect()
+    }
+    want = {
+        r.GEO: (r.n_rows, float(r.sum_value))
+        for r in aggregate_state(
+            read_permanent(spark, wh, "priceindex"), spec
+        ).collect()
+    }
+    assert got == want and got == {"Canada": (5, 10.0), "Quebec": (1, 9.0)}
