@@ -119,3 +119,163 @@ def rolling_fingerprint(col: Column | str) -> Column:
         return texts.fillna("").map(roll)
 
     return _udf(F.col(col) if isinstance(col, str) else col)
+
+
+def grams_exploded(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 2
+) -> DataFrame:
+    """Word n-gram occurrences per document WITH duplicates: (id, gram).
+
+    The counting twin of :func:`dedup.shingles` (which dedups for set
+    semantics) — repetition statistics need every occurrence. Short
+    docs are guarded the same way: ``sequence(0, negative)`` descends
+    under ANSI mode and indexes out of bounds, so docs with fewer than
+    ``n`` tokens yield zero grams via the CASE arm, never a crash.
+    """
+    parts = ", ".join(f"toks[i+{j}]" for j in range(n))
+    gen = (
+        f"CASE WHEN size(toks) >= {n} "
+        f"THEN transform(sequence(0, size(toks) - {n}), i -> concat_ws(' ', {parts})) "
+        f"ELSE array() END"
+    )
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.split(F.col(text_col), " ").alias("toks"),
+    ).select("id", F.explode(F.expr(gen)).alias("gram"))
+
+
+def repetition_signals(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document repetition statistics — the Gopher-style repetition
+    rules (Rae et al. 2021, "Scaling Language Models", §A1.1):
+
+    - ``ttr``        type-token ratio (distinct tokens / tokens);
+    - ``top2_frac``  fraction of 2-gram occurrences taken by the single
+      most frequent 2-gram ("fraction of doc in the top bigram");
+    - ``dup3_frac``  fraction of 3-gram occurrences whose gram appears
+      more than once in the document.
+
+    Shape at scale: TTR is a zero-shuffle per-row array expression; the
+    gram statistics are two aggregations keyed by (doc, gram) — keys
+    are per-document so there is no global hot key, and partial
+    (map-side) aggregation collapses each doc's grams before the
+    exchange. Nothing is corpus-global; the plan scales linearly with
+    rows. Docs too short to have grams left-join in as zero fractions.
+
+    All three ratios are a SINGLE IEEE division of exact integers —
+    bit-identical across engines (the repo's float-determinism rule).
+    """
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.split(F.col(text_col), " ").alias("toks"),
+    ).select(
+        "id",
+        F.size("toks").alias("n_tokens"),
+        (F.size(F.array_distinct("toks")) / F.size("toks")).alias("ttr"),
+    )
+
+    def _gram_stats(n: int, out: str, top: bool) -> DataFrame:
+        per_gram = (
+            grams_exploded(df, text_col, id_col, n)
+            .groupBy("id", "gram")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        agg = (
+            F.max("c") if top else F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(F.lit(0)))
+        )
+        return per_gram.groupBy("id").agg(
+            (agg / F.sum("c")).alias(out)
+        )
+    g2 = _gram_stats(2, "top2_frac", top=True)
+    g3 = _gram_stats(3, "dup3_frac", top=False)
+    return (
+        base.join(g2, "id", "left")
+        .join(g3, "id", "left")
+        .select(
+            F.col("id"),
+            "n_tokens",
+            "ttr",
+            F.coalesce("top2_frac", F.lit(0.0)).alias("top2_frac"),
+            F.coalesce("dup3_frac", F.lit(0.0)).alias("dup3_frac"),
+        )
+    )
+
+
+# PII patterns restricted to syntax RE2 (DuckDB) and java.util.regex
+# agree on: literal classes, bounded repeats, \d, and \b boundaries.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"\b\d{3}-\d{3}-\d{4}\b"
+PII_IP_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+def scrub_pii(
+    df: DataFrame, text_col: str = "text", out_col: str = "clean_text"
+) -> DataFrame:
+    """Redact emails, NANP phone numbers, and IPv4 addresses — the
+    C4-style PII cleaning pass an LLM corpus runs before training.
+
+    Appends ``out_col`` plus ``n_emails`` / ``n_phones`` / ``n_ips``.
+    Replacement is ordered email → phone → IP, and each count is taken
+    on the text as it stood BEFORE that rule's replacement (so a dotted
+    email domain is consumed by the email rule and never double-counted
+    by the IP rule). Pure ``regexp_replace`` / ``regexp_extract_all``
+    column expressions: whole-stage codegen, zero shuffle, zero Python.
+    """
+    t0 = F.col(text_col) if isinstance(text_col, str) else text_col
+    t1 = F.regexp_replace(t0, PII_EMAIL_RE, "<EMAIL>")
+    t2 = F.regexp_replace(t1, PII_PHONE_RE, "<PHONE>")
+    t3 = F.regexp_replace(t2, PII_IP_RE, "<IP>")
+
+    def _n(col: Column, pat: str) -> Column:
+        return F.size(F.regexp_extract_all(col, F.lit(pat), F.lit(0))).cast("bigint")
+
+    return (
+        df.withColumn("n_emails", _n(t0, PII_EMAIL_RE))
+        .withColumn("n_phones", _n(t1, PII_PHONE_RE))
+        .withColumn("n_ips", _n(t2, PII_IP_RE))
+        .withColumn(out_col, t3)
+    )
+
+
+def token_freq_score(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document mean corpus token frequency — the relational core
+    of a unigram-LM quality scorer (CCNet/KenLM-style: score each doc
+    by how probable its tokens are under a corpus-wide unigram model).
+
+    Returns (id, n_tokens, freq_sum, mean_freq) where ``freq_sum`` is
+    the exact BIGINT sum over the doc's token occurrences of each
+    token's corpus-wide occurrence count, and ``mean_freq`` is one IEEE
+    division of it by n_tokens. The log/perplexity transform is
+    monotone in these counts; keeping the statistic in integers is what
+    makes it bit-deterministic across engines and partitionings (a
+    double log-prob sum reassociates under parallel aggregation).
+
+    Shape at scale: one explode of the token relation feeds BOTH the
+    vocabulary aggregation and the scoring join — two exchanges keyed
+    by token, one keyed by doc. The vocabulary relation is |V| rows
+    (Zipf-bounded, ≪ corpus size); AQE broadcasts it into the scoring
+    join when it fits, else it is an ordinary shuffle hash join with
+    partial aggregation on both sides. No corpus-sized state anywhere.
+    """
+    tok = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.col(text_col), " ")).alias("tok"),
+    )
+    vocab = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("corpus_cnt"))
+    return (
+        tok.join(vocab, "tok")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("corpus_cnt").alias("freq_sum"),
+        )
+        .select(
+            "id",
+            "n_tokens",
+            F.col("freq_sum").cast("bigint").alias("freq_sum"),
+            (F.col("freq_sum") / F.col("n_tokens")).alias("mean_freq"),
+        )
+    )

@@ -1,0 +1,209 @@
+"""Corpus-cleaning queries q55-q57: the per-document quality signals a
+100 TB pre-training pipeline computes between raw ingest and the
+dedup/funnel stages (q17-q30, q44-q50).
+
+- q55 repetition signals: the Gopher repetition rules (type-token
+  ratio, top-bigram fraction, duplicate-trigram fraction) as two
+  (doc, gram)-keyed aggregations plus a zero-shuffle array expression.
+- q56 PII scrub: C4-style redaction of emails / phone numbers / IPv4
+  addresses with per-source redaction accounting. The synthetic corpus
+  carries no PII, so the query plants deterministic PII derived from
+  doc_id in BOTH engines and verifies the scrubber end-to-end.
+- q57 unigram frequency score: mean corpus token frequency per doc —
+  the relational core of a CCNet/KenLM-style unigram-LM quality
+  scorer, kept in exact integers for bit-determinism.
+
+The reference pipeline ends at warehouse loads (no corpus-quality
+stage); these extend the Tier-C LLM-operator suite.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..operators import text as text_ops
+from .core import ORACLE, _q
+
+# --------------------------------------------------------------------------
+# q55 Gopher repetition signals over the whole corpus.
+
+ORACLE["q55_repetition_signals"] = """
+WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+base AS (
+    SELECT doc_id, len(toks) AS n_tokens,
+           CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS ttr
+    FROM tok
+),
+g2 AS (
+    SELECT doc_id, g, COUNT(*) AS c
+    FROM tok, UNNEST(list_transform(range(1, len(toks)),
+                                    i -> toks[i] || ' ' || toks[i+1])) AS u(g)
+    GROUP BY 1, 2
+),
+s2 AS (SELECT doc_id, CAST(MAX(c) AS DOUBLE) / SUM(c) AS top2_frac FROM g2 GROUP BY 1),
+g3 AS (
+    SELECT doc_id, g, COUNT(*) AS c
+    FROM tok, UNNEST(list_transform(range(1, len(toks) - 1),
+                                    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS u(g)
+    GROUP BY 1, 2
+),
+s3 AS (
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE) / SUM(c) AS dup3_frac
+    FROM g3 GROUP BY 1
+)
+SELECT b.doc_id, b.n_tokens, b.ttr,
+       COALESCE(s2.top2_frac, 0.0) AS top2_frac,
+       COALESCE(s3.dup3_frac, 0.0) AS dup3_frac
+FROM base b LEFT JOIN s2 USING (doc_id) LEFT JOIN s3 USING (doc_id)
+ORDER BY b.doc_id
+"""
+
+
+@_q("q55_repetition_signals")
+def q55(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        text_ops.repetition_signals(d)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            "ttr",
+            "top2_frac",
+            "dup3_frac",
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# q56 PII scrub with planted fixtures. The plants are pure functions of
+# doc_id built identically in both engines; counts and the redacted
+# text length are exact integers, so the hash pins the scrubber's
+# regex semantics (not just row counts).
+
+_PII_AUG_SQL = """
+    text
+    || CASE WHEN doc_id % 5 = 0
+            THEN ' contact bob' || CAST(doc_id AS VARCHAR) || '@mail.example.com now'
+            ELSE '' END
+    || CASE WHEN doc_id % 7 = 0
+            THEN ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-0199'
+            ELSE '' END
+    || CASE WHEN doc_id % 11 = 0
+            THEN ' host 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7'
+            ELSE '' END
+"""
+
+ORACLE["q56_pii_scrub"] = f"""
+WITH aug AS (SELECT doc_id, source, ({_PII_AUG_SQL}) AS text FROM documents),
+scrubbed AS (
+    SELECT source,
+           len(regexp_extract_all(text, '{text_ops.PII_EMAIL_RE}')) AS n_emails,
+           regexp_replace(text, '{text_ops.PII_EMAIL_RE}', '<EMAIL>', 'g') AS t1
+    FROM aug
+),
+s2 AS (
+    SELECT source, n_emails,
+           len(regexp_extract_all(t1, '{text_ops.PII_PHONE_RE}')) AS n_phones,
+           regexp_replace(t1, '{text_ops.PII_PHONE_RE}', '<PHONE>', 'g') AS t2
+    FROM scrubbed
+),
+s3 AS (
+    SELECT source, n_emails, n_phones,
+           len(regexp_extract_all(t2, '{text_ops.PII_IP_RE}')) AS n_ips,
+           regexp_replace(t2, '{text_ops.PII_IP_RE}', '<IP>', 'g') AS clean_text
+    FROM s2
+)
+SELECT source, COUNT(*) AS n_docs,
+       SUM(n_emails) AS emails, SUM(n_phones) AS phones, SUM(n_ips) AS ips,
+       SUM(CASE WHEN n_emails + n_phones + n_ips > 0 THEN 1 ELSE 0 END) AS docs_redacted,
+       SUM(LENGTH(clean_text)) AS clean_chars
+FROM s3 GROUP BY source ORDER BY source
+"""
+
+
+@_q("q56_pii_scrub")
+def q56(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    aug = d.select(
+        "doc_id",
+        "source",
+        F.concat(
+            F.col("text"),
+            F.when(
+                did % 5 == 0,
+                F.concat(
+                    F.lit(" contact bob"),
+                    did.cast("string"),
+                    F.lit("@mail.example.com now"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                did % 7 == 0,
+                F.concat(
+                    F.lit(" call 555-"),
+                    F.lpad((did % 1000).cast("string"), 3, "0"),
+                    F.lit("-0199"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                did % 11 == 0,
+                F.concat(F.lit(" host 10.0."), (did % 256).cast("string"), F.lit(".7")),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return (
+        text_ops.scrub_pii(aug)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_emails").alias("emails"),
+            F.sum("n_phones").alias("phones"),
+            F.sum("n_ips").alias("ips"),
+            F.sum(
+                (
+                    (F.col("n_emails") + F.col("n_phones") + F.col("n_ips")) > 0
+                ).cast("bigint")
+            ).alias("docs_redacted"),
+            F.sum(F.length("clean_text")).alias("clean_chars"),
+        )
+        .orderBy("source")
+    )
+
+
+# --------------------------------------------------------------------------
+# q57 unigram corpus-frequency score per document.
+
+ORACLE["q57_token_freq_score"] = """
+WITH tok AS (
+    SELECT doc_id, u.t AS tok
+    FROM documents, UNNEST(string_split(text, ' ')) AS u(t)
+),
+vocab AS (SELECT tok, COUNT(*) AS corpus_cnt FROM tok GROUP BY 1),
+s AS (
+    SELECT doc_id, COUNT(*) AS n_tokens, SUM(corpus_cnt) AS freq_sum
+    FROM tok JOIN vocab USING (tok) GROUP BY 1
+)
+SELECT doc_id, n_tokens, CAST(freq_sum AS BIGINT) AS freq_sum,
+       CAST(freq_sum AS DOUBLE) / n_tokens AS mean_freq
+FROM s ORDER BY doc_id
+"""
+
+
+@_q("q57_token_freq_score")
+def q57(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        text_ops.token_freq_score(d)
+        .select(
+            F.col("id").alias("doc_id"),
+            "n_tokens",
+            "freq_sum",
+            "mean_freq",
+        )
+        .orderBy("doc_id")
+    )

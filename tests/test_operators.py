@@ -526,3 +526,65 @@ def test_index_probe_with_overlapping_ids_forms_no_self_pairs(spark):
     }
     assert all(a != b for a, b in pairs)
     assert (1, 3) in pairs and not any(2 in p for p in pairs)
+
+
+def test_repetition_signals_planted_values(spark):
+    """Hand-computable fixtures: a doc that is one token repeated, a
+    normal doc, and docs too short to have grams (no ANSI crash, zero
+    fractions)."""
+    d = spark.createDataFrame(
+        [
+            (1, "x x x x"),          # 3 bigrams all 'x x'; 2 trigrams both dup
+            (2, "a b c d"),          # all grams unique
+            (3, "solo"),             # no grams at all
+            (4, ""),                 # split('') -> [''] — still no grams
+            (5, "p q p q p q"),      # 5 bigrams: 'p q'x3,'q p'x2 -> top 3/5
+        ],
+        "doc_id BIGINT, text STRING",
+    )
+    got = {r.id: r for r in text.repetition_signals(d).collect()}
+    assert got[1].ttr == 0.25 and got[1].top2_frac == 1.0 and got[1].dup3_frac == 1.0
+    assert got[2].ttr == 1.0 and got[2].top2_frac == pytest.approx(1 / 3)
+    assert got[2].dup3_frac == 0.0
+    assert got[3].top2_frac == 0.0 and got[3].dup3_frac == 0.0
+    assert got[4].n_tokens == 1 and got[4].top2_frac == 0.0
+    assert got[5].top2_frac == pytest.approx(3 / 5)
+    assert got[5].dup3_frac == 1.0  # all 4 trigrams are one of 2 repeated grams
+
+
+def test_scrub_pii_redacts_and_counts(spark):
+    d = spark.createDataFrame(
+        [
+            (1, "mail a.b+c@sub.example.org and x@y.io here"),
+            (2, "call 415-555-2671 or 415-555-2672"),
+            (3, "host 10.0.0.1 gateway 192.168.255.254"),
+            (4, "version 1.2.3 is not an ip, 12-34-5678 not a phone"),
+            (5, "clean text with no pii at all"),
+        ],
+        "doc_id BIGINT, text STRING",
+    )
+    got = {r.doc_id: r for r in text.scrub_pii(d).collect()}
+    assert got[1].n_emails == 2 and "<EMAIL>" in got[1].clean_text
+    assert "@" not in got[1].clean_text
+    assert got[2].n_phones == 2 and got[2].clean_text.count("<PHONE>") == 2
+    assert got[3].n_ips == 2 and got[3].clean_text.count("<IP>") == 2
+    # 1.2.3 has three octets, 12-34-5678 has the wrong grouping
+    assert got[4].n_ips == 0 and got[4].n_phones == 0
+    assert got[4].clean_text == got[4].text
+    assert got[5].clean_text == got[5].text
+    assert all(r.n_emails + r.n_phones + r.n_ips == 0 for r in [got[4], got[5]])
+
+
+def test_token_freq_score_prefers_common_tokens(spark):
+    """Docs made of corpus-frequent tokens must outscore docs of rare
+    tokens; integer sums are exact."""
+    d = spark.createDataFrame(
+        [(i, "the the the") for i in range(9)] + [(9, "zzz the qqq")],
+        "doc_id BIGINT, text STRING",
+    )
+    got = {r.id: r for r in text.token_freq_score(d).collect()}
+    # 'the' occurs 28x, zzz/qqq once each
+    assert got[0].freq_sum == 28 * 3 and got[0].mean_freq == 28.0
+    assert got[9].freq_sum == 1 + 28 + 1
+    assert got[9].mean_freq == pytest.approx(10.0)
+    assert all(got[i].mean_freq > got[9].mean_freq for i in range(9))
