@@ -150,3 +150,27 @@ def test_q53_salted_join_no_nested_loop_or_cartesian(spark):
     plan = _plan(spark, "q53_salted_join")
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_q55_gram_aggs_have_partial_aggregation_no_python(spark):
+    """Repetition signals must collapse each doc's grams map-side
+    (HashAggregate partial before every exchange) and stay JVM-side."""
+    plan = _plan(spark, "q55_repetition_signals")
+    assert "Python" not in plan and "SortMergeJoin" not in plan
+    assert "partial_count" in plan or "Partial" in plan or plan.count("HashAggregate") >= 4
+
+
+def test_q56_pii_scrub_is_scan_project_one_agg(spark):
+    """The scrub itself is pure codegen projection; the only exchange
+    is the final per-source aggregation."""
+    plan = _plan(spark, "q56_pii_scrub")
+    assert "Python" not in plan
+    assert "Join" not in plan  # no joins at all
+    # one shuffle for the groupBy(source), one for the orderBy
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 2
+
+
+def test_q57_vocab_join_is_broadcast_or_hash_never_nested_loop(spark):
+    plan = _plan(spark, "q57_token_freq_score")
+    assert "Python" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan

@@ -548,3 +548,38 @@ def test_maintained_report_bootstraps_over_existing_history(spark, tmp_path):
         ).collect()
     }
     assert got == want and got == {"Canada": (5, 10.0), "Quebec": (1, 9.0)}
+
+
+def test_compact_log_crash_window_recovers_partition(spark, tmp_path):
+    """Crash between compact_log's two renames: the partition dir is
+    missing and the rows sit in the dot-aside. The next compaction (or
+    any later call) must restore the partition, not report it empty."""
+    from python_lambda_ecs_container_data_etl_aws_spark.sources.audit import (
+        compact_log,
+        load_ingest_log,
+        log_ingest,
+    )
+    from python_lambda_ecs_container_data_etl_aws_spark.sources.pipeline import IngestReport
+
+    import datetime as dt
+
+    log_dir = str(tmp_path / "log")
+    us = int(
+        dt.datetime(2026, 8, 10, 12, tzinfo=dt.timezone.utc).timestamp() * 1_000_000
+    )
+    for i in range(3):
+        log_ingest(
+            spark,
+            log_dir,
+            IngestReport(file=f"f{i}.csv", route="priceindex", status="ok"),
+            now_us=us + i,
+        )
+    # simulate the crash: partition renamed aside, new dir never landed
+    os.rename(
+        os.path.join(log_dir, "log_date=2026-08-10"),
+        os.path.join(log_dir, ".log_date=2026-08-10__old"),
+    )
+    assert compact_log(spark, log_dir, "2026-08-10") == 3  # healed + compacted
+    got = load_ingest_log(spark, log_dir)
+    assert got.count() == 3
+    assert {r.file for r in got.collect()} == {"f0.csv", "f1.csv", "f2.csv"}
