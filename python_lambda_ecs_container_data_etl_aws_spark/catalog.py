@@ -71,33 +71,53 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events with ``ts_us`` (epoch microseconds, BIGINT) replacing ``ts``.
 
-    The parquet stores TIMESTAMP(NANOS); Spark reads it as a long when
-    ``spark.sql.legacy.parquet.nanosAsLong`` is on. ``ts div 1000``
-    truncates nanos→micros exactly the way DuckDB's scan does, so both
-    engines see identical integer instants (verified: sum/min/max of
-    epoch_us agree bit-for-bit). Epoch integers also sidestep every
-    timezone/format hazard in cross-engine comparison.
+    The landing file's ``ts`` physical type has varied across driver
+    testdata generations — TIMESTAMP(NANOS) (read as BIGINT under
+    ``spark.sql.legacy.parquet.nanosAsLong``), TIMESTAMP(MICROS)
+    isAdjustedToUTC=false (read as TIMESTAMP_NTZ), or an adjusted
+    TIMESTAMP (read as TIMESTAMP_LTZ) — so we dispatch on the resolved
+    Spark type instead of assuming one. All three paths produce the
+    same integer instant DuckDB's ``epoch_us(ts)`` yields (session tz
+    is pinned UTC, so the NTZ cast is interpretation-free). Epoch
+    integers sidestep every timezone/format hazard in cross-engine
+    comparison, and the normalization is a zero-shuffle projection the
+    scan absorbs.
     """
     configure(spark)
     try:
         df = spark.read.parquet(f"{sf_dir}/events.parquet")
+        ts_type = df.schema["ts"].dataType.simpleString()
+        if ts_type == "bigint":
+            ts_us = F.expr("ts div 1000")  # nanosAsLong: truncate nanos→micros
+        else:
+            # timestamp_ntz under a UTC session tz casts instant-preserving;
+            # timestamp (ltz) is already an instant.
+            ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
         return df.select(
             "event_id",
-            F.expr("ts div 1000").alias("ts_us"),
+            ts_us.alias("ts_us"),
             "user_id",
             "event_type",
             "value",
             "props",
         )
     except Exception:
-        # Fallback for sessions where the legacy conf cannot be set:
-        # arrow-side conversion. Fine at test scale; at production scale
-        # the landing data would be written with micros in the first place.
+        # Fallback for sessions where the confs cannot be set: arrow-side
+        # conversion. Fine at test scale; at production scale the landing
+        # data would be written with micros in the first place.
+        import pyarrow as pa
         import pyarrow.parquet as pq
 
         tbl = pq.read_table(f"{sf_dir}/events.parquet")
+        ts = tbl.column("ts")
+        unit = ts.type.unit if pa.types.is_timestamp(ts.type) else "ns"
+        div = {"s": 1, "ms": 1, "us": 1, "ns": 1000}[unit]
+        mul = {"s": 1_000_000, "ms": 1_000, "us": 1, "ns": 1}[unit]
+        import pyarrow.compute as pc
+
+        ts_us = pc.divide(pc.multiply(ts.cast(pa.int64()), mul), div)
         pdf = tbl.to_pandas()
-        pdf["ts_us"] = pdf["ts"].astype("int64") // 1000
+        pdf["ts_us"] = ts_us.to_pandas().astype("int64")
         pdf = pdf[["event_id", "ts_us", "user_id", "event_type", "value", "props"]]
         return spark.createDataFrame(pdf, schema=_EVENTS_SCHEMA)
 
