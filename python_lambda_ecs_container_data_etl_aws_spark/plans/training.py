@@ -1,0 +1,244 @@
+"""Training-set assembly queries q58-q61: the operations that turn a
+cleaned corpus (q17-q30, q44-q57) into what a trainer actually reads —
+context windows, salient terms, a deterministic global shuffle, and an
+epoch-replicated mixture.
+
+The reference pipeline stops at warehouse loads; these extend the
+Tier-C LLM-operator suite on its `documents` table.
+
+Scale posture (the reason each plan looks the way it does):
+
+- q58 window generation is a per-row explode — zero shuffles; output
+  volume is sum(ceil(tokens/stride)), the same fan-out a tokenizer
+  shard job produces, and it streams through whole-stage codegen.
+- q59 aggregates (doc, term) BEFORE joining the vocabulary relation,
+  so the head-token skew lands in a map-side-combined agg, not a
+  shuffled join of raw token rows; AQE broadcasts the vocab side when
+  it is small.
+- q60 reuses the two-pass range-partition/offset plan from
+  `sources/chunking.add_autoid` — a deterministic global permutation
+  with NO single-partition global window (the classic ROW_NUMBER()
+  OVER (ORDER BY ...) scale-killer).
+- q61 replication is explode(sequence(...)) — row fan-out inside the
+  scan stage; the only shuffle is the final small rollup.
+
+Every hash/score is engine-portable (md5 buckets, single IEEE
+divisions) so all four queries are value-hash-checked against DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..sources.chunking import add_autoid
+from .core import ORACLE, _q
+
+# --------------------------------------------------------------------------
+# q58 sliding context windows with overlap (RAG / long-context chunking).
+# Window = 16 tokens, stride = 8 (50% overlap). A document with n tokens
+# yields ceil(max(n-16,0)/8)+1 windows; the last window may be short.
+
+_WIN = 16
+_STRIDE = 8
+
+ORACLE["q58_sliding_windows"] = f"""
+WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+x AS (
+    SELECT doc_id, toks, CAST(u.i AS INT) AS win_idx
+    FROM tok, UNNEST(range(0, (greatest(len(toks) - {_WIN}, 0) + {_STRIDE} - 1)
+                              // {_STRIDE} + 1)) AS u(i)
+),
+s AS (
+    SELECT doc_id, win_idx,
+           list_slice(toks, win_idx * {_STRIDE} + 1,
+                      win_idx * {_STRIDE} + {_WIN}) AS win
+    FROM x
+)
+SELECT doc_id, win_idx, CAST(len(win) AS INT) AS win_tokens,
+       win[1] AS head_tok, md5(array_to_string(win, ' ')) AS win_md5
+FROM s ORDER BY doc_id, win_idx
+"""
+
+
+@_q("q58_sliding_windows")
+def q58(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    # integer `div` keeps the window count exact (no float floor)
+    d = d.select(
+        "doc_id",
+        F.split(F.col("text"), " ").alias("toks"),
+        F.expr(
+            f"CAST((greatest(size(split(text, ' ')) - {_WIN}, 0) + {_STRIDE} - 1) "
+            f"div {_STRIDE} AS INT)"
+        ).alias("extra"),
+    )
+    win = F.slice(F.col("toks"), F.col("win_idx") * _STRIDE + 1, _WIN)
+    return (
+        d.select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(0), F.col("extra"))).alias("win_idx"),
+            "toks",
+        )
+        .select("doc_id", "win_idx", win.alias("win"))
+        .select(
+            "doc_id",
+            "win_idx",
+            F.size("win").alias("win_tokens"),
+            F.element_at("win", 1).alias("head_tok"),
+            F.md5(F.array_join("win", " ").cast("binary")).alias("win_md5"),
+        )
+        .orderBy("doc_id", "win_idx")
+    )
+
+
+# --------------------------------------------------------------------------
+# q59 per-document salient terms by TF-IDF rank. score = tf / df is ONE
+# IEEE division — bit-identical in both engines; ties break on the term
+# itself so the top-3 cut is deterministic.
+
+_TOPK = 3
+
+ORACLE["q59_tfidf_topterms"] = f"""
+WITH tok AS (
+    SELECT doc_id, u.t AS term
+    FROM documents, UNNEST(string_split(text, ' ')) AS u(t)
+),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+scored AS (
+    SELECT tf.doc_id, tf.term, tf.tf, df.df,
+           CAST(tf.tf AS DOUBLE) / df.df AS score,
+           ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+                              ORDER BY CAST(tf.tf AS DOUBLE) / df.df DESC,
+                                       tf.term) AS rk
+    FROM tf JOIN df USING (term)
+)
+SELECT doc_id, CAST(rk AS INT) AS rk, term,
+       CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df, score
+FROM scored WHERE rk <= {_TOPK} ORDER BY doc_id, rk
+"""
+
+
+@_q("q59_tfidf_topterms")
+def q59(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_rel = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    score = F.col("tf").cast("double") / F.col("df")
+    w = Window.partitionBy("doc_id").orderBy(score.desc(), F.col("term"))
+    return (
+        tf.join(df_rel, "term")
+        .withColumn("score", score)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _TOPK)
+        .select("doc_id", "rk", "term", "tf", "df", "score")
+        .orderBy("doc_id", "rk")
+    )
+
+
+# --------------------------------------------------------------------------
+# q60 deterministic global training shuffle: permute the corpus by a
+# seeded md5 key and hand out dense positions + shards. The position
+# comes from the add_autoid two-pass plan (range partition + broadcast
+# offsets), not a global window.
+
+_SEED = "42|"
+_SHARDS = 8
+
+ORACLE["q60_seeded_shuffle"] = f"""
+WITH k AS (
+    SELECT doc_id, md5('{_SEED}' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+    FROM documents
+),
+p AS (
+    SELECT doc_id, shuffle_key,
+           ROW_NUMBER() OVER (ORDER BY shuffle_key) AS shuffle_pos
+    FROM k
+)
+SELECT doc_id, shuffle_key, CAST(shuffle_pos AS BIGINT) AS shuffle_pos,
+       CAST((shuffle_pos - 1) % {_SHARDS} AS INT) AS shard
+FROM p ORDER BY shuffle_pos
+"""
+
+
+@_q("q60_seeded_shuffle")
+def q60(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    keyed = d.select(
+        "doc_id",
+        F.md5(
+            F.concat(F.lit(_SEED), F.col("doc_id").cast("string")).cast("binary")
+        ).alias("shuffle_key"),
+    )
+    out = (
+        add_autoid(keyed, ["shuffle_key"])
+        .withColumnRenamed("autoid", "shuffle_pos")
+        .withColumn(
+            "shard", ((F.col("shuffle_pos") - 1) % _SHARDS).cast("int")
+        )
+        .select("doc_id", "shuffle_key", "shuffle_pos", "shard")
+        .orderBy("shuffle_pos")
+    )
+    return out
+
+
+# --------------------------------------------------------------------------
+# q61 epoch-replicated mixture: upsample each source to a fractional
+# epoch target (even sources 2.5 epochs, odd 1.25). Whole epochs
+# replicate every document; the fractional tail keeps the md5 bucket
+# below rate%100 — the exact complement of q50's downsampler.
+
+ORACLE["q61_epoch_mixture"] = """
+WITH h AS (
+    SELECT doc_id, source,
+           CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+               % 100 AS b,
+           CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 0
+                THEN 250 ELSE 125 END AS rate
+    FROM documents
+),
+c AS (
+    SELECT doc_id, source,
+           rate // 100 + CASE WHEN b < rate % 100 THEN 1 ELSE 0 END AS n_copies
+    FROM h
+),
+e AS (
+    SELECT source, CAST(u.i AS INT) AS epoch
+    FROM c, UNNEST(range(1, n_copies + 1)) AS u(i)
+)
+SELECT source, epoch, COUNT(*) AS n_docs
+FROM e GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+@_q("q61_epoch_mixture")
+def q61(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    b = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 15),
+            16,
+            10,
+        ).cast("bigint")
+        % 100
+    )
+    rate = F.when(
+        F.substring("source", 4, 10).cast("int") % 2 == 0, F.lit(250)
+    ).otherwise(F.lit(125))
+    n_copies = (rate / 100).cast("int") + F.when(b < rate % 100, 1).otherwise(0)
+    return (
+        d.select(
+            "source",
+            F.explode(
+                F.sequence(F.lit(1), n_copies.cast("int"))
+            ).alias("epoch"),
+        )
+        .groupBy("source", "epoch")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("source", "epoch")
+    )

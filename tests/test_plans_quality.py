@@ -174,3 +174,31 @@ def test_q57_vocab_join_is_broadcast_or_hash_never_nested_loop(spark):
     plan = _plan(spark, "q57_token_freq_score")
     assert "Python" not in plan
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_q58_window_generation_is_zero_shuffle(spark):
+    """Sliding-window chunking is a per-row explode: the ONLY exchange
+    allowed is the final presentation orderBy — the generation itself
+    must never shuffle, or a 100 TB corpus pays a full data movement
+    for what is a map-side fan-out."""
+    plan = _plan(spark, "q58_sliding_windows")
+    assert "Python" not in plan and "Join" not in plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 1
+
+
+def test_q59_tfidf_aggs_before_join_no_smj_on_raw_tokens(spark):
+    """TF and DF are aggregated BEFORE the vocab join (head-token skew
+    dies in map-side combine, not in a shuffled join of raw tokens)."""
+    plan = _plan(spark, "q59_tfidf_topterms")
+    assert "Python" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan  # post-agg relations broadcast/hash join
+
+
+def test_q61_epoch_replication_is_generate_plus_one_agg(spark):
+    """Epoch upsampling is explode(sequence(...)) inside the scan
+    stage; only the tiny rollup and its orderBy may exchange."""
+    plan = _plan(spark, "q61_epoch_mixture")
+    assert "Python" not in plan and "Join" not in plan
+    assert plan.count("Generate") >= 1
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 2
