@@ -32,11 +32,21 @@ def add_autoid(df: DataFrame, order_cols: list[str], partitions: int | None = No
     a 100 TB input arrives with. The broadcast table is one row per
     partition regardless of P.
 
+    The within-partition number comes from the data's cached sort
+    order (``sortWithinPartitions`` + the record-index bits of
+    ``monotonically_increasing_id``), NOT a ``Window.partitionBy(pid)``
+    — that window would re-shuffle the entire relation by pid just to
+    number rows that are already colocated and sorted. Net: the only
+    full-data exchange in the whole op is the range partitioning
+    itself. Relies on mid's documented layout (31-bit partition id,
+    33-bit record index ⇒ ≤8.6B rows/partition); the dense-id tests
+    fail loudly if either the layout or the cached order ever drifts.
+
     Lifetime note: ``ranged`` stays persisted until the caller's action
     completes (the numbering pass must see the same physical
-    partitioning the offsets were computed from). Callers running many
-    plans in one session should ``spark.catalog.clearCache()`` between
-    them (bench.py does).
+    partitioning — and row order — the offsets were computed from).
+    Callers running many plans in one session should
+    ``spark.catalog.clearCache()`` between them (bench.py does).
     """
     if partitions is None:
         partitions = df.sparkSession.sparkContext.defaultParallelism
@@ -45,6 +55,7 @@ def add_autoid(df: DataFrame, order_cols: list[str], partitions: int | None = No
     # SAME physical partitioning or ids drift.
     ranged = (
         df.repartitionByRange(partitions, *order_cols)
+        .sortWithinPartitions(*order_cols)
         .withColumn("__pid", F.spark_partition_id())
         .persist()
     )
@@ -56,9 +67,9 @@ def add_autoid(df: DataFrame, order_cols: list[str], partitions: int | None = No
     off_df = df.sparkSession.createDataFrame(
         offsets or [(0, 0)], "__pid INT, __off BIGINT"
     )
-    w = Window.partitionBy("__pid").orderBy(*order_cols)
+    rn = F.monotonically_increasing_id().bitwiseAND(F.lit((1 << 33) - 1)) + 1
     return (
-        ranged.withColumn("__rn", F.row_number().over(w))
+        ranged.withColumn("__rn", rn)
         .join(F.broadcast(off_df), "__pid")
         .withColumn("autoid", (F.col("__rn") + F.col("__off")).cast("bigint"))
         .drop("__pid", "__rn", "__off")
