@@ -1,7 +1,8 @@
-"""Training-set assembly queries q58-q61: the operations that turn a
+"""Training-set assembly queries q58-q63: the operations that turn a
 cleaned corpus (q17-q30, q44-q57) into what a trainer actually reads —
-context windows, salient terms, a deterministic global shuffle, and an
-epoch-replicated mixture.
+context windows, salient terms, a deterministic global shuffle, an
+epoch-replicated mixture, classifier-scored quality, and per-slice
+inspection samples.
 
 The reference pipeline stops at warehouse loads; these extend the
 Tier-C LLM-operator suite on its `documents` table.
@@ -241,4 +242,93 @@ def q61(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source", "epoch")
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .orderBy("source", "epoch")
+    )
+
+
+# --------------------------------------------------------------------------
+# q62 quality-classifier inference: a (fasttext-style) linear model
+# applied as a projection. Weights are integer-quantized literals, the
+# features are integer counts, so the logit is an exact BIGINT in both
+# engines — model inference with zero float hazard and zero shuffles
+# (the classic "score 100 TB with a small model" job is exactly this
+# plan plus a real weight vector).
+
+_W_TOK, _W_UPPER, _W_DIGIT, _W_PUNCT, _BIAS = 3, -2, -1, -4, 50
+_LOGIT_KEEP = 120
+
+
+ORACLE["q62_quality_classifier"] = f"""
+WITH f AS (
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_tokens,
+           length(regexp_replace(text, '[^A-Z]', '', 'g')) AS n_upper,
+           length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit,
+           length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct
+    FROM documents
+)
+SELECT doc_id,
+       CAST({_BIAS} + {_W_TOK} * n_tokens + {_W_UPPER} * n_upper
+            + {_W_DIGIT} * n_digit + {_W_PUNCT} * n_punct AS BIGINT) AS logit_q,
+       ({_BIAS} + {_W_TOK} * n_tokens + {_W_UPPER} * n_upper
+            + {_W_DIGIT} * n_digit + {_W_PUNCT} * n_punct) >= {_LOGIT_KEEP} AS keep
+FROM f ORDER BY doc_id
+"""
+
+
+@_q("q62_quality_classifier")
+def q62(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split(F.col("text"), " "))
+    n_upper = F.length(F.regexp_replace("text", "[^A-Z]", ""))
+    n_digit = F.length(F.regexp_replace("text", "[^0-9]", ""))
+    n_punct = F.length(F.regexp_replace("text", "[^.,;:!?]", ""))
+    logit = (
+        F.lit(_BIAS)
+        + _W_TOK * n_tokens
+        + _W_UPPER * n_upper
+        + _W_DIGIT * n_digit
+        + _W_PUNCT * n_punct
+    ).cast("bigint")
+    return (
+        d.select(
+            "doc_id",
+            logit.alias("logit_q"),
+            (logit >= _LOGIT_KEEP).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# q63 deterministic per-group inspection sample: the first 3 documents
+# of every (source, lang) group under a seeded md5 order — "show me a
+# few examples per slice" without ORDER BY RANDOM() nondeterminism.
+# The window partitions by group key, so the sort is per-group and
+# distributed, never global.
+
+_SAMPLE_K = 3
+
+ORACLE["q63_group_sample"] = f"""
+WITH r AS (
+    SELECT source, lang, doc_id,
+           md5('63|' || CAST(doc_id AS VARCHAR)) AS pick_key,
+           ROW_NUMBER() OVER (PARTITION BY source, lang
+                              ORDER BY md5('63|' || CAST(doc_id AS VARCHAR))) AS rk
+    FROM documents
+)
+SELECT source, lang, CAST(rk AS INT) AS rk, doc_id
+FROM r WHERE rk <= {_SAMPLE_K} ORDER BY source, lang, rk
+"""
+
+
+@_q("q63_group_sample")
+def q63(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    pick = F.md5(F.concat(F.lit("63|"), F.col("doc_id").cast("string")).cast("binary"))
+    w = Window.partitionBy("source", "lang").orderBy(pick)
+    return (
+        d.select("source", "lang", "doc_id", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= _SAMPLE_K)
+        .select("source", "lang", "rk", "doc_id")
+        .orderBy("source", "lang", "rk")
     )

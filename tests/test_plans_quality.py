@@ -202,3 +202,23 @@ def test_q61_epoch_replication_is_generate_plus_one_agg(spark):
     assert "Python" not in plan and "Join" not in plan
     assert plan.count("Generate") >= 1
     assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 2
+
+
+def test_q62_classifier_inference_is_pure_projection(spark):
+    """Linear-model scoring must be a scan + codegen projection — no
+    joins, no aggregation, at most the presentation orderBy exchange."""
+    plan = _plan(spark, "q62_quality_classifier")
+    assert "Python" not in plan and "Join" not in plan
+    assert "HashAggregate" not in plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 1
+
+
+def test_q63_group_sample_window_is_per_group_and_limit_pushed(spark):
+    """The sample's window partitions by (source, lang) — a global
+    single-partition window would serialize the corpus — and the rk<=3
+    cut must push down as WindowGroupLimit so each map task keeps only
+    its group top-k before the shuffle."""
+    plan = _plan(spark, "q63_group_sample")
+    assert "Python" not in plan
+    assert "windowspecdefinition(source" in plan
+    assert plan.count("WindowGroupLimit") >= 2  # partial (pre-shuffle) + final
