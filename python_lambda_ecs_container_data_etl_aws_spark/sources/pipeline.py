@@ -241,7 +241,18 @@ def ingest_file(
             _refresh_incremental(perm)
             merged = upsert(perm, delta, keys)
             staging = table_dir + "__staging"
-            merged.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(staging)
+            # cluster by bucket before the partitioned write: the merge
+            # join shuffles on the MERGE KEYS, so without this every
+            # write task holds rows of many buckets and each bucket dir
+            # gets one file per task — small-file accretion that at
+            # scale turns scans into file-open storms. One bucket → one
+            # task → one file.
+            (
+                merged.repartition(max(len(touched), 1), F.col(BUCKET_COL))
+                .write.mode("overwrite")
+                .partitionBy(BUCKET_COL)
+                .parquet(staging)
+            )
             extras["buckets_touched"] = _swap_bucket_dirs(staging, table_dir)
         else:
             if table_existed:
@@ -254,7 +265,12 @@ def ingest_file(
             else:
                 _refresh_incremental(None)
             staging = table_dir + "__staging"
-            delta.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(staging)
+            (
+                delta.repartition(n_buckets, F.col(BUCKET_COL))
+                .write.mode("overwrite")
+                .partitionBy(BUCKET_COL)
+                .parquet(staging)
+            )
             extras["buckets_touched"] = _swap_bucket_dirs(staging, table_dir)
     else:
         _refresh_incremental(None)
@@ -292,3 +308,75 @@ def read_permanent(spark: SparkSession, warehouse_dir: str, table: str) -> DataF
     """The permanent table without the internal layout column."""
     df = spark.read.parquet(os.path.join(warehouse_dir, table))
     return df.drop(BUCKET_COL) if BUCKET_COL in df.columns else df
+
+
+def compact_table(
+    spark: SparkSession,
+    table_dir: str,
+    max_files_per_bucket: int = 1,
+) -> int:
+    """Merge the small files incremental ingestion accretes: every
+    bucket-scoped upsert writes at least one new file per touched
+    bucket, so a bucket that receives a daily 2-row delta is a thousand
+    tiny files after three years — and scan cost at 100 TB is dominated
+    by file-open overhead, not bytes.
+
+    Only buckets whose file count exceeds ``max_files_per_bucket`` are
+    read (partition pruning keeps every healthy bucket untouched — same
+    contract as the merge itself); each is rewritten as one file per
+    bucket (``repartition(n, bucket)`` maps a bucket to exactly one
+    task) and swapped in atomically via the same rename protocol as
+    ingest, so a crash mid-compaction never loses a bucket. Returns the
+    number of buckets compacted.
+
+    Unbucketed tables (the keyless append path — one new file per
+    appended load) compact as a whole: rewrite to ``max_files_per_bucket``
+    files in staging, then one aside-rename swap of the table dir.
+
+    The audit-log twin is :func:`audit.compact_log` (date-partitioned);
+    this one owns the ingest pipeline's permanent tables.
+    """
+    if not os.path.isdir(table_dir):
+        return 0
+    if not _is_bucketed(table_dir):
+        n_files = sum(1 for f in os.listdir(table_dir) if f.endswith(".parquet"))
+        if n_files <= max_files_per_bucket:
+            return 0
+        staging = table_dir + "__compact"
+        (
+            spark.read.parquet(table_dir)
+            .repartition(max_files_per_bucket)
+            .write.mode("overwrite")
+            .parquet(staging)
+        )
+        parent, base = os.path.split(os.path.abspath(table_dir))
+        aside = os.path.join(parent, "." + base + "__old")
+        shutil.rmtree(aside, ignore_errors=True)
+        os.rename(table_dir, aside)
+        os.rename(staging, table_dir)
+        shutil.rmtree(aside, ignore_errors=True)
+        return 1
+    todo: list[int] = []
+    for entry in sorted(os.listdir(table_dir)):
+        if not entry.startswith(f"{BUCKET_COL}="):
+            continue
+        n_files = sum(
+            1
+            for f in os.listdir(os.path.join(table_dir, entry))
+            if f.endswith(".parquet")
+        )
+        if n_files > max_files_per_bucket:
+            todo.append(int(entry.split("=", 1)[1]))
+    if not todo:
+        return 0
+    oversized = spark.read.parquet(table_dir).filter(
+        F.col(BUCKET_COL).isin(todo)
+    )
+    staging = table_dir + "__compact"
+    (
+        oversized.repartition(len(todo), F.col(BUCKET_COL))
+        .write.mode("overwrite")
+        .partitionBy(BUCKET_COL)
+        .parquet(staging)
+    )
+    return _swap_bucket_dirs(staging, table_dir)

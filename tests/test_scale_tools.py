@@ -583,3 +583,120 @@ def test_compact_log_crash_window_recovers_partition(spark, tmp_path):
     got = load_ingest_log(spark, log_dir)
     assert got.count() == 3
     assert {r.file for r in got.collect()} == {"f0.csv", "f1.csv", "f2.csv"}
+
+
+def test_compact_table_merges_small_files_only_in_oversized_buckets(spark, tmp_path):
+    """A bucketed table written by a multi-task writer (rows of each
+    bucket spread over tasks — what a large merge produces before the
+    cluster-by-bucket write landed) has many files per bucket.
+    Compaction must rewrite ONLY the oversized buckets, leave exactly
+    one file per compacted bucket, and preserve contents bit-for-bit."""
+    from python_lambda_ecs_container_data_etl_aws_spark.sources.pipeline import (
+        BUCKET_COL,
+        _bucket_expr,
+        compact_table,
+    )
+
+    table_dir = str(tmp_path / "frag")
+    rows = [(f"D{i}", float(i)) for i in range(400)]
+    df = spark.createDataFrame(rows, "DGUID STRING, VALUE DOUBLE").withColumn(
+        BUCKET_COL, _bucket_expr(["DGUID"], 4)
+    )
+    # 8 tasks x 4 buckets -> up to 8 files per bucket dir
+    df.repartition(8).write.partitionBy(BUCKET_COL).parquet(table_dir)
+
+    before = _bucket_file_stats(table_dir)
+    per_bucket = {}
+    for p in before:
+        b = p.split("/")[0]
+        if b.startswith(f"{BUCKET_COL}=") and p.endswith(".parquet"):
+            per_bucket[b] = per_bucket.get(b, 0) + 1
+    oversized = {b for b, n in per_bucket.items() if n > 1}
+    assert oversized  # the multi-task writer really fragmented buckets
+
+    content_before = sorted(
+        (r.DGUID, r.VALUE)
+        for r in spark.read.parquet(table_dir).drop(BUCKET_COL).collect()
+    )
+
+    n = compact_table(spark, table_dir, max_files_per_bucket=1)
+    assert n == len(oversized)
+
+    after = _bucket_file_stats(table_dir)
+    per_bucket_after = {}
+    for p in after:
+        b = p.split("/")[0]
+        if b.startswith(f"{BUCKET_COL}=") and p.endswith(".parquet"):
+            per_bucket_after[b] = per_bucket_after.get(b, 0) + 1
+    assert per_bucket_after and all(c == 1 for c in per_bucket_after.values())
+
+    changed = {
+        p.split("/")[0]
+        for p in set(before) | set(after)
+        if before.get(p) != after.get(p)
+    }
+    changed.discard("_SUCCESS")
+    assert changed == oversized  # healthy buckets untouched (same inode/mtime)
+
+    content_after = sorted(
+        (r.DGUID, r.VALUE)
+        for r in spark.read.parquet(table_dir).drop(BUCKET_COL).collect()
+    )
+    assert content_after == content_before
+    # idempotent: a second pass finds nothing to do
+    assert compact_table(spark, table_dir, max_files_per_bucket=1) == 0
+
+
+def test_merge_writes_one_file_per_touched_bucket(spark, tmp_path):
+    """The ingest merge clusters by bucket before its partitioned
+    write: repeated loads must NOT accrete files inside bucket dirs."""
+    land = tmp_path / "landing"
+    land.mkdir()
+    wh = str(tmp_path / "wh")
+    base = land / "PriceIndex_base.csv"
+    base.write_text("\n".join([HEADER] + [_row(f"D{i}", f"{i}.0") for i in range(200)]) + "\n")
+    ingest_file(spark, str(base), wh, keys=["DGUID"], n_buckets=8)
+    for v in ("1.1", "2.2", "3.3"):
+        f = land / f"price_hit_{v.replace('.', '')}.csv"
+        f.write_text("\n".join([HEADER, _row("D7", v)]) + "\n")
+        ingest_file(spark, str(f), wh, keys=["DGUID"], n_buckets=8)
+    table_dir = os.path.join(wh, "priceindex")
+    for entry in os.listdir(table_dir):
+        if entry.startswith("__bucket="):
+            n = sum(
+                1
+                for f in os.listdir(os.path.join(table_dir, entry))
+                if f.endswith(".parquet")
+            )
+            assert n == 1, (entry, n)
+    final = {r.DGUID: r.VALUE for r in read_permanent(spark, wh, "priceindex").collect()}
+    assert final["D7"] == "3.3" and len(final) == 200
+
+
+def test_compact_table_unbucketed_append_layout(spark, tmp_path):
+    """The keyless append path adds one file per load; whole-table
+    compaction rewrites it to one file and preserves contents."""
+    from python_lambda_ecs_container_data_etl_aws_spark.sources.pipeline import (
+        compact_table,
+    )
+
+    land = tmp_path / "landing"
+    land.mkdir()
+    wh = str(tmp_path / "wh")
+    for day, n in [("d1", 10), ("d2", 7), ("d3", 3)]:
+        f = land / f"PriceIndex_{day}.csv"
+        f.write_text("\n".join([HEADER] + [_row(f"{day}_{i}", "1.0") for i in range(n)]) + "\n")
+        ingest_file(spark, str(f), wh)  # no keys: plain append
+    table_dir = os.path.join(wh, "priceindex")
+    n_before = sum(1 for f in os.listdir(table_dir) if f.endswith(".parquet"))
+    assert n_before >= 3
+    content_before = sorted(
+        (r.DGUID, r.VALUE) for r in read_permanent(spark, wh, "priceindex").collect()
+    )
+    assert compact_table(spark, table_dir) == 1
+    assert sum(1 for f in os.listdir(table_dir) if f.endswith(".parquet")) == 1
+    content_after = sorted(
+        (r.DGUID, r.VALUE) for r in read_permanent(spark, wh, "priceindex").collect()
+    )
+    assert content_after == content_before
+    assert compact_table(spark, table_dir) == 0
