@@ -207,3 +207,89 @@ def q57(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# q64 segment-level exact dedup with document reconstruction — the
+# C4-style "remove duplicated lines across the corpus" pass, at a
+# deterministic 8-token segment granularity (the fixture corpus has no
+# line breaks). First occurrence wins ((doc_id, seg_idx) order); every
+# document is rebuilt from its surviving segments IN ORDER via a
+# sorted-struct aggregation (collect_list gives no order guarantee —
+# the sort is explicit, so the rebuild is deterministic under any
+# partitioning). Two shuffles total: segment-hash window + per-doc
+# rebuild; both keys are high-cardinality, no driver-side data.
+
+_SEG = 8
+
+ORACLE["q64_segment_dedup"] = f"""
+WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+seg AS (
+    SELECT doc_id, CAST(u.i AS INT) AS seg_idx,
+           array_to_string(list_slice(toks, u.i * {_SEG} + 1,
+                                      u.i * {_SEG} + {_SEG}), ' ') AS seg_text
+    FROM tok, UNNEST(range(0, (len(toks) + {_SEG} - 1) // {_SEG})) AS u(i)
+),
+r AS (
+    SELECT doc_id, seg_idx, seg_text,
+           ROW_NUMBER() OVER (PARTITION BY seg_text
+                              ORDER BY doc_id, seg_idx) AS rn
+    FROM seg
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_segs,
+       CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       md5(COALESCE(string_agg(CASE WHEN rn = 1 THEN seg_text END, ' '
+                               ORDER BY seg_idx), '')) AS clean_md5
+FROM r GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+@_q("q64_segment_dedup")
+def q64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    seg = (
+        d.select(
+            "doc_id",
+            F.split(F.col("text"), " ").alias("toks"),
+            F.expr(
+                f"CAST((size(split(text, ' ')) + {_SEG} - 1) div {_SEG} AS INT)"
+            ).alias("n_segs"),
+        )
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(0), F.col("n_segs") - 1)).alias("seg_idx"),
+            "toks",
+        )
+        .select(
+            "doc_id",
+            "seg_idx",
+            F.array_join(
+                F.slice(F.col("toks"), F.col("seg_idx") * _SEG + 1, _SEG), " "
+            ).alias("seg_text"),
+        )
+    )
+    w = Window.partitionBy("seg_text").orderBy("doc_id", "seg_idx")
+    r = seg.withColumn("rn", F.row_number().over(w))
+    kept_struct = F.when(
+        F.col("rn") == 1, F.struct(F.col("seg_idx"), F.col("seg_text"))
+    )
+    return (
+        r.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_segs"),
+            F.sum(F.when(F.col("rn") == 1, 1).otherwise(0)).cast("bigint").alias("n_kept"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(kept_struct)),
+                        lambda x: x["seg_text"],
+                    ),
+                    " ",
+                ).cast("binary")
+            ).alias("clean_md5"),
+        )
+        .orderBy("doc_id")
+    )

@@ -222,3 +222,15 @@ def test_q63_group_sample_window_is_per_group_and_limit_pushed(spark):
     assert "Python" not in plan
     assert "windowspecdefinition(source" in plan
     assert plan.count("WindowGroupLimit") >= 2  # partial (pre-shuffle) + final
+
+
+def test_q64_segment_dedup_two_data_shuffles_no_python(spark):
+    """Segment dedup = segment-hash window + per-doc rebuild: both
+    high-cardinality keys, JVM-side throughout; the explicit
+    array_sort makes the rebuild order-deterministic (collect_list
+    alone guarantees nothing)."""
+    plan = _plan(spark, "q64_segment_dedup")
+    assert "Python" not in plan and "Join" not in plan
+    assert "array_sort" in plan
+    # window shuffle + rebuild groupBy + presentation orderBy
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 3
