@@ -588,3 +588,76 @@ def test_token_freq_score_prefers_common_tokens(spark):
     assert got[9].freq_sum == 1 + 28 + 1
     assert got[9].mean_freq == pytest.approx(10.0)
     assert all(got[i].mean_freq > got[9].mean_freq for i in range(9))
+
+
+def _write_docs(spark, tmp_path, rows):
+    """Write a synthetic documents table the plan queries can load."""
+    import os
+
+    d = str(tmp_path / "synth")
+    os.makedirs(d, exist_ok=True)
+    spark.createDataFrame(
+        [(i, t, "en", f"src{i % 2}", len(t)) for i, t in rows],
+        "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    return d
+
+
+def test_q58_window_count_and_coverage_properties(spark, tmp_path):
+    """For every doc size: the window count matches
+    ceil(max(n-16,0)/8)+1, full windows hold exactly 16 tokens, the
+    last window holds the remainder, and the windows jointly cover
+    every token position exactly (stride 8, width 16)."""
+    from python_lambda_ecs_container_data_etl_aws_spark.plans import QUERIES
+
+    sizes = [1, 2, 7, 8, 15, 16, 17, 24, 25, 33, 40]
+    rows = [(n, " ".join(f"w{n}_{j}" for j in range(n))) for n in sizes]
+    sf_dir = _write_docs(spark, tmp_path, rows)
+    out = QUERIES["q58_sliding_windows"](spark, sf_dir).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for n in sizes:
+        wins = sorted(by_doc[n], key=lambda r: r.win_idx)
+        expected_n = max(0, -(-max(n - 16, 0) // 8)) + 1
+        assert len(wins) == expected_n, (n, len(wins))
+        for r in wins[:-1]:
+            assert r.win_tokens == 16
+        last = wins[-1]
+        assert last.win_tokens == (n if expected_n == 1 else n - (expected_n - 1) * 8)
+        # coverage: window i spans tokens [8i+1, 8i+win_tokens]
+        covered = set()
+        for r in wins:
+            covered |= set(range(8 * r.win_idx + 1, 8 * r.win_idx + r.win_tokens + 1))
+        assert covered == set(range(1, n + 1)), n
+
+
+def test_q64_removes_planted_duplicate_segments_keeps_unique_corpus(spark, tmp_path):
+    """A doc repeating another doc's segment loses exactly that
+    segment; an all-unique corpus survives byte-identical."""
+    import hashlib
+
+    from python_lambda_ecs_container_data_etl_aws_spark.plans import QUERIES
+
+    seg_a = " ".join(f"a{j}" for j in range(8))
+    seg_b = " ".join(f"b{j}" for j in range(8))
+    seg_c = " ".join(f"c{j}" for j in range(8))
+    rows = [
+        (1, f"{seg_a} {seg_b}"),        # both kept (first occurrence)
+        (2, f"{seg_a} {seg_c}"),        # seg_a is a duplicate -> dropped
+        (3, seg_b),                     # whole doc is a duplicate segment
+    ]
+    sf_dir = _write_docs(spark, tmp_path, rows)
+    got = {r.doc_id: r for r in QUERIES["q64_segment_dedup"](spark, sf_dir).collect()}
+    assert (got[1].n_segs, got[1].n_kept) == (2, 2)
+    assert (got[2].n_segs, got[2].n_kept) == (2, 1)
+    assert got[2].clean_md5 == hashlib.md5(seg_c.encode()).hexdigest()
+    assert (got[3].n_segs, got[3].n_kept) == (1, 0)
+    assert got[3].clean_md5 == hashlib.md5(b"").hexdigest()
+
+    uniq = [(i, " ".join(f"u{i}_{j}" for j in range(20))) for i in range(1, 6)]
+    sf_dir2 = _write_docs(spark, tmp_path / "u", uniq)
+    got2 = {r.doc_id: r for r in QUERIES["q64_segment_dedup"](spark, sf_dir2).collect()}
+    for i, t in uniq:
+        assert got2[i].n_kept == got2[i].n_segs
+        assert got2[i].clean_md5 == hashlib.md5(t.encode()).hexdigest()
