@@ -69,6 +69,13 @@ def get_spark(app_name: str = "python-lambda-ecs-etl-spark", cpus: int | None = 
         .master(f"local[{cpus}]")
         .config("spark.sql.shuffle.partitions", str(cpus))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # the catalog compiles dozens of large generated methods
+        # (whole-stage codegen spans, signature folds, literal
+        # matrices); the JVM default 240m code cache fills mid-run and
+        # silently stops JIT compilation — measured as whole query
+        # families going 3-4x slower in some runs. Local mode: one JVM,
+        # so the driver option covers executors too.
+        .config("spark.driver.extraJavaOptions", "-XX:ReservedCodeCacheSize=512m")
         .config("spark.ui.enabled", "false")
     )
     for k, v in RUNTIME_CONFS.items():
