@@ -77,3 +77,58 @@ def bloom_filtered_semi_join(
     asserts the injection actually fires at test scale.
     """
     return big.join(selective, key, "left_semi")
+
+
+def count_min_counts(
+    df: DataFrame,
+    col: str,
+    query_keys: DataFrame,
+    width: int = 1 << 12,
+    depth: int = 4,
+) -> DataFrame:
+    """Count-min frequency estimates for ``query_keys`` over ``df[col]``
+    — "how often does each of these tokens/urls/ids appear in 100 TB"
+    without a full-cardinality groupBy.
+
+    Sketch build: one pass, ``depth`` seeded xxhash64 rows × ``width``
+    buckets — the aggregated state is ``depth × width`` counters
+    (mergeable, map-side combined; the shuffle is O(depth · width), not
+    O(distinct keys), which is the whole point vs an exact groupBy
+    whose hash table scales with the corpus vocabulary). Estimate:
+    min over the depth rows of the key's bucket counter — a biased-up
+    estimate; error ≤ ε·N (ε ≈ e/width) with prob ≥ 1−(1/e)^depth,
+    never an undercount.
+
+    The probe side joins on (row, bucket) against the sketch relation —
+    broadcast-sized: depth × width rows at most. Exact top-k (q40)
+    stays the contract query; this is the documented estimator for
+    vocabularies too large to group exactly.
+    """
+    seeds = list(range(depth))
+    buckets = F.array(
+        *[
+            F.pmod(F.xxhash64(F.col(col), F.lit(s)), F.lit(width)).cast("int")
+            for s in seeds
+        ]
+    )
+    sketch = (
+        df.select(F.posexplode(buckets).alias("row", "bucket"))
+        .groupBy("row", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    probe = query_keys.select(
+        F.col(col),
+        F.posexplode(
+            F.array(
+                *[
+                    F.pmod(F.xxhash64(F.col(col), F.lit(s)), F.lit(width)).cast("int")
+                    for s in seeds
+                ]
+            )
+        ).alias("row", "bucket"),
+    )
+    return (
+        probe.join(F.broadcast(sketch), ["row", "bucket"], "left")
+        .groupBy(col)
+        .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).cast("bigint").alias("est_count"))
+    )

@@ -661,3 +661,26 @@ def test_q64_removes_planted_duplicate_segments_keeps_unique_corpus(spark, tmp_p
     for i, t in uniq:
         assert got2[i].n_kept == got2[i].n_segs
         assert got2[i].clean_md5 == hashlib.md5(t.encode()).hexdigest()
+
+
+def test_count_min_never_undercounts_and_bounds_error(spark):
+    """CMS estimates are >= exact counts (one-sided) and within eps*N
+    at the configured width on a Zipf-ish token stream."""
+    from python_lambda_ecs_container_data_etl_aws_spark.operators import sketch
+
+    rows = []
+    for i in range(200):
+        rows += [(f"tok{i}",)] * (200 // (i + 1))  # Zipf-ish
+    df = spark.createDataFrame(rows, "t STRING")
+    n_total = df.count()
+    exact = {r.t: r.c for r in df.groupBy("t").agg(F.count(F.lit(1)).alias("c")).collect()}
+    keys = df.select("t").distinct()
+    est = {
+        r.t: r.est_count
+        for r in sketch.count_min_counts(df, "t", keys, width=1 << 10, depth=4).collect()
+    }
+    assert set(est) == set(exact)
+    eps = 2.718 / (1 << 10)
+    for t, c in exact.items():
+        assert est[t] >= c, t  # never undercounts
+        assert est[t] - c <= max(2, eps * n_total * 3), (t, est[t], c)
