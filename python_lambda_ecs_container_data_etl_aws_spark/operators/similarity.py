@@ -406,3 +406,34 @@ def lsh_topk(
         scored.select("*", F.row_number().over(w).alias("rnk"))
         .filter(F.col("rnk") <= k)
     )
+
+
+def random_projection(
+    df: DataFrame,
+    out_dim: int = 32,
+    vec_col: str = "embedding",
+    out_col: str = "proj",
+    seed: int = 7,
+    dim: int = 64,
+) -> DataFrame:
+    """Seeded Johnson-Lindenstrauss random projection dim→out_dim:
+    ``proj[j] = (1/√out_dim) · Σ_i vec[i]·R[j][i]`` with a Gaussian
+    ``R`` from the same deterministic generator as the LSH planes.
+
+    The point at scale: downstream pairwise work (clustering,
+    centroids, candidate verify) over a narrower vector cuts both
+    shuffle bytes and per-pair arithmetic by dim/out_dim while
+    distances survive within the JL distortion bound. Pure zero-shuffle
+    projection — the matrix is emitted once as a nested-array literal
+    and indexed via ``element_at`` inside the fold (same codegen-lean
+    shape as :func:`lsh_signature`); nothing touches the driver."""
+    planes = _hyperplanes(dim, out_dim, seed)
+    m = _matrix_sql(planes)
+    scale = repr(1.0 / math.sqrt(out_dim))
+    expr = (
+        f"transform(sequence(1, {out_dim}), j -> "
+        f"  aggregate(zip_with({vec_col}, element_at({m}, j),"
+        f"            (x, r) -> cast(x as double) * r),"
+        f"  0D, (a, v) -> a + v) * {scale}D)"
+    )
+    return df.withColumn(out_col, F.expr(expr))

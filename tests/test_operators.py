@@ -684,3 +684,28 @@ def test_count_min_never_undercounts_and_bounds_error(spark):
     for t, c in exact.items():
         assert est[t] >= c, t  # never undercounts
         assert est[t] - c <= max(2, eps * n_total * 3), (t, est[t], c)
+
+
+def test_random_projection_preserves_distances_within_jl_bound(spark, emb):
+    """Seeded JL projection 64->32: per-pair squared-distance ratios
+    stay inside loose distortion gates and their mean is ~1. The
+    planes are deterministic, so these gates are stable, not flaky."""
+    import math
+
+    from python_lambda_ecs_container_data_etl_aws_spark.operators import similarity
+
+    sample = emb.filter(F.col("vec_id") < 40).select("vec_id", "embedding")
+    proj = similarity.random_projection(sample, out_dim=32)
+    rows = {r.vec_id: (r.embedding, r.proj) for r in proj.collect()}
+    assert all(len(p) == 32 for _, p in rows.values())
+    ids = sorted(rows)
+    ratios = []
+    for i in range(0, len(ids) - 1, 2):
+        (ea, pa), (eb, pb) = rows[ids[i]], rows[ids[i + 1]]
+        d_orig = sum((float(x) - float(y)) ** 2 for x, y in zip(ea, eb))
+        d_proj = sum((x - y) ** 2 for x, y in zip(pa, pb))
+        if d_orig > 0:
+            ratios.append(d_proj / d_orig)
+    assert ratios and all(0.35 < r < 2.0 for r in ratios), ratios
+    mean = sum(ratios) / len(ratios)
+    assert math.isclose(mean, 1.0, abs_tol=0.25), mean
