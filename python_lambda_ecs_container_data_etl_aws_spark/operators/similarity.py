@@ -437,3 +437,55 @@ def random_projection(
         f"  0D, (a, v) -> a + v) * {scale}D)"
     )
     return df.withColumn(out_col, F.expr(expr))
+
+
+def _rademacher_matrix(dim: int, out_dim: int, seed: int) -> list[list[int]]:
+    """Deterministic ±1 matrix from md5 parity — reproducible in any
+    engine (and in plain hashlib), unlike float Gaussians whose
+    summation order is engine-specific."""
+    import hashlib
+
+    return [
+        [
+            1
+            if hashlib.md5(f"{seed}|{j}|{i}".encode()).digest()[0] % 2 == 0
+            else -1
+            for i in range(dim)
+        ]
+        for j in range(out_dim)
+    ]
+
+
+def rademacher_projection(
+    df: DataFrame,
+    out_dim: int = 16,
+    vec_col: str = "embedding",
+    out_col: str = "qproj",
+    seed: int = 65,
+    dim: int = 64,
+    quant: int = 1000,
+) -> DataFrame:
+    """Exact-integer JL projection: quantize the vector to BIGINTs
+    (floor(x·quant), the q29 convention) and project through a seeded
+    ±1 Rademacher matrix — JL distortion guarantees equal to the
+    Gaussian variant (Achlioptas 2001) with NO floating point anywhere,
+    so results hash-match across engines bit-for-bit (q65). Outputs are
+    unscaled (true distances are recovered by /(quant²·out_dim) — a
+    uniform factor that cancels in comparisons/rankings). Zero-shuffle
+    literal-matrix fold, same shape as :func:`random_projection`."""
+    m = _rademacher_matrix(dim, out_dim, seed)
+    m_sql = (
+        "array("
+        + ", ".join(
+            "array(" + ", ".join(f"{x}L" for x in row) + ")" for row in m
+        )
+        + ")"
+    )
+    expr = (
+        f"transform(sequence(1, {out_dim}), j -> "
+        f"  aggregate(zip_with("
+        f"    transform({vec_col}, x -> cast(floor(cast(x as double) * {quant}) as bigint)),"
+        f"    element_at({m_sql}, j), (x, s) -> x * s),"
+        f"  0L, (a, v) -> a + v))"
+    )
+    return df.withColumn(out_col, F.expr(expr))

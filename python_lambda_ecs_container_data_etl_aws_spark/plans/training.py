@@ -332,3 +332,56 @@ def q63(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source", "lang", "rk", "doc_id")
         .orderBy("source", "lang", "rk")
     )
+
+
+# --------------------------------------------------------------------------
+# q65 exact-integer JL projection (quantized Rademacher): narrow every
+# embedding 64 -> 16 dims in pure BIGINT arithmetic. The +-1 matrix is
+# generated once driver-side (md5 parity, seeded) and rendered as a
+# literal into BOTH engines, so the contract is bit-exact — the float
+# Gaussian twin (similarity.random_projection) differs across engines
+# by summation order and stays a library op with JL-bound tests.
+
+_RP_DIM = 16
+
+
+def _rp_matrix_duckdb() -> str:
+    from ..operators.similarity import _rademacher_matrix
+
+    m = _rademacher_matrix(64, _RP_DIM, 65)
+    return (
+        "["
+        + ", ".join("[" + ", ".join(str(x) for x in row) + "]" for row in m)
+        + "]"
+    )
+
+
+ORACLE["q65_rademacher_projection"] = f"""
+WITH m AS (SELECT {_rp_matrix_duckdb()}::BIGINT[][] AS mat),
+q AS (
+    SELECT vec_id,
+           list_transform(CAST(embedding AS DOUBLE[]),
+                          x -> CAST(floor(x * 1000) AS BIGINT)) AS qv
+    FROM embeddings
+)
+SELECT vec_id, CAST(u.j AS INT) AS j,
+       CAST(list_sum(list_transform(range(1, 65),
+                                    i -> qv[i] * mat[u.j][i])) AS BIGINT) AS q_proj
+FROM q, m, UNNEST(range(1, {_RP_DIM} + 1)) AS u(j)
+ORDER BY vec_id, j
+"""
+
+
+@_q("q65_rademacher_projection")
+def q65(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import rademacher_projection
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return (
+        rademacher_projection(emb, out_dim=_RP_DIM, seed=65)
+        .select(
+            "vec_id", F.posexplode("qproj").alias("j0", "q_proj")
+        )
+        .select("vec_id", (F.col("j0") + 1).cast("int").alias("j"), "q_proj")
+        .orderBy("vec_id", "j")
+    )

@@ -234,3 +234,12 @@ def test_q64_segment_dedup_two_data_shuffles_no_python(spark):
     assert "array_sort" in plan
     # window shuffle + rebuild groupBy + presentation orderBy
     assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 3
+
+
+def test_q65_projection_is_zero_shuffle_literal_matrix(spark):
+    """The integer JL projection must be scan + fold + explode — no
+    joins, no aggregation exchanges; only the presentation orderBy."""
+    plan = _plan(spark, "q65_rademacher_projection")
+    assert "Python" not in plan and "Join" not in plan
+    assert "HashAggregate" not in plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 1
