@@ -27,7 +27,7 @@ inside whole-stage codegen.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -535,4 +535,73 @@ def q53(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("qty").cast("double").alias("sum_qty"),
         )
         .orderBy("o_orderpriority")
+    )
+
+
+# --------------------------------------------------------------------------
+# q67 conversion funnel over the event stream: of each day's `view`
+# events, how many saw the same user `purchase` within 30 minutes?
+# The per-view "next purchase" comes from a reversed running MIN over
+# the user's timeline — ONE hash shuffle on user_id, no view×purchase
+# range self-join (the naive funnel query that explodes on active
+# users). Day = epoch-microsecond integer division: no tz, no format,
+# bit-portable. conv_rate is one IEEE division.
+
+_FUNNEL_GAP_US = 30 * 60 * 1_000_000
+_DAY_US = 86_400 * 1_000_000
+
+ORACLE["q67_event_funnel"] = f"""
+WITH e AS (
+    SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id
+    FROM events
+),
+nxt AS (
+    SELECT user_id, event_type, ts_us,
+           MIN(CASE WHEN event_type = 'purchase' THEN ts_us END)
+               OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+               AS next_purchase_us
+    FROM e
+)
+SELECT CAST(ts_us // {_DAY_US} AS BIGINT) AS day_idx,
+       COUNT(*) AS n_views,
+       CAST(SUM(CASE WHEN next_purchase_us - ts_us <= {_FUNNEL_GAP_US}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_conv,
+       CAST(SUM(CASE WHEN next_purchase_us - ts_us <= {_FUNNEL_GAP_US}
+                     THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS conv_rate
+FROM nxt WHERE event_type = 'view'
+GROUP BY 1 ORDER BY 1
+"""
+
+
+@_q("q67_event_funnel")
+def q67(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts_us", "event_id"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    nxt = e.withColumn(
+        "next_purchase_us",
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts_us"))
+        ).over(w),
+    )
+    conv = F.when(
+        F.col("next_purchase_us") - F.col("ts_us") <= _FUNNEL_GAP_US, 1
+    ).otherwise(0)
+    views = nxt.filter(F.col("event_type") == "view")
+    return (
+        views.groupBy(
+            (F.col("ts_us") / _DAY_US).cast("bigint").alias("day_idx")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_views"),
+            F.sum(conv).cast("bigint").alias("n_conv"),
+            (F.sum(conv).cast("double") / F.count(F.lit(1))).alias("conv_rate"),
+        )
+        .orderBy("day_idx")
     )

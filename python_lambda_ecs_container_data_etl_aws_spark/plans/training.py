@@ -385,3 +385,78 @@ def q65(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", (F.col("j0") + 1).cast("int").alias("j"), "q_proj")
         .orderBy("vec_id", "j")
     )
+
+
+# --------------------------------------------------------------------------
+# q66 kNN over the PROJECTED space: the reduction actually feeding a
+# retrieval stage. Queries = vec_id < 20; for each, top-5 corpus
+# neighbors by squared L2 distance over the 16-dim integer projections
+# — every distance an exact BIGINT, so the ranking (and the contract)
+# is bit-deterministic. Scale shape: the tiny projected query side
+# broadcasts; per-pair arithmetic is 16 integer ops instead of 64
+# float ops — the dim/k saving q65's docstring promises, measured here.
+
+_KNN_Q = 20
+_KNN_K = 5
+
+ORACLE["q66_projected_knn"] = f"""
+WITH m AS (SELECT {_rp_matrix_duckdb()}::BIGINT[][] AS mat),
+q AS (
+    SELECT vec_id,
+           list_transform(CAST(embedding AS DOUBLE[]),
+                          x -> CAST(floor(x * 1000) AS BIGINT)) AS qv
+    FROM embeddings
+),
+p AS (
+    SELECT vec_id,
+           list_transform(range(1, {_RP_DIM} + 1),
+                          j -> list_sum(list_transform(range(1, 65),
+                                        i -> qv[i] * mat[j][i]))) AS pv
+    FROM q, m
+),
+pairs AS (
+    SELECT a.vec_id AS query_id, b.vec_id AS cand_id,
+           CAST(list_sum(list_transform(range(1, {_RP_DIM} + 1),
+                         j -> (a.pv[j] - b.pv[j]) * (a.pv[j] - b.pv[j])))
+                AS BIGINT) AS dist2
+    FROM p a JOIN p b ON a.vec_id < {_KNN_Q} AND a.vec_id <> b.vec_id
+),
+rk AS (
+    SELECT query_id, cand_id, dist2,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY dist2, cand_id) AS rnk
+    FROM pairs
+)
+SELECT query_id, CAST(rnk AS INT) AS rnk, cand_id, dist2
+FROM rk WHERE rnk <= {_KNN_K} ORDER BY query_id, rnk
+"""
+
+
+@_q("q66_projected_knn")
+def q66(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import rademacher_projection
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    proj = rademacher_projection(emb, out_dim=_RP_DIM, seed=65).select(
+        "vec_id", "qproj"
+    )
+    qside = proj.filter(F.col("vec_id") < _KNN_Q).select(
+        F.col("vec_id").alias("query_id"), F.col("qproj").alias("q_pv")
+    )
+    cside = proj.select(
+        F.col("vec_id").alias("cand_id"), F.col("qproj").alias("c_pv")
+    )
+    dist2 = F.expr(
+        "aggregate(zip_with(q_pv, c_pv, (x, y) -> (x - y) * (x - y)),"
+        " 0L, (a, v) -> a + v)"
+    )
+    w = Window.partitionBy("query_id").orderBy("dist2", "cand_id")
+    return (
+        F.broadcast(qside)
+        .join(cside, F.col("query_id") != F.col("cand_id"))
+        .select("query_id", "cand_id", dist2.alias("dist2"))
+        .withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= _KNN_K)
+        .select("query_id", "rnk", "cand_id", "dist2")
+        .orderBy("query_id", "rnk")
+    )

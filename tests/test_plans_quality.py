@@ -243,3 +243,21 @@ def test_q65_projection_is_zero_shuffle_literal_matrix(spark):
     assert "Python" not in plan and "Join" not in plan
     assert "HashAggregate" not in plan
     assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 1
+
+
+def test_q66_projected_knn_broadcasts_query_side(spark):
+    """The projected query side must broadcast — never a shuffled or
+    nested-loop pair join against the corpus."""
+    plan = _plan(spark, "q66_projected_knn")
+    assert "Python" not in plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_q67_funnel_is_one_user_shuffle_no_self_join(spark):
+    """The funnel's next-purchase lookup is a reversed running MIN over
+    each user's timeline — no view x purchase range self-join."""
+    plan = _plan(spark, "q67_event_funnel")
+    assert "Python" not in plan and "Join" not in plan
+    specs = " ".join(re.findall(r"windowspecdefinition\(([^)]*)", plan))
+    assert "user_id" in specs
