@@ -605,3 +605,62 @@ def q67(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day_idx")
     )
+
+
+# --------------------------------------------------------------------------
+# q68 cohort retention: users grouped by their first-signup day; for
+# each (cohort, day-offset) bucket, how many distinct cohort members
+# were active? Day arithmetic stays in epoch-µs integer division. The
+# cohort relation is |users|-sized (one agg), then a user_id-keyed
+# join back to activity — both sides shuffle once on user_id and AQE
+# broadcasts the cohort side when it is small enough.
+
+ORACLE["q68_cohort_retention"] = f"""
+WITH e AS (
+    SELECT user_id, event_type, epoch_us(ts) // {_DAY_US} AS day_idx
+    FROM events
+),
+cohort AS (
+    SELECT user_id, MIN(day_idx) AS cohort_day
+    FROM e WHERE event_type = 'signup' GROUP BY 1
+),
+act AS (
+    SELECT DISTINCT e.user_id, c.cohort_day,
+           e.day_idx - c.cohort_day AS day_offset
+    FROM e JOIN cohort c USING (user_id)
+    WHERE e.day_idx >= c.cohort_day
+)
+SELECT CAST(cohort_day AS BIGINT) AS cohort_day,
+       CAST(day_offset AS BIGINT) AS day_offset,
+       COUNT(*) AS n_active
+FROM act GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+@_q("q68_cohort_retention")
+def q68(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        (F.col("ts_us") / _DAY_US).cast("bigint").alias("day_idx"),
+    )
+    cohort = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("day_idx").alias("cohort_day"))
+    )
+    act = (
+        e.join(cohort, "user_id")
+        .filter(F.col("day_idx") >= F.col("cohort_day"))
+        .select(
+            "user_id",
+            "cohort_day",
+            (F.col("day_idx") - F.col("cohort_day")).alias("day_offset"),
+        )
+        .distinct()
+    )
+    return (
+        act.groupBy("cohort_day", "day_offset")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+        .orderBy("cohort_day", "day_offset")
+    )

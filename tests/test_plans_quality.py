@@ -261,3 +261,9 @@ def test_q67_funnel_is_one_user_shuffle_no_self_join(spark):
     assert "Python" not in plan and "Join" not in plan
     specs = " ".join(re.findall(r"windowspecdefinition\(([^)]*)", plan))
     assert "user_id" in specs
+
+
+def test_q68_cohort_join_never_nested_loop(spark):
+    plan = _plan(spark, "q68_cohort_retention")
+    assert "Python" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
