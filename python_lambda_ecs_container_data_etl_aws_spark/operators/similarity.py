@@ -481,11 +481,19 @@ def rademacher_projection(
         )
         + ")"
     )
+    # quantize ONCE per row (the same hoist as simhash_signatures —
+    # leaving it inside the per-j lambda re-materializes the 64-wide
+    # array out_dim times per row)
     expr = (
         f"transform(sequence(1, {out_dim}), j -> "
-        f"  aggregate(zip_with("
-        f"    transform({vec_col}, x -> cast(floor(cast(x as double) * {quant}) as bigint)),"
-        f"    element_at({m_sql}, j), (x, s) -> x * s),"
+        f"  aggregate(zip_with(__qv, element_at({m_sql}, j), (x, s) -> x * s),"
         f"  0L, (a, v) -> a + v))"
     )
-    return df.withColumn(out_col, F.expr(expr))
+    qv = (
+        f"transform({vec_col}, x -> cast(floor(cast(x as double) * {quant}) as bigint))"
+    )
+    return (
+        df.withColumn("__qv", F.expr(qv))
+        .withColumn(out_col, F.expr(expr))
+        .drop("__qv")
+    )

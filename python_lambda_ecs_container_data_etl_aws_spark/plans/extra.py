@@ -596,7 +596,7 @@ def q67(spark: SparkSession, sf_dir: str) -> DataFrame:
     views = nxt.filter(F.col("event_type") == "view")
     return (
         views.groupBy(
-            (F.col("ts_us") / _DAY_US).cast("bigint").alias("day_idx")
+            F.expr(f"ts_us div {_DAY_US}").alias("day_idx")
         )
         .agg(
             F.count(F.lit(1)).alias("n_views"),
@@ -642,7 +642,7 @@ def q68(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events").select(
         "user_id",
         "event_type",
-        (F.col("ts_us") / _DAY_US).cast("bigint").alias("day_idx"),
+        F.expr(f"ts_us div {_DAY_US}").alias("day_idx"),
     )
     cohort = (
         e.filter(F.col("event_type") == "signup")

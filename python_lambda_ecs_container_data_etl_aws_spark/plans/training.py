@@ -1,8 +1,9 @@
-"""Training-set assembly queries q58-q63: the operations that turn a
-cleaned corpus (q17-q30, q44-q57) into what a trainer actually reads —
-context windows, salient terms, a deterministic global shuffle, an
-epoch-replicated mixture, classifier-scored quality, and per-slice
-inspection samples.
+"""Training-set assembly queries q58-q63 and q65-q66: the operations
+that turn a cleaned corpus (q17-q30, q44-q57) into what a trainer
+actually reads — context windows, salient terms, a deterministic
+global shuffle, an epoch-replicated mixture, classifier-scored
+quality, per-slice inspection samples, and integer JL projection
+feeding projected kNN retrieval.
 
 The reference pipeline stops at warehouse loads; these extend the
 Tier-C LLM-operator suite on its `documents` table.
@@ -24,7 +25,8 @@ Scale posture (the reason each plan looks the way it does):
   scan stage; the only shuffle is the final small rollup.
 
 Every hash/score is engine-portable (md5 buckets, single IEEE
-divisions) so all four queries are value-hash-checked against DuckDB.
+divisions, exact BIGINT projections) so every query in this module is
+value-hash-checked against DuckDB.
 """
 
 from __future__ import annotations

@@ -106,6 +106,31 @@ def _is_bucketed(table_dir: str) -> bool:
     return any(e.startswith(f"{BUCKET_COL}=") for e in os.listdir(table_dir))
 
 
+def _aside_dir(table_dir: str) -> str:
+    parent, base = os.path.split(os.path.abspath(table_dir))
+    return os.path.join(parent, "." + base + "__old")
+
+
+def _heal_unbucketed_swap(table_dir: str) -> None:
+    """Recover from a crash inside the whole-table compaction swap.
+
+    Crash window state: the live dir was renamed aside but staging was
+    never renamed in — the path is missing while ``.{table}__old``
+    holds every row. Restore the aside dir as the live table (the
+    interrupted compaction simply retries later) and scrub any stale
+    staging; if the swap completed (live dir present), scrub leftovers.
+    Without this, the next keyless ingest would see a missing table and
+    silently recreate it from one delta while the full history sat
+    forever in a hidden sibling."""
+    aside = _aside_dir(table_dir)
+    if os.path.isdir(aside):
+        if not os.path.isdir(table_dir):
+            os.rename(aside, table_dir)
+        else:
+            shutil.rmtree(aside, ignore_errors=True)
+    shutil.rmtree(table_dir + "__compact", ignore_errors=True)
+
+
 def ingest_file(
     spark: SparkSession,
     file_path: str,
@@ -181,6 +206,10 @@ def ingest_file(
         )
 
     table_dir = os.path.join(warehouse_dir, spec.table)
+    # a compaction interrupted mid-swap must be healed BEFORE the
+    # existence check below — otherwise this load would recreate the
+    # table from one delta while the history sat in the aside dir
+    _heal_unbucketed_swap(table_dir)
     # Per-file A2 gate: the rows staged for THIS file vs its own source
     # count. One cheap count on the cached raw relation.
     loaded = res.good.count()
@@ -331,11 +360,18 @@ def compact_table(
 
     Unbucketed tables (the keyless append path — one new file per
     appended load) compact as a whole: rewrite to ``max_files_per_bucket``
-    files in staging, then one aside-rename swap of the table dir.
+    files in staging, then rename the live dir aside and the staging
+    dir in. A crash between those two renames leaves the table
+    recoverable in the aside dir; :func:`_heal_unbucketed_swap` (run on
+    entry here AND by ``ingest_file``) restores it before anything else
+    reads or recreates the path — so the swap is crash-SAFE (never
+    loses data), though not single-rename atomic like the per-bucket
+    protocol.
 
     The audit-log twin is :func:`audit.compact_log` (date-partitioned);
     this one owns the ingest pipeline's permanent tables.
     """
+    _heal_unbucketed_swap(table_dir)
     if not os.path.isdir(table_dir):
         return 0
     if not _is_bucketed(table_dir):
@@ -349,8 +385,7 @@ def compact_table(
             .write.mode("overwrite")
             .parquet(staging)
         )
-        parent, base = os.path.split(os.path.abspath(table_dir))
-        aside = os.path.join(parent, "." + base + "__old")
+        aside = _aside_dir(table_dir)
         shutil.rmtree(aside, ignore_errors=True)
         os.rename(table_dir, aside)
         os.rename(staging, table_dir)

@@ -700,3 +700,46 @@ def test_compact_table_unbucketed_append_layout(spark, tmp_path):
     )
     assert content_after == content_before
     assert compact_table(spark, table_dir) == 0
+
+
+def test_compact_table_crash_mid_swap_is_healed(spark, tmp_path):
+    """Simulate a crash between the two renames of the whole-table
+    swap (live dir gone, aside dir holding every row): the next
+    compact_table OR ingest_file must restore the table instead of
+    losing it / recreating it from one delta."""
+    from python_lambda_ecs_container_data_etl_aws_spark.sources.pipeline import (
+        _aside_dir,
+        compact_table,
+    )
+
+    land = tmp_path / "landing"
+    land.mkdir()
+    wh = str(tmp_path / "wh")
+    for day, n in [("d1", 10), ("d2", 7)]:
+        f = land / f"PriceIndex_{day}.csv"
+        f.write_text("\n".join([HEADER] + [_row(f"{day}_{i}", "1.0") for i in range(n)]) + "\n")
+        ingest_file(spark, str(f), wh)
+    table_dir = os.path.join(wh, "priceindex")
+    content = sorted(
+        (r.DGUID, r.VALUE) for r in read_permanent(spark, wh, "priceindex").collect()
+    )
+
+    # crash window: table renamed aside, staging never renamed in
+    os.rename(table_dir, _aside_dir(table_dir))
+    assert not os.path.isdir(table_dir)
+    compact_table(spark, table_dir)  # heals (and may compact)
+    restored = sorted(
+        (r.DGUID, r.VALUE) for r in read_permanent(spark, wh, "priceindex").collect()
+    )
+    assert restored == content
+
+    # same crash, healed by the next ingest instead
+    os.rename(table_dir, _aside_dir(table_dir))
+    f = land / "PriceIndex_d3.csv"
+    f.write_text("\n".join([HEADER, _row("d3_0", "1.0")]) + "\n")
+    rep = ingest_file(spark, str(f), wh)
+    assert rep.status == "ok"
+    healed = sorted(
+        (r.DGUID, r.VALUE) for r in read_permanent(spark, wh, "priceindex").collect()
+    )
+    assert healed == sorted(content + [("d3_0", "1.0")])
