@@ -405,3 +405,63 @@ def dedup_ingest_stream(
         .start()
     )
     q.awaitTermination()
+
+
+def stateful_user_value_stats(events: DataFrame) -> DataFrame:
+    """Per-user running value statistics via transformWithStateInPandas
+    — the Spark 4 successor to applyInPandasWithState (StatefulProcessor
+    + typed state handles + RocksDB state store; timers and multiple
+    state variables come free when an operator needs them).
+
+    Emits (user_id, n_events, sum_value, max_value) per user per
+    micro-batch; the last emission carries the all-time stats. Requires
+    ``spark.sql.streaming.stateStore.providerClass`` =
+    RocksDBStateStoreProvider (transformWithState's backing store) and
+    the ``protobuf`` package (the TWS driver worker's state-message
+    codec — absent in this sandbox, so the pytest importorskips; the
+    applyInPandasWithState twin `stateful_user_counts` runs
+    everywhere).
+    The processor class is defined inside this function so executors
+    unpickle a self-contained closure (repo-cwd-independent).
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class _Stats(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "stats", "n BIGINT, sum_value DOUBLE, max_value DOUBLE"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            import pandas as pd
+
+            n, sv, mx = (
+                self._state.get() if self._state.exists() else (0, 0.0, None)
+            )
+            for pdf in rows:
+                n += len(pdf)
+                sv += float(pdf["value"].sum())
+                bmax = float(pdf["value"].max())
+                mx = bmax if mx is None else max(mx, bmax)
+            self._state.update((n, sv, mx))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "sum_value": [sv],
+                    "max_value": [mx],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=_Stats(),
+        outputStructType="user_id BIGINT, n_events BIGINT, sum_value DOUBLE, max_value DOUBLE",
+        outputMode="Update",
+        timeMode="None",
+    )

@@ -344,3 +344,54 @@ def test_dedup_ingest_stream_curates_corpus_across_batches(spark, tmp_path):
     # corpus is never re-shingled on later batches
     idx = spark.read.parquet(corpus + "__index/sh")
     assert {r.id for r in idx.select("id").collect()} == {1, 2, 12}
+
+
+def test_transform_with_state_user_value_stats(spark, event_batches, tmp_path):
+    """transformWithStateInPandas (Spark 4 stateful API): final
+    per-user stats must equal the batch aggregation, with state
+    accumulating across triggers in the RocksDB store. The TWS driver
+    worker needs protobuf (not shipped in this sandbox) — skipped
+    where absent, same policy as the Delta seam."""
+    import pytest as _pytest
+
+    _pytest.importorskip("google.protobuf.descriptor")
+    landing, e, _ = event_batches
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = runner.file_stream(
+            spark, landing, EVENT_SCHEMA, fmt="parquet", max_files_per_trigger=1
+        )
+        stats = runner.stateful_user_value_stats(stream)
+        runner.run_stream_to_memory(
+            stats, "user_stats_tws", str(tmp_path / "ck_tws"), output_mode="update"
+        )
+        emitted = spark.table("user_stats_tws").collect()
+        final = {}
+        for r in emitted:
+            cur = final.get(r.user_id)
+            if cur is None or r.n_events > cur[0]:
+                final[r.user_id] = (r.n_events, r.sum_value, r.max_value)
+        batch = {
+            r.user_id: (r.n, r.s, r.m)
+            for r in e.groupBy("user_id")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("value").cast("double").alias("s"),
+                F.max("value").cast("double").alias("m"),
+            )
+            .collect()
+        }
+        assert set(final) == set(batch)
+        for u, (n, s, m) in final.items():
+            bn, bs, bm = batch[u]
+            assert n == bn and abs(s - bs) < 1e-9 and m == bm, u
+        assert any(len([r for r in emitted if r.user_id == u]) > 1 for u in final)
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
