@@ -438,14 +438,18 @@ def stateful_user_value_stats(events: DataFrame) -> DataFrame:
         def handleInputRows(self, key, rows, timerValues):
             import pandas as pd
 
-            n, sv, mx = (
-                self._state.get() if self._state.exists() else (0, 0.0, None)
-            )
+            # one state round trip: get() is already Optional
+            prev = self._state.get()
+            n, sv, mx = prev if prev is not None else (0, 0.0, None)
             for pdf in rows:
                 n += len(pdf)
-                sv += float(pdf["value"].sum())
-                bmax = float(pdf["value"].max())
-                mx = bmax if mx is None else max(mx, bmax)
+                # null-skipping like F.sum/F.max — an all-null chunk
+                # must not poison the running stats with NaN
+                vals = pdf["value"].dropna()
+                if len(vals):
+                    sv += float(vals.sum())
+                    bmax = float(vals.max())
+                    mx = bmax if mx is None else max(mx, bmax)
             self._state.update((n, sv, mx))
             yield pd.DataFrame(
                 {

@@ -346,16 +346,28 @@ def test_dedup_ingest_stream_curates_corpus_across_batches(spark, tmp_path):
     assert {r.id for r in idx.select("id").collect()} == {1, 2, 12}
 
 
-def test_transform_with_state_user_value_stats(spark, event_batches, tmp_path):
+def test_transform_with_state_user_value_stats(spark, tmp_path):
     """transformWithStateInPandas (Spark 4 stateful API): final
-    per-user stats must equal the batch aggregation, with state
-    accumulating across triggers in the RocksDB store. The TWS driver
-    worker needs protobuf (not shipped in this sandbox) — skipped
-    where absent, same policy as the Delta seam."""
-    import pytest as _pytest
+    per-user stats must equal the batch aggregation (null values
+    skipped like F.sum/F.max), with state accumulating across
+    triggers in the RocksDB store. The TWS driver worker needs
+    protobuf (not shipped in this sandbox) — skipped where absent,
+    same policy as the Delta seam."""
+    pytest.importorskip("google.protobuf.descriptor")
+    land = tmp_path / "tws_land"
+    land.mkdir()
+    batches = [
+        [(1, 2.0), (2, 3.0), (1, None)],
+        [(1, 5.0), (3, 1.0)],
+        [(2, None), (2, 7.0), (1, 0.5)],
+    ]
+    schema = "user_id BIGINT, value DOUBLE"
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(land / f"b{i}.parquet"))
+    e = spark.createDataFrame([r for b in batches for r in b], schema)
 
-    _pytest.importorskip("google.protobuf.descriptor")
-    landing, e, _ = event_batches
     prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
     spark.conf.set(
         "spark.sql.streaming.stateStore.providerClass",
@@ -363,7 +375,7 @@ def test_transform_with_state_user_value_stats(spark, event_batches, tmp_path):
     )
     try:
         stream = runner.file_stream(
-            spark, landing, EVENT_SCHEMA, fmt="parquet", max_files_per_trigger=1
+            spark, str(land), schema, fmt="parquet", max_files_per_trigger=1
         )
         stats = runner.stateful_user_value_stats(stream)
         runner.run_stream_to_memory(
@@ -386,9 +398,10 @@ def test_transform_with_state_user_value_stats(spark, event_batches, tmp_path):
             .collect()
         }
         assert set(final) == set(batch)
-        for u, (n, s, m) in final.items():
+        for u, (n, s_, m) in final.items():
             bn, bs, bm = batch[u]
-            assert n == bn and abs(s - bs) < 1e-9 and m == bm, u
+            assert n == bn and abs(s_ - bs) < 1e-9 and m == bm, u
+        # state really accumulated across triggers
         assert any(len([r for r in emitted if r.user_id == u]) > 1 for u in final)
     finally:
         if prev is None:
