@@ -528,6 +528,10 @@ def connected_components(
         sym.select(F.col("src").alias("node")).distinct().withColumn("label", F.col("node"))
     ).persist()
     labels.count()
+    # sym's cache is materialized by the count above; the upstream edge
+    # cache has served its purpose — drop it so repeated dedup rounds
+    # in one session don't accumulate dead cached blocks
+    e2.unpersist()
 
     def propagate(lbl: DataFrame) -> DataFrame:
         nb = (
@@ -559,7 +563,9 @@ def connected_components(
         labels.unpersist()
         labels = new_labels
         if changed == 0:
+            sym.unpersist()
             return labels.select("node", F.col("label").alias("cluster_rep"))
+    sym.unpersist()
     raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
 
 

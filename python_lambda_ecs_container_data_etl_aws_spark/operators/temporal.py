@@ -38,12 +38,18 @@ def asof_join(
 
     Returns every left row that has a match: all left columns, plus the
     right row's non-key columns and ``__matched_ts_us`` (the matched
-    right timestamp). A right row at exactly the left time matches
-    (inclusive). ``tolerance_us`` drops matches older than
-    ``left_time - tolerance_us``.
+    right timestamp). A right non-key column whose name collides with a
+    left column comes back suffixed ``__right`` (otherwise the flat
+    output would carry two same-named columns and every downstream
+    reference would be AMBIGUOUS_REFERENCE). A right row at exactly the
+    left time matches (inclusive). ``tolerance_us`` drops matches older
+    than ``left_time - tolerance_us``.
     """
     lcols = left.columns
+    if "__matched_ts_us" in lcols:
+        raise ValueError("left side may not carry a __matched_ts_us column")
     rcols = [c for c in right.columns if c not in on and c != right_time]
+    rout = {c: (c + "__right" if c in lcols else c) for c in rcols}
     l2 = left.select(
         *[F.col(c) for c in on],
         F.col(left_time).alias("__t"),
@@ -52,7 +58,7 @@ def asof_join(
         F.lit(None).cast(
             right.select(
                 F.struct(
-                    *[F.col(c) for c in rcols],
+                    *[F.col(c).alias(rout[c]) for c in rcols],
                     F.col(right_time).alias("__matched_ts_us"),
                 ).alias("s")
             ).schema["s"].dataType
@@ -66,7 +72,8 @@ def asof_join(
         ).alias("__lv"),
         F.lit(0).alias("__side"),
         F.struct(
-            *[F.col(c) for c in rcols], F.col(right_time).alias("__matched_ts_us")
+            *[F.col(c).alias(rout[c]) for c in rcols],
+            F.col(right_time).alias("__matched_ts_us"),
         ).alias("__rv"),
     )
     u = l2.unionByName(r2)

@@ -132,16 +132,25 @@ def grams_exploded(
     under ANSI mode and indexes out of bounds, so docs with fewer than
     ``n`` tokens yield zero grams via the CASE arm, never a crash.
     """
+    return grams_from_toks(
+        df.select(
+            F.col(id_col).alias("id"),
+            F.split(F.col(text_col), " ").alias("toks"),
+        ),
+        n,
+    )
+
+
+def grams_from_toks(toks_rel: DataFrame, n: int) -> DataFrame:
+    """(id, gram) occurrences from a pre-tokenized (id, toks) relation
+    — lets callers computing several gram orders tokenize once."""
     parts = ", ".join(f"toks[i+{j}]" for j in range(n))
     gen = (
         f"CASE WHEN size(toks) >= {n} "
         f"THEN transform(sequence(0, size(toks) - {n}), i -> concat_ws(' ', {parts})) "
         f"ELSE array() END"
     )
-    return df.select(
-        F.col(id_col).alias("id"),
-        F.split(F.col(text_col), " ").alias("toks"),
-    ).select("id", F.explode(F.expr(gen)).alias("gram"))
+    return toks_rel.select("id", F.explode(F.expr(gen)).alias("gram"))
 
 
 def repetition_signals(
@@ -166,10 +175,17 @@ def repetition_signals(
     All three ratios are a SINGLE IEEE division of exact integers —
     bit-identical across engines (the repo's float-determinism rule).
     """
-    base = df.select(
+    # tokenize ONCE: TTR and both gram orders derive from one cached
+    # (id, toks) relation instead of three independent text parses —
+    # the same tokenize-once rule BASELINE.md records for shingling
+    # (lifetime: released after the consuming action via the bench's
+    # clearCache; long-lived sessions manage caches the same way as
+    # the other persisted operator intermediates).
+    toks_rel = df.select(
         F.col(id_col).alias("id"),
         F.split(F.col(text_col), " ").alias("toks"),
-    ).select(
+    ).persist()
+    base = toks_rel.select(
         "id",
         F.size("toks").alias("n_tokens"),
         (F.size(F.array_distinct("toks")) / F.size("toks")).alias("ttr"),
@@ -177,7 +193,7 @@ def repetition_signals(
 
     def _gram_stats(n: int, out: str, top: bool) -> DataFrame:
         per_gram = (
-            grams_exploded(df, text_col, id_col, n)
+            grams_from_toks(toks_rel, n)
             .groupBy("id", "gram")
             .agg(F.count(F.lit(1)).alias("c"))
         )

@@ -61,9 +61,36 @@ def log_ingest(
     )
 
 
+def _heal_log(log_dir: str) -> None:
+    """Recover any day partition stranded by a compaction crash (live
+    dir renamed aside, staging never renamed in). Partition discovery
+    skips the dot-prefixed aside, so without this an interrupted
+    compact_log silently removes a whole day from every status query
+    until someone re-compacts that exact date. Runs from every reader
+    and from retention; single-maintainer contract (same as
+    compact_log: closed days, no concurrent compaction)."""
+    import os
+    import shutil
+
+    if not os.path.isdir(log_dir):
+        return
+    for entry in list(os.listdir(log_dir)):
+        path = os.path.join(log_dir, entry)
+        if entry.startswith(".log_date=") and entry.endswith("__old"):
+            live = os.path.join(log_dir, entry[1 : -len("__old")])
+            if not os.path.isdir(live):
+                os.rename(path, live)
+            else:
+                shutil.rmtree(path, ignore_errors=True)
+        elif entry.startswith(".log_date=") and entry.endswith("__staging"):
+            shutil.rmtree(path, ignore_errors=True)
+
+
 def load_ingest_log(spark: SparkSession, log_dir: str) -> DataFrame:
     """The audit table, ready for status queries (partition-pruned on
-    log_date)."""
+    log_date). Heals interrupted compactions first — a crashed swap
+    must never read as a missing day."""
+    _heal_log(log_dir)
     return spark.read.parquet(log_dir)
 
 
@@ -105,10 +132,8 @@ def compact_log(spark: SparkSession, log_dir: str, log_date: str) -> int:
     # log_date value and break every later read
     aside = os.path.join(log_dir, f".log_date={log_date}__old")
     staging = os.path.join(log_dir, f".log_date={log_date}__staging")
-    # heal a crash between the two renames below: partition missing,
-    # old data in the aside → restore it before doing anything else
-    if not os.path.isdir(part) and os.path.isdir(aside):
-        os.rename(aside, part)
+    # heal crashes for EVERY day, not just this one
+    _heal_log(log_dir)
     if not os.path.isdir(part):
         return 0
     shutil.rmtree(staging, ignore_errors=True)
@@ -133,6 +158,7 @@ def expire_log(log_dir: str, keep_after: str) -> list[str]:
     dropped = []
     if not os.path.isdir(log_dir):
         return dropped
+    _heal_log(log_dir)  # restore crashed swaps so retention sees them
     for entry in sorted(os.listdir(log_dir)):
         if not entry.startswith("log_date="):
             continue

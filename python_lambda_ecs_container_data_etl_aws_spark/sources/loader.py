@@ -19,6 +19,8 @@ count-compare commit gate is :func:`validate_counts`.
 
 from __future__ import annotations
 
+import os
+
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
@@ -38,6 +40,14 @@ class IngestResult:
     src_rows: int
     bad_rows: int
     accepted: bool
+    raw: DataFrame | None = None  # the cached scan; release() when done
+
+    def release(self) -> None:
+        """Drop the cached raw relation (call after the last action
+        over good/quarantine) so repeated loads in one session don't
+        accumulate cached file versions."""
+        if self.raw is not None:
+            self.raw.unpersist()
 
 
 def read_csv_canonical(
@@ -65,6 +75,17 @@ def read_csv_canonical(
         [StructField(c, StringType()) for c in file_cols]
         + [StructField(CORRUPT_COL, StringType())]
     )
+    # version-stamp the plan before caching: Spark's cache manager
+    # matches relations by logical plan, so re-reading the SAME path
+    # after its content changed (a daily re-delivered file) would
+    # silently return the previous content's cached rows. The stamp
+    # (size+mtime literal, dropped below) makes each file version a
+    # distinct plan. The cache itself is required — filtering on only
+    # the corrupt column from a raw scan is disallowed.
+    try:
+        stamp = f"{os.path.getsize(path)}:{os.stat(path).st_mtime_ns}"
+    except OSError:
+        stamp = "unknown"
     raw = (
         spark.read.option("header", True)
         .option("sep", sep)
@@ -73,12 +94,13 @@ def read_csv_canonical(
         .option("columnNameOfCorruptRecord", CORRUPT_COL)
         .schema(schema)
         .csv(path)
-    ).cache()  # required: filtering on only the corrupt column from a raw scan is disallowed
+        .withColumn("__src_version", F.lit(stamp))
+    ).cache()
     have = set(file_cols)
     bad = raw.filter(F.col(CORRUPT_COL).isNotNull()).select(
         F.col(CORRUPT_COL).alias("raw_line")
     )
-    good = raw.filter(F.col(CORRUPT_COL).isNull())
+    good = raw.filter(F.col(CORRUPT_COL).isNull()).drop("__src_version")
     projected = good.select(
         *[
             F.col(c) if c in have else F.lit(None).cast("string").alias(c)
@@ -93,6 +115,7 @@ def read_csv_canonical(
         src_rows=src_rows,
         bad_rows=bad_rows,
         accepted=bad_rows <= maxerrors,
+        raw=raw,
     )
 
 

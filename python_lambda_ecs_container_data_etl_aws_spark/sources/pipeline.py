@@ -166,7 +166,11 @@ def ingest_file(
     file's rows, and the fact table is never re-scanned.
     """
 
+    res: IngestResult | None = None
+
     def _finish(report: IngestReport, rejected: bool = False) -> IngestReport:
+        if res is not None:
+            res.release()  # drop this file version's cached scan
         if log_dir:
             log_ingest(spark, log_dir, report)
         if rejected and on_reject is not None:
@@ -186,7 +190,7 @@ def ingest_file(
             rejected=route == registry.ROUTE_QUARANTINE,
         )
 
-    res: IngestResult = read_csv_canonical(spark, file_path, spec, maxerrors=maxerrors)
+    res = read_csv_canonical(spark, file_path, spec, maxerrors=maxerrors)
     if quarantine_dir and res.bad_rows > 0:
         (
             res.quarantine.withColumn("source_file", F.lit(fname))
@@ -210,10 +214,18 @@ def ingest_file(
     # existence check below — otherwise this load would recreate the
     # table from one delta while the history sat in the aside dir
     _heal_unbucketed_swap(table_dir)
-    # Per-file A2 gate: the rows staged for THIS file vs its own source
-    # count. One cheap count on the cached raw relation.
+    # Per-file A2 gate, two halves:
+    #  - parse gate (the reference's maxerrors semantics): src rows
+    #    minus bad rows vs what the canonical read produced;
+    #  - write gate: the files THIS load physically wrote, read back
+    #    (parquet footers — no data scan), must hold the rows the plan
+    #    claimed. Comparing the plan against itself would be a
+    #    tautology; the read-back catches lost/partial writes, and
+    #    every count is bounded by the delta/touched buckets, never the
+    #    table.
     loaded = res.good.count()
     extras: dict = {}
+    write_ok = True
 
     # Report maintenance ordering + crash recovery: the incremental
     # refresh runs BEFORE the table swap (its retract state reads the
@@ -226,7 +238,15 @@ def ingest_file(
     # immediate-retry case; re-running an OLD file after newer loads
     # re-applies (use a bootstrap/recompute to repair — see below).
     rdir = report_dir or table_dir + "__report"
-    load_id = f"{fname}|{res.src_rows}|{res.bad_rows}"
+    # the marker id must distinguish a crash REPLAY of this physical
+    # file (same inode, same mtime — refresh already applied, skip)
+    # from a NEW drop that happens to reuse yesterday's filename and
+    # row counts (daily re-delivery with updated values — refresh must
+    # apply). Name+counts alone cannot tell those apart.
+    st = os.stat(file_path)
+    load_id = (
+        f"{fname}|{res.src_rows}|{res.bad_rows}|{st.st_size}|{st.st_mtime_ns}"
+    )
     table_existed = os.path.isdir(table_dir)
     # A missing report over a table WITH history (first enablement, or
     # operational loss) cannot be folded incrementally — bootstrap by
@@ -268,7 +288,7 @@ def ingest_file(
                 F.col(BUCKET_COL).isin(touched)
             )
             _refresh_incremental(perm)
-            merged = upsert(perm, delta, keys)
+            merged = upsert(perm, delta, keys).persist()
             staging = table_dir + "__staging"
             # cluster by bucket before the partitioned write: the merge
             # join shuffles on the MERGE KEYS, so without this every
@@ -282,6 +302,11 @@ def ingest_file(
                 .partitionBy(BUCKET_COL)
                 .parquet(staging)
             )
+            expected = merged.count()  # cached — no join re-run
+            persisted = spark.read.parquet(staging).count()
+            merged.unpersist()
+            write_ok = persisted == expected
+            extras["persisted_rows"] = persisted
             extras["buckets_touched"] = _swap_bucket_dirs(staging, table_dir)
         else:
             if table_existed:
@@ -294,18 +319,39 @@ def ingest_file(
             else:
                 _refresh_incremental(None)
             staging = table_dir + "__staging"
+            delta = delta.persist()
             (
                 delta.repartition(n_buckets, F.col(BUCKET_COL))
                 .write.mode("overwrite")
                 .partitionBy(BUCKET_COL)
                 .parquet(staging)
             )
+            expected = delta.count()
+            persisted = spark.read.parquet(staging).count()
+            delta.unpersist()
+            write_ok = persisted == expected
+            extras["persisted_rows"] = persisted
             extras["buckets_touched"] = _swap_bucket_dirs(staging, table_dir)
     else:
         _refresh_incremental(None)
+        before_files = (
+            {f for f in os.listdir(table_dir) if f.endswith(".parquet")}
+            if table_existed
+            else set()
+        )
         res.good.write.mode(
             "append" if table_existed else "overwrite"
         ).parquet(table_dir)
+        new_files = [
+            os.path.join(table_dir, f)
+            for f in os.listdir(table_dir)
+            if f.endswith(".parquet") and f not in before_files
+        ]
+        persisted = (
+            spark.read.parquet(*new_files).count() if new_files else 0
+        )
+        write_ok = persisted == loaded
+        extras["persisted_rows"] = persisted
 
     if bootstrap_report:
         merged_facts = spark.read.parquet(table_dir)
@@ -319,13 +365,14 @@ def ingest_file(
             marker_batch_id=load_id,
         )
 
-    ok = validate_counts(res.src_rows - res.bad_rows, loaded, maxerrors)
+    ok = validate_counts(res.src_rows - res.bad_rows, loaded, maxerrors) and write_ok
     report = IngestReport(
         file=fname,
         route=spec.table,
         loaded_rows=loaded,
         bad_rows=res.bad_rows,
         status="ok" if ok else "count_mismatch",
+        detail="" if write_ok else "persisted rows != staged rows",
         extras=extras,
     )
     if backup_dir:

@@ -709,3 +709,20 @@ def test_random_projection_preserves_distances_within_jl_bound(spark, emb):
     assert ratios and all(0.35 < r < 2.0 for r in ratios), ratios
     mean = sum(ratios) / len(ratios)
     assert math.isclose(mean, 1.0, abs_tol=0.25), mean
+
+
+def test_asof_join_renames_colliding_right_columns(spark):
+    """Both sides carrying a 'value' column must yield value (left) and
+    value__right (matched right), not two ambiguous 'value' columns."""
+    from python_lambda_ecs_container_data_etl_aws_spark.operators import temporal
+
+    left = spark.createDataFrame(
+        [(1, 100, 10.0)], "k BIGINT, ts_us BIGINT, value DOUBLE"
+    )
+    right = spark.createDataFrame(
+        [(1, 90, 77.0)], "k BIGINT, ts_us BIGINT, value DOUBLE"
+    )
+    out = temporal.asof_join(left, right, on=["k"])
+    assert out.columns.count("value") == 1 and "value__right" in out.columns
+    row = out.collect()[0]
+    assert (row.value, row.value__right, row["__matched_ts_us"]) == (10.0, 77.0, 90)

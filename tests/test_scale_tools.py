@@ -743,3 +743,35 @@ def test_compact_table_crash_mid_swap_is_healed(spark, tmp_path):
         (r.DGUID, r.VALUE) for r in read_permanent(spark, wh, "priceindex").collect()
     )
     assert healed == sorted(content + [("d3_0", "1.0")])
+
+
+def test_report_refresh_applies_for_new_drop_reusing_filename_and_counts(spark, tmp_path):
+    """Review regression: a NEW daily drop that reuses yesterday's
+    filename and row counts (updated values only) must refresh the
+    maintained report — only a true crash replay of the same physical
+    file (same mtime/size) may skip via the marker."""
+    import time as _time
+
+    from python_lambda_ecs_container_data_etl_aws_spark.sources.report import (
+        ReportSpec,
+        read_report,
+    )
+
+    land = tmp_path / "landing"
+    land.mkdir()
+    wh = str(tmp_path / "wh")
+    rdir = str(tmp_path / "report")
+    spec = ReportSpec(
+        group_keys=("GEO",),
+        sums=(("sum_value", "CAST(VALUE AS DECIMAL(18,6))"),),
+    )
+    f = land / "PriceIndex_daily.csv"
+    f.write_text("\n".join([HEADER, _row("D1", "10.0")]) + "\n")
+    ingest_file(spark, str(f), wh, keys=["DGUID"], report_spec=spec, report_dir=rdir)
+    assert float(read_report(spark, rdir).collect()[0].sum_value) == 10.0
+
+    # same filename, same row count, new content + mtime -> must apply
+    _time.sleep(0.01)
+    f.write_text("\n".join([HEADER, _row("D1", "99.0")]) + "\n")
+    ingest_file(spark, str(f), wh, keys=["DGUID"], report_spec=spec, report_dir=rdir)
+    assert float(read_report(spark, rdir).collect()[0].sum_value) == 99.0
