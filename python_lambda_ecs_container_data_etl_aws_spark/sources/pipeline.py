@@ -381,8 +381,12 @@ def ingest_file(
 
 
 def read_permanent(spark: SparkSession, warehouse_dir: str, table: str) -> DataFrame:
-    """The permanent table without the internal layout column."""
-    df = spark.read.parquet(os.path.join(warehouse_dir, table))
+    """The permanent table without the internal layout column. Heals an
+    interrupted compaction swap first — a crashed swap must surface the
+    stranded rows, not a missing-path error."""
+    table_dir = os.path.join(warehouse_dir, table)
+    _heal_unbucketed_swap(table_dir)
+    df = spark.read.parquet(table_dir)
     return df.drop(BUCKET_COL) if BUCKET_COL in df.columns else df
 
 
