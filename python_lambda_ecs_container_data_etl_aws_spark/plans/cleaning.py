@@ -293,3 +293,105 @@ def q64(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# q69 token co-occurrence lift — distributional association mining
+# (the PMI ranking behind phrase detection / tokenizer-merge analysis),
+# kept oracle-exact: lift = (c_xy·N) / (c_x·c_y) evaluated as two
+# IEEE multiplications and one division in a fixed order, identical in
+# both engines; ties break on the token pair. Windows are the same
+# deterministic 8-token segments as q64; tokens are distinct within a
+# segment so the counts are set-semantic. Scale shape: the pair
+# generation is a per-segment self-join keyed by (doc, seg) — work is
+# sum over segments of k² with k ≤ 8, linear in corpus size — and the
+# marginals are one groupBy each; the final top-30 compiles to
+# TakeOrderedAndProject, never a global sort.
+
+_CO_MIN = 5
+_CO_TOPK = 30
+
+ORACLE["q69_cooccurrence_lift"] = f"""
+WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+seg AS (
+    SELECT doc_id, CAST(u.i AS INT) AS seg_idx,
+           list_distinct(list_slice(toks, u.i * {_SEG} + 1,
+                                    u.i * {_SEG} + {_SEG})) AS stoks
+    FROM tok, UNNEST(range(0, (len(toks) + {_SEG} - 1) // {_SEG})) AS u(i)
+),
+st AS (SELECT doc_id, seg_idx, u.t AS tok FROM seg, UNNEST(stoks) AS u(t)),
+n AS (SELECT COUNT(*) AS n_segs FROM seg),
+cx AS (SELECT tok, COUNT(*) AS c FROM st GROUP BY 1),
+cxy AS (
+    SELECT a.tok AS tok_a, b.tok AS tok_b, COUNT(*) AS c_xy
+    FROM st a JOIN st b
+      ON a.doc_id = b.doc_id AND a.seg_idx = b.seg_idx AND a.tok < b.tok
+    GROUP BY 1, 2
+),
+scored AS (
+    SELECT tok_a, tok_b, c_xy,
+           (CAST(c_xy AS DOUBLE) * CAST(n_segs AS DOUBLE))
+               / (CAST(ca.c AS DOUBLE) * CAST(cb.c AS DOUBLE)) AS lift
+    FROM cxy
+    JOIN cx ca ON ca.tok = tok_a
+    JOIN cx cb ON cb.tok = tok_b
+    CROSS JOIN n
+    WHERE c_xy >= {_CO_MIN}
+)
+SELECT tok_a, tok_b, CAST(c_xy AS BIGINT) AS c_xy, lift
+FROM scored ORDER BY lift DESC, tok_a, tok_b LIMIT {_CO_TOPK}
+"""
+
+
+@_q("q69_cooccurrence_lift")
+def q69(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    seg = (
+        d.select(
+            "doc_id",
+            F.split(F.col("text"), " ").alias("toks"),
+            F.expr(
+                f"CAST((size(split(text, ' ')) + {_SEG} - 1) div {_SEG} AS INT)"
+            ).alias("n_segs"),
+        )
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(0), F.col("n_segs") - 1)).alias("seg_idx"),
+            "toks",
+        )
+        .select(
+            "doc_id",
+            "seg_idx",
+            F.array_distinct(
+                F.slice(F.col("toks"), F.col("seg_idx") * _SEG + 1, _SEG)
+            ).alias("stoks"),
+        )
+    )
+    st = seg.select(
+        "doc_id", "seg_idx", F.explode("stoks").alias("tok")
+    )
+    n = seg.agg(F.count(F.lit(1)).alias("n_segs"))
+    cx = st.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    a, b = st.alias("a"), st.alias("b")
+    cxy = (
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("a.seg_idx") == F.col("b.seg_idx"))
+            & (F.col("a.tok") < F.col("b.tok")),
+        )
+        .groupBy(F.col("a.tok").alias("tok_a"), F.col("b.tok").alias("tok_b"))
+        .agg(F.count(F.lit(1)).alias("c_xy"))
+        .filter(F.col("c_xy") >= _CO_MIN)
+    )
+    lift = (F.col("c_xy").cast("double") * F.col("n_segs").cast("double")) / (
+        F.col("ca.c").cast("double") * F.col("cb.c").cast("double")
+    )
+    return (
+        cxy.join(cx.alias("ca"), F.col("ca.tok") == F.col("tok_a"))
+        .join(cx.alias("cb"), F.col("cb.tok") == F.col("tok_b"))
+        .crossJoin(F.broadcast(n))
+        .select("tok_a", "tok_b", F.col("c_xy").cast("bigint").alias("c_xy"), lift.alias("lift"))
+        .orderBy(F.col("lift").desc(), "tok_a", "tok_b")
+        .limit(_CO_TOPK)
+    )

@@ -267,3 +267,13 @@ def test_q68_cohort_join_never_nested_loop(spark):
     plan = _plan(spark, "q68_cohort_retention")
     assert "Python" not in plan
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_q69_cooccurrence_topk_is_take_ordered_no_nested_loop(spark):
+    """The pair join is keyed by (doc, seg) — never a nested loop —
+    and the global top-30 must compile to TakeOrderedAndProject, not a
+    full sort of the pair relation."""
+    plan = _plan(spark, "q69_cooccurrence_lift")
+    assert "Python" not in plan
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
