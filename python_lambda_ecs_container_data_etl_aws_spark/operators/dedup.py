@@ -369,6 +369,11 @@ def minhash_lsh_dedup_incremental(
     makes full re-dedup of a 100 TB corpus per arriving batch a
     non-starter. Caller contract: old/new id sets are disjoint.
     Output: (a_id, b_id, jaccard), a_id < b_id, ≥ threshold.
+
+    Cache lifetime: the shingle/band relations persisted here live
+    until the consuming action finishes; sessions running many batches
+    should ``spark.catalog.clearCache()`` between rounds (bench.py
+    does; dedup_ingest_stream releases its own persists per batch).
     """
     ish, ib = lsh_index_of(old_df, text_col, id_col, num_hashes, num_bands, ngram, seed)
     nsh, nb = lsh_index_of(new_df, text_col, id_col, num_hashes, num_bands, ngram, seed)
@@ -652,6 +657,15 @@ def simhash_pairs(
         num_bands = max_distance + 1
     if num_bands > SIMHASH_BITS:
         raise ValueError("num_bands cannot exceed the signature width")
+    if num_bands <= max_distance:
+        # pigeonhole completeness REQUIRES max_distance < num_bands: a
+        # true pair could differ by one bit in every band, share no
+        # bucket, and be silently dropped — an incomplete result, not a
+        # slower one.
+        raise ValueError(
+            f"num_bands ({num_bands}) must exceed max_distance "
+            f"({max_distance}) for a complete candidate set"
+        )
     # persist: the banded self-join consumes the signature relation on
     # both sides — without it the signature fold runs twice.
     sig = simhash_signatures(df, text_col, id_col).persist()

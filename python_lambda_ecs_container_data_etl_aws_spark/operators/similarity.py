@@ -286,6 +286,7 @@ def lsh_near_dup_pairs(
     num_bands: int = 8,
     seed: int = 42,
     dim: int = 64,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Embedding near-duplicate PAIRS at scale: banded hyperplane-LSH
     buckets generate candidates (corpus self-join per bucket, linear in
@@ -298,6 +299,12 @@ def lsh_near_dup_pairs(
     thresholds (≥0.9, the dedup regime) collide in most bands, so
     recall is high exactly where the operator is meant to operate;
     precision is exact (verify stage).
+
+    ``max_bucket_size`` drops degenerate (band, bucket) groups before
+    the self-join — the same mega-bucket skew cap the MinHash path
+    carries: an embedding corpus with a dominant cluster (near-zero
+    vectors, template images) would otherwise pay a quadratic join in
+    that one bucket.
     """
     width = num_bits // num_bands
     mask = (1 << width) - 1
@@ -316,6 +323,13 @@ def lsh_near_dup_pairs(
         F.col(vec_col).alias("emb"),
         F.explode(F.array(*bands)).alias("bb"),
     ).select("id", "emb", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    if max_bucket_size is not None:
+        w = Window.partitionBy("band", "bucket")
+        exploded = (
+            exploded.withColumn("__bsz", F.count(F.lit(1)).over(w))
+            .filter(F.col("__bsz") <= max_bucket_size)
+            .drop("__bsz")
+        )
     a, b = exploded.alias("a"), exploded.alias("b")
     cand = (
         a.join(

@@ -43,6 +43,24 @@ from ..catalog import load_table
 from ..operators import dedup as dedup_ops
 from .core import ORACLE, _q
 
+# Engine-portable 0-99 sampling bucket: first 15 md5 hex chars of the
+# id as a BIGINT, mod 100. ONE definition (plus its SQL twin) shared by
+# the split assigner (q45), the downsampler (q50), and the epoch
+# upsampler (q61) — their complement guarantees hold only while all
+# three use the identical hash.
+MD5_BUCKET100_SQL = (
+    "CAST('0x' || substr(md5(CAST({col} AS VARCHAR)), 1, 15) AS BIGINT) % 100"
+)
+
+
+def md5_bucket100(col):
+    return (
+        F.conv(F.substring(F.md5(col.cast("string").cast("binary")), 1, 15), 16, 10)
+        .cast("bigint")
+        % 100
+    )
+
+
 # --------------------------------------------------------------------------
 # q44 decontamination: train docs sharing >= 50% of their 3-gram
 # shingles with ANY benchmark (src0) document.
@@ -132,11 +150,7 @@ FROM h GROUP BY 1, 2 ORDER BY 1, 2
 @_q("q45_split_assign")
 def q45(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    b = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 15), 16, 10)
-        .cast("bigint")
-        % 100
-    )
+    b = md5_bucket100(F.col("doc_id"))
     return (
         d.select(
             "lang",
@@ -251,14 +265,7 @@ FROM h GROUP BY 1, 2 ORDER BY 1
 @_q("q50_mixture_sample")
 def q50(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    b = (
-        F.conv(
-            F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 15),
-            16,
-            10,
-        ).cast("bigint")
-        % 100
-    )
+    b = md5_bucket100(F.col("doc_id"))
     rate = F.when(
         F.substring("source", 4, 10).cast("int") % 2 == 0, F.lit(40)
     ).otherwise(F.lit(80))

@@ -37,6 +37,7 @@ from pyspark.sql import functions as F
 from ..catalog import load_table
 from ..sources.chunking import add_autoid
 from .core import ORACLE, _q
+from .curation import md5_bucket100
 
 # --------------------------------------------------------------------------
 # q58 sliding context windows with overlap (RAG / long-context chunking).
@@ -222,14 +223,7 @@ FROM e GROUP BY 1, 2 ORDER BY 1, 2
 @_q("q61_epoch_mixture")
 def q61(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    b = (
-        F.conv(
-            F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 15),
-            16,
-            10,
-        ).cast("bigint")
-        % 100
-    )
+    b = md5_bucket100(F.col("doc_id"))
     rate = F.when(
         F.substring("source", 4, 10).cast("int") % 2 == 0, F.lit(250)
     ).otherwise(F.lit(125))

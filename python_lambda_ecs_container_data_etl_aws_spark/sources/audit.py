@@ -89,8 +89,18 @@ def _heal_log(log_dir: str) -> None:
 def load_ingest_log(spark: SparkSession, log_dir: str) -> DataFrame:
     """The audit table, ready for status queries (partition-pruned on
     log_date). Heals interrupted compactions first — a crashed swap
-    must never read as a missing day."""
+    must never read as a missing day — and an empty/absent log (fresh
+    deployment, or retention that expired every day) reads as zero
+    rows, not a schema-inference error: the "did yesterday's load
+    succeed" job must not die on the day there is nothing to report."""
+    import os
+
     _heal_log(log_dir)
+    has_days = os.path.isdir(log_dir) and any(
+        e.startswith("log_date=") for e in os.listdir(log_dir)
+    )
+    if not has_days:
+        return spark.createDataFrame([], LOG_SCHEMA)
     return spark.read.parquet(log_dir)
 
 

@@ -71,6 +71,26 @@ def _bucket_expr(keys: list[str], n_buckets: int):
     return F.pmod(F.xxhash64(*[F.col(k) for k in keys]), F.lit(n_buckets)).cast("int")
 
 
+def _heal_bucket_asides(table_dir: str) -> None:
+    """Recover buckets stranded by a crash inside the per-bucket swap
+    (bucket renamed aside, staged copy never renamed in): restore the
+    aside as the live bucket when the live dir is missing — deleting it
+    unconditionally would destroy the only surviving copy, since the
+    staged copy is overwritten by the next load's staging write. Runs
+    BEFORE any read of the permanent table (the merge's perm scan must
+    see the restored rows) and before every swap."""
+    if not os.path.isdir(table_dir):
+        return
+    for entry in list(os.listdir(table_dir)):
+        if entry.startswith(".") and entry.endswith("__old"):
+            live = os.path.join(table_dir, entry[1 : -len("__old")])
+            aside = os.path.join(table_dir, entry)
+            if not os.path.isdir(live):
+                os.rename(aside, live)
+            else:
+                shutil.rmtree(aside, ignore_errors=True)
+
+
 def _swap_bucket_dirs(staging_dir: str, table_dir: str) -> int:
     """Atomically move every ``__bucket=*`` dir from staging into the
     table: rename old aside → rename new in → drop old. Each bucket
@@ -81,11 +101,10 @@ def _swap_bucket_dirs(staging_dir: str, table_dir: str) -> int:
     invisible to partition discovery — an un-prefixed leftover would
     parse as a malformed partition value and fail every later read."""
     os.makedirs(table_dir, exist_ok=True)
-    # scrub leftovers from any previously interrupted swap (all buckets,
-    # not just the ones this delta touches)
-    for entry in os.listdir(table_dir):
-        if entry.startswith(".") and entry.endswith("__old"):
-            shutil.rmtree(os.path.join(table_dir, entry), ignore_errors=True)
+    # heal leftovers from any previously interrupted swap (all buckets,
+    # not just the ones this delta touches) — restore-or-scrub, never
+    # blind delete
+    _heal_bucket_asides(table_dir)
     n = 0
     for entry in sorted(os.listdir(staging_dir)):
         if not entry.startswith(f"{BUCKET_COL}="):
@@ -104,6 +123,28 @@ def _swap_bucket_dirs(staging_dir: str, table_dir: str) -> int:
 
 def _is_bucketed(table_dir: str) -> bool:
     return any(e.startswith(f"{BUCKET_COL}=") for e in os.listdir(table_dir))
+
+
+_LAYOUT_FILE = ".layout.json"
+
+
+def _read_layout(table_dir: str) -> dict | None:
+    import json
+
+    path = os.path.join(table_dir, _LAYOUT_FILE)
+    if not os.path.isfile(path):
+        return None
+    with open(path) as fh:
+        return json.load(fh)
+
+
+def _write_layout(table_dir: str, keys: list[str], n_buckets: int) -> None:
+    import json
+
+    tmp = os.path.join(table_dir, "." + _LAYOUT_FILE + ".tmp")
+    with open(tmp, "w") as fh:
+        json.dump({"keys": list(keys), "n_buckets": int(n_buckets)}, fh)
+    os.replace(tmp, os.path.join(table_dir, _LAYOUT_FILE))
 
 
 def _aside_dir(table_dir: str) -> str:
@@ -210,10 +251,12 @@ def ingest_file(
         )
 
     table_dir = os.path.join(warehouse_dir, spec.table)
-    # a compaction interrupted mid-swap must be healed BEFORE the
-    # existence check below — otherwise this load would recreate the
-    # table from one delta while the history sat in the aside dir
+    # crashes interrupted mid-swap must be healed BEFORE the existence
+    # check and the merge's permanent-table scan below — otherwise this
+    # load would recreate the table from one delta (whole-table swap)
+    # or merge without a stranded bucket's rows (per-bucket swap)
     _heal_unbucketed_swap(table_dir)
+    _heal_bucket_asides(table_dir)
     # Per-file A2 gate, two halves:
     #  - parse gate (the reference's maxerrors semantics): src rows
     #    minus bad rows vs what the canonical read produced;
@@ -276,6 +319,20 @@ def ingest_file(
         )
 
     if keys is not None:
+        # the bucket function is part of the table's physical layout:
+        # honoring a DIFFERENT n_buckets on a later load would hash the
+        # delta into buckets the existing rows don't occupy — the merge
+        # would never see the old copy of a key and the table would end
+        # up with duplicate keys, silently. The layout file wins; a
+        # keys mismatch is a hard error (it would be a different table).
+        layout = _read_layout(table_dir) if table_existed else None
+        if layout is not None:
+            if list(layout["keys"]) != list(keys):
+                raise ValueError(
+                    f"table {table_dir} is bucketed on keys="
+                    f"{layout['keys']}, not {keys}"
+                )
+            n_buckets = int(layout["n_buckets"])
         delta = res.good.withColumn(BUCKET_COL, _bucket_expr(keys, n_buckets))
         if table_existed and _is_bucketed(table_dir):
             # Bucket-scoped merge: only partitions the delta hashes into
@@ -308,6 +365,8 @@ def ingest_file(
             write_ok = persisted == expected
             extras["persisted_rows"] = persisted
             extras["buckets_touched"] = _swap_bucket_dirs(staging, table_dir)
+            if layout is None:
+                _write_layout(table_dir, keys, n_buckets)  # legacy adopt
         else:
             if table_existed:
                 # legacy unbucketed layout: one-time migration
@@ -332,6 +391,7 @@ def ingest_file(
             write_ok = persisted == expected
             extras["persisted_rows"] = persisted
             extras["buckets_touched"] = _swap_bucket_dirs(staging, table_dir)
+            _write_layout(table_dir, keys, n_buckets)
     else:
         _refresh_incremental(None)
         before_files = (
@@ -386,6 +446,7 @@ def read_permanent(spark: SparkSession, warehouse_dir: str, table: str) -> DataF
     stranded rows, not a missing-path error."""
     table_dir = os.path.join(warehouse_dir, table)
     _heal_unbucketed_swap(table_dir)
+    _heal_bucket_asides(table_dir)
     df = spark.read.parquet(table_dir)
     return df.drop(BUCKET_COL) if BUCKET_COL in df.columns else df
 
@@ -423,6 +484,7 @@ def compact_table(
     this one owns the ingest pipeline's permanent tables.
     """
     _heal_unbucketed_swap(table_dir)
+    _heal_bucket_asides(table_dir)
     if not os.path.isdir(table_dir):
         return 0
     if not _is_bucketed(table_dir):

@@ -726,3 +726,21 @@ def test_asof_join_renames_colliding_right_columns(spark):
     assert out.columns.count("value") == 1 and "value__right" in out.columns
     row = out.collect()[0]
     assert (row.value, row.value__right, row["__matched_ts_us"]) == (10.0, 77.0, 90)
+
+
+def test_lsh_near_dup_bucket_cap_bounds_candidates(spark, emb):
+    """The embedding-LSH mega-bucket cap: capped runs drop degenerate
+    buckets but still find planted near-duplicate pairs."""
+    from python_lambda_ecs_container_data_etl_aws_spark.operators import similarity
+
+    base = emb.filter(F.col("vec_id") < 100).select("vec_id", "embedding")
+    planted = base.filter(F.col("vec_id") < 5).select(
+        (F.col("vec_id") + 10_000).alias("vec_id"), "embedding"
+    )
+    corpus = base.unionByName(planted)
+    capped = similarity.lsh_near_dup_pairs(
+        corpus, threshold=0.99, max_bucket_size=50
+    ).collect()
+    found = {(r.a_id, r.b_id) for r in capped}
+    for i in range(5):
+        assert (i, i + 10_000) in found, i

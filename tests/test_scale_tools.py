@@ -775,3 +775,76 @@ def test_report_refresh_applies_for_new_drop_reusing_filename_and_counts(spark, 
     f.write_text("\n".join([HEADER, _row("D1", "99.0")]) + "\n")
     ingest_file(spark, str(f), wh, keys=["DGUID"], report_spec=spec, report_dir=rdir)
     assert float(read_report(spark, rdir).collect()[0].sum_value) == 99.0
+
+
+def test_bucket_swap_crash_mid_rename_restores_stranded_bucket(spark, tmp_path):
+    """Review regression (critical): a crash between the two renames of
+    one bucket's swap leaves that bucket aside; the next ingest or read
+    must RESTORE it — blindly scrubbing the aside (the old behavior)
+    destroyed the only surviving copy and silently lost the bucket."""
+    land = tmp_path / "landing"
+    land.mkdir()
+    wh = str(tmp_path / "wh")
+    base = land / "PriceIndex_base.csv"
+    base.write_text("\n".join([HEADER] + [_row(f"D{i}", f"{i}.0") for i in range(200)]) + "\n")
+    ingest_file(spark, str(base), wh, keys=["DGUID"], n_buckets=8)
+    table_dir = os.path.join(wh, "priceindex")
+    content = sorted(
+        (r.DGUID, r.VALUE) for r in read_permanent(spark, wh, "priceindex").collect()
+    )
+    buckets = sorted(
+        e for e in os.listdir(table_dir) if e.startswith("__bucket=")
+    )
+    victim = buckets[0]
+    # crash window: bucket renamed aside, staged copy never renamed in
+    os.rename(
+        os.path.join(table_dir, victim),
+        os.path.join(table_dir, "." + victim + "__old"),
+    )
+
+    # a read heals it
+    restored = sorted(
+        (r.DGUID, r.VALUE) for r in read_permanent(spark, wh, "priceindex").collect()
+    )
+    assert restored == content
+
+    # same crash again, healed by the next ingest's merge path this time
+    os.rename(
+        os.path.join(table_dir, victim),
+        os.path.join(table_dir, "." + victim + "__old"),
+    )
+    one = land / "price_one.csv"
+    one.write_text("\n".join([HEADER, _row("D7", "777.7")]) + "\n")
+    rep = ingest_file(spark, str(one), wh, keys=["DGUID"], n_buckets=8)
+    assert rep.status == "ok"
+    final = {r.DGUID: r.VALUE for r in read_permanent(spark, wh, "priceindex").collect()}
+    assert len(final) == 200 and final["D7"] == "777.7" and final["D0"] == "0.0"
+
+
+def test_bucket_layout_pinned_across_loads(spark, tmp_path):
+    """Review regression: a later load passing a different n_buckets
+    must use the table's persisted layout (not re-hash the delta into
+    buckets the old rows don't occupy — silent duplicate keys), and a
+    different key set is a hard error."""
+    import pytest as _pt
+
+    land = tmp_path / "landing"
+    land.mkdir()
+    wh = str(tmp_path / "wh")
+    base = land / "PriceIndex_base.csv"
+    base.write_text("\n".join([HEADER] + [_row(f"D{i}", f"{i}.0") for i in range(100)]) + "\n")
+    ingest_file(spark, str(base), wh, keys=["DGUID"], n_buckets=16)
+
+    upd = land / "price_upd.csv"
+    upd.write_text("\n".join([HEADER, _row("D7", "777.7")]) + "\n")
+    # caller passes the (wrong) default n_buckets=64 — layout must win
+    rep = ingest_file(spark, str(upd), wh, keys=["DGUID"])
+    assert rep.status == "ok"
+    final = {r.DGUID: r.VALUE for r in read_permanent(spark, wh, "priceindex").collect()}
+    assert len(final) == 100  # no duplicate D7
+    assert final["D7"] == "777.7"
+
+    bad = land / "price_bad.csv"
+    bad.write_text("\n".join([HEADER, _row("D8", "8.8")]) + "\n")
+    with _pt.raises(ValueError, match="bucketed on keys"):
+        ingest_file(spark, str(bad), wh, keys=["DGUID", "GEO"])
