@@ -323,13 +323,9 @@ def lsh_near_dup_pairs(
         F.col(vec_col).alias("emb"),
         F.explode(F.array(*bands)).alias("bb"),
     ).select("id", "emb", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
-    if max_bucket_size is not None:
-        w = Window.partitionBy("band", "bucket")
-        exploded = (
-            exploded.withColumn("__bsz", F.count(F.lit(1)).over(w))
-            .filter(F.col("__bsz") <= max_bucket_size)
-            .drop("__bsz")
-        )
+    from .dedup import _cap_buckets
+
+    exploded = _cap_buckets(exploded, max_bucket_size)
     a, b = exploded.alias("a"), exploded.alias("b")
     cand = (
         a.join(

@@ -134,10 +134,10 @@ def q44(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q45 deterministic stratified split assignment. Hash bucket 0-79 →
 # train, 80-89 → val, 90-99 → test; report counts per (lang, split).
 
-ORACLE["q45_split_assign"] = """
+ORACLE["q45_split_assign"] = f"""
 WITH h AS (
     SELECT lang,
-           CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100 AS b
+           {MD5_BUCKET100_SQL.format(col='doc_id')} AS b
     FROM documents
 )
 SELECT lang,
@@ -247,10 +247,10 @@ def q49(spark: SparkSession, sf_dir: str) -> DataFrame:
 # report shows achieved vs target per source. Hash-based, so the
 # sample is reproducible across runs, engines, and partitionings.
 
-ORACLE["q50_mixture_sample"] = """
+ORACLE["q50_mixture_sample"] = f"""
 WITH h AS (
     SELECT source,
-           CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100 AS b,
+           {MD5_BUCKET100_SQL.format(col='doc_id')} AS b,
            CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 0 THEN 40 ELSE 80 END AS rate
     FROM documents
 )

@@ -37,7 +37,7 @@ from pyspark.sql import functions as F
 from ..catalog import load_table
 from ..sources.chunking import add_autoid
 from .core import ORACLE, _q
-from .curation import md5_bucket100
+from .curation import MD5_BUCKET100_SQL, md5_bucket100
 
 # --------------------------------------------------------------------------
 # q58 sliding context windows with overlap (RAG / long-context chunking).
@@ -197,11 +197,10 @@ def q60(spark: SparkSession, sf_dir: str) -> DataFrame:
 # replicate every document; the fractional tail keeps the md5 bucket
 # below rate%100 — the exact complement of q50's downsampler.
 
-ORACLE["q61_epoch_mixture"] = """
+ORACLE["q61_epoch_mixture"] = f"""
 WITH h AS (
     SELECT doc_id, source,
-           CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
-               % 100 AS b,
+           {MD5_BUCKET100_SQL.format(col='doc_id')} AS b,
            CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 0
                 THEN 250 ELSE 125 END AS rate
     FROM documents

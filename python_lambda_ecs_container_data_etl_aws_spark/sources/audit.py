@@ -92,16 +92,17 @@ def load_ingest_log(spark: SparkSession, log_dir: str) -> DataFrame:
     must never read as a missing day — and an empty/absent log (fresh
     deployment, or retention that expired every day) reads as zero
     rows, not a schema-inference error: the "did yesterday's load
-    succeed" job must not die on the day there is nothing to report."""
-    import os
+    succeed" job must not die on the day there is nothing to report.
+    The empty fallback triggers only when Spark itself cannot read the
+    path, so remote (s3a/hdfs) logs are read normally."""
+    from pyspark.errors import AnalysisException
 
     _heal_log(log_dir)
-    has_days = os.path.isdir(log_dir) and any(
-        e.startswith("log_date=") for e in os.listdir(log_dir)
-    )
-    if not has_days:
+    try:
+        return spark.read.parquet(log_dir)
+    except AnalysisException:
+        # empty or absent — a typed zero-row log, not an error
         return spark.createDataFrame([], LOG_SCHEMA)
-    return spark.read.parquet(log_dir)
 
 
 def status_rollup(log: DataFrame) -> DataFrame:

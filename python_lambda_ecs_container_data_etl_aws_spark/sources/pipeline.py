@@ -89,6 +89,12 @@ def _heal_bucket_asides(table_dir: str) -> None:
                 os.rename(aside, live)
             else:
                 shutil.rmtree(aside, ignore_errors=True)
+        elif entry.endswith(_LAYOUT_FILE + ".tmp"):
+            # a crash between writing and os.replace of the layout tmp
+            try:
+                os.remove(os.path.join(table_dir, entry))
+            except OSError:
+                pass
 
 
 def _swap_bucket_dirs(staging_dir: str, table_dir: str) -> int:
@@ -324,15 +330,53 @@ def ingest_file(
         # delta into buckets the existing rows don't occupy — the merge
         # would never see the old copy of a key and the table would end
         # up with duplicate keys, silently. The layout file wins; a
-        # keys mismatch is a hard error (it would be a different table).
+        # keys mismatch rejects the load through the normal path (audit
+        # row + on_reject + cache release), like every other failure.
         layout = _read_layout(table_dir) if table_existed else None
         if layout is not None:
             if list(layout["keys"]) != list(keys):
-                raise ValueError(
-                    f"table {table_dir} is bucketed on keys="
-                    f"{layout['keys']}, not {keys}"
+                return _finish(
+                    IngestReport(
+                        file=fname,
+                        route=spec.table,
+                        bad_rows=res.bad_rows,
+                        status="rejected",
+                        detail=(
+                            f"table is bucketed on keys={layout['keys']}, "
+                            f"load requested keys={list(keys)}"
+                        ),
+                    ),
+                    rejected=True,
                 )
             n_buckets = int(layout["n_buckets"])
+        elif table_existed and _is_bucketed(table_dir):
+            # pre-layout table: the caller's n_buckets is a CLAIM, not a
+            # record. Validate it against the stored bucket values once
+            # (one scan — a one-time migration event) before adopting it
+            # into .layout.json; a wrong claim rejected here is a
+            # re-runnable error, a wrong claim adopted is permanent
+            # silent duplicate-key corruption.
+            mismatched = (
+                spark.read.parquet(table_dir)
+                .filter(_bucket_expr(keys, n_buckets) != F.col(BUCKET_COL))
+                .limit(1)
+                .count()
+            )
+            if mismatched:
+                return _finish(
+                    IngestReport(
+                        file=fname,
+                        route=spec.table,
+                        bad_rows=res.bad_rows,
+                        status="rejected",
+                        detail=(
+                            f"existing bucket layout does not match "
+                            f"n_buckets={n_buckets}/keys={list(keys)}; pass "
+                            "the values the table was created with"
+                        ),
+                    ),
+                    rejected=True,
+                )
         delta = res.good.withColumn(BUCKET_COL, _bucket_expr(keys, n_buckets))
         if table_existed and _is_bucketed(table_dir):
             # Bucket-scoped merge: only partitions the delta hashes into

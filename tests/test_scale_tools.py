@@ -846,5 +846,25 @@ def test_bucket_layout_pinned_across_loads(spark, tmp_path):
 
     bad = land / "price_bad.csv"
     bad.write_text("\n".join([HEADER, _row("D8", "8.8")]) + "\n")
-    with _pt.raises(ValueError, match="bucketed on keys"):
-        ingest_file(spark, str(bad), wh, keys=["DGUID", "GEO"])
+    rejects = []
+    rep = ingest_file(
+        spark, str(bad), wh, keys=["DGUID", "GEO"], on_reject=rejects.append
+    )
+    assert rep.status == "rejected" and "bucketed on keys" in rep.detail
+    assert rejects and rejects[0].status == "rejected"
+
+    # pre-layout table + wrong n_buckets claim: validated and rejected,
+    # never adopted (no silent duplicate keys, no wrong layout pinned)
+    table_dir = os.path.join(wh, "priceindex")
+    os.remove(os.path.join(table_dir, ".layout.json"))
+    wrong = land / "price_wrong.csv"
+    wrong.write_text("\n".join([HEADER, _row("D9", "9.9")]) + "\n")
+    rep2 = ingest_file(spark, str(wrong), wh, keys=["DGUID"], n_buckets=64)
+    assert rep2.status == "rejected" and "does not match" in rep2.detail
+    assert not os.path.isfile(os.path.join(table_dir, ".layout.json"))
+    # the correct claim is adopted and the load lands
+    rep3 = ingest_file(spark, str(wrong), wh, keys=["DGUID"], n_buckets=16)
+    assert rep3.status == "ok"
+    assert os.path.isfile(os.path.join(table_dir, ".layout.json"))
+    final = {r.DGUID: r.VALUE for r in read_permanent(spark, wh, "priceindex").collect()}
+    assert final["D9"] == "9.9" and len(final) == 100  # D9 upserted in place
