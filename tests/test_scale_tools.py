@@ -868,3 +868,43 @@ def test_bucket_layout_pinned_across_loads(spark, tmp_path):
     assert os.path.isfile(os.path.join(table_dir, ".layout.json"))
     final = {r.DGUID: r.VALUE for r in read_permanent(spark, wh, "priceindex").collect()}
     assert final["D9"] == "9.9" and len(final) == 100  # D9 upserted in place
+
+
+def test_load_ingest_log_survives_full_retention_and_crash(spark, tmp_path):
+    """After retention expires every day, the status query returns a
+    typed empty log — never a schema-inference error — and a crashed
+    compaction swap is healed by the reader."""
+    from python_lambda_ecs_container_data_etl_aws_spark.sources.audit import (
+        compact_log,
+        expire_log,
+        load_ingest_log,
+        log_ingest,
+    )
+    from python_lambda_ecs_container_data_etl_aws_spark.sources.pipeline import (
+        IngestReport,
+    )
+
+    log_dir = str(tmp_path / "log")
+    log_ingest(
+        spark, log_dir, IngestReport(file="a.csv", route="t", loaded_rows=3),
+        now_us=1_700_000_000_000_000,
+    )
+    assert load_ingest_log(spark, log_dir).count() == 1
+
+    # crash window: day partition renamed aside mid-compaction
+    import os
+
+    day = next(e for e in os.listdir(log_dir) if e.startswith("log_date="))
+    os.rename(
+        os.path.join(log_dir, day), os.path.join(log_dir, "." + day + "__old")
+    )
+    assert load_ingest_log(spark, log_dir).count() == 1  # reader heals
+
+    dropped = expire_log(log_dir, keep_after="9999-01-01")
+    assert dropped
+    empty = load_ingest_log(spark, log_dir)
+    assert empty.count() == 0
+    assert "status" in empty.columns  # typed, not schema-less
+
+    # compacting a nonexistent day on the empty log is a no-op
+    assert compact_log(spark, log_dir, "2023-01-01") == 0
