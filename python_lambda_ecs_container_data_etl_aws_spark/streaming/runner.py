@@ -469,3 +469,99 @@ def stateful_user_value_stats(events: DataFrame) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+def stateful_funnel(events: DataFrame, gap_us: int = 30 * 60 * 1_000_000) -> DataFrame:
+    """Streaming twin of the q67 conversion funnel: per-user pending
+    `view` events wait in state until a `purchase` within ``gap_us``
+    converts them or event time moves past their window, then resolve
+    exactly once as (day_idx, converted) emissions — aggregate the
+    output for the live funnel dashboard.
+
+    State per user: pending view timestamps plus the user's event-time
+    high-water mark. A view resolves CONVERTED on the first purchase
+    with view_ts <= purchase_ts <= view_ts + gap, and UNCONVERTED once
+    the high-water mark passes view_ts + gap (no qualifying purchase
+    can arrive later — per-user event files are delivered in time
+    order, the same in-order replay contract ST7/W1 rely on). Each
+    view resolves exactly once, so summing emissions reproduces the
+    batch q67 counts when the stream drains.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("day_idx", LongType()),
+            StructField("converted", IntegerType()),
+        ]
+    )
+    # pending view timestamps travel as a CSV string — GroupState rows
+    # are flat, and the list is bounded by gap_us worth of one user's
+    # views
+    state_schema = StructType(
+        [
+            StructField("pending", StringType()),
+            StructField("hwm", LongType()),
+        ]
+    )
+
+    day_us = 86_400 * 1_000_000
+
+    def fn(key, pdfs, state):
+        import pandas as pd
+
+        pending_csv, hwm = state.get if state.exists else ("", 0)
+        pending = [int(x) for x in pending_csv.split(",") if x]
+        out_day, out_conv = [], []
+        rows = []
+        for pdf in pdfs:
+            rows.extend(zip(pdf["ts_us"].tolist(), pdf["event_type"].tolist()))
+        rows.sort()
+        for ts, etype in rows:
+            ts = int(ts)
+            hwm = max(hwm, ts)
+            if etype == "view":
+                pending.append(ts)
+            elif etype == "purchase":
+                still = []
+                for v in pending:
+                    if v <= ts <= v + gap_us:
+                        out_day.append(v // day_us)
+                        out_conv.append(1)
+                    else:
+                        still.append(v)
+                pending = still
+            # expire views whose window closed (in-order delivery: no
+            # qualifying purchase can still arrive)
+            still = []
+            for v in pending:
+                if hwm > v + gap_us:
+                    out_day.append(v // day_us)
+                    out_conv.append(0)
+                else:
+                    still.append(v)
+            pending = still
+        state.update((",".join(str(v) for v in pending), hwm))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]] * len(out_day),
+                "day_idx": out_day,
+                "converted": out_conv,
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

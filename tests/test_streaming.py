@@ -362,10 +362,12 @@ def test_transform_with_state_user_value_stats(spark, tmp_path):
         [(2, None), (2, 7.0), (1, 0.5)],
     ]
     schema = "user_id BIGINT, value DOUBLE"
-    for i, rows in enumerate(batches):
+    # flat appended files: the file stream source does not recurse into
+    # per-batch subdirectories; appended part files arrive oldest-first
+    for rows in batches:
         spark.createDataFrame(rows, schema).coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(str(land / f"b{i}.parquet"))
+            "append"
+        ).parquet(str(land))
     e = spark.createDataFrame([r for b in batches for r in b], schema)
 
     prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
@@ -408,3 +410,80 @@ def test_transform_with_state_user_value_stats(spark, tmp_path):
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
         else:
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+
+def test_stateful_funnel_agrees_with_batch_q67(spark, tmp_path):
+    """The streaming funnel's drained emissions must reproduce the
+    batch q67 per-day (n_views, n_conv) exactly, with views resolved
+    exactly once across micro-batch boundaries."""
+    day = 86_400 * 1_000_000
+    gap = 30 * 60 * 1_000_000
+    # (user, ts, type): conversions within/over gap, cross-batch pairs,
+    # multiple views per purchase, never-converting views
+    rows = [
+        (1, 10 * day + 100, "view"),       # converts (batch 2 purchase)
+        (1, 10 * day + 200, "view"),       # converts (same purchase)
+        (2, 10 * day + 300, "view"),       # never converts
+        (3, 10 * day + 400, "view"),       # purchase outside gap
+        (1, 10 * day + 500, "purchase"),   # converts 1's views @100,200
+        (3, 10 * day + 400 + gap + 1, "purchase"),
+        (2, 11 * day + 50, "view"),        # converts next day
+        (2, 11 * day + 60, "purchase"),
+        (4, 11 * day + 70, "purchase"),    # purchase with no view
+    ]
+    land = tmp_path / "funnel_land"
+    land.mkdir()
+    schema = "user_id BIGINT, ts_us BIGINT, event_type STRING"
+    # split into two time-ordered batches (per-user in-order delivery),
+    # appended as FLAT part files — the file source does not recurse
+    # into subdirectories, and it processes appended files oldest-first
+    cut = 10 * day + 450
+    b1 = [r for r in rows if r[1] <= cut]
+    b2 = [r for r in rows if r[1] > cut]
+    import time as _t
+
+    for batch in [b1, b2]:
+        spark.createDataFrame(batch, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(land))
+        _t.sleep(0.05)  # distinct mtimes -> deterministic arrival order
+
+    stream = runner.file_stream(
+        spark, str(land), schema, fmt="parquet", max_files_per_trigger=1
+    )
+    out = runner.stateful_funnel(stream, gap_us=gap)
+    runner.run_stream_to_memory(
+        out, "funnel_stream", str(tmp_path / "ck_funnel"), output_mode="update"
+    )
+    emitted = spark.table("funnel_stream").collect()
+
+    # batch twin: q67 logic over the full event set
+    e = spark.createDataFrame(rows, schema)
+    from pyspark.sql import Window as W
+
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    nxt = e.withColumn(
+        "np",
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts_us"))).over(w),
+    ).filter(F.col("event_type") == "view")
+    batch = {
+        r.day_idx: (r.v, r.c)
+        for r in nxt.groupBy(F.expr(f"ts_us div {day}").alias("day_idx"))
+        .agg(
+            F.count(F.lit(1)).alias("v"),
+            F.sum(
+                F.when(F.col("np") - F.col("ts_us") <= gap, 1).otherwise(0)
+            ).alias("c"),
+        )
+        .collect()
+    }
+    got: dict[int, list[int]] = {}
+    for r in emitted:
+        v, c = got.setdefault(r.day_idx, [0, 0])
+        got[r.day_idx] = [v + 1, c + r.converted]
+    # every view emitted exactly once, per-day counts identical
+    assert {k: tuple(v) for k, v in got.items()} == batch
