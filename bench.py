@@ -62,16 +62,21 @@ def main() -> None:
             lambda it: it, schema="v bigint"
         ).collect()
 
+    errors: dict[str, str] = {}
+
     def run_once(name: str) -> float:
         t0 = time.perf_counter()
-        df = QUERIES[name](spark, sf_dir)
-        # collect() uniformly: count() would let Catalyst prune unused
-        # projection columns and under-measure wide queries
-        _ = len(df.collect())
+        try:
+            df = QUERIES[name](spark, sf_dir)
+            # collect() uniformly: count() would let Catalyst prune
+            # unused projection columns and under-measure wide queries
+            _ = len(df.collect())
+        except Exception as exc:  # one broken query must not lose the run
+            errors[name] = f"{type(exc).__name__}: {exc}"[:200]
         elapsed = round(time.perf_counter() - t0, 3)
         # operators persist intermediates (shingles, signatures, ranged
         # partitions) whose lifetime is the consuming action — drop them
-        # so 64 queries in one session don't accumulate cached blocks
+        # so 69 queries in one session don't accumulate cached blocks
         spark.catalog.clearCache()
         return elapsed
 
@@ -92,17 +97,16 @@ def main() -> None:
             timings[name] = min(t, run_once(name))
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "catalog_wall_clock",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf),
-            }
-        )
-    )
+    payload = {
+        "metric": "catalog_wall_clock",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf),
+    }
+    if errors:
+        payload["errors"] = errors  # failed queries, timed to failure
+    print(json.dumps(payload))
     spark.stop()
 
 
