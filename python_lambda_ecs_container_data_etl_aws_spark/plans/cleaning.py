@@ -395,3 +395,95 @@ def q69(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("lift").desc(), "tok_a", "tok_b")
         .limit(_CO_TOPK)
     )
+
+
+# --------------------------------------------------------------------------
+# q70 incremental segment dedup: today's batch (doc_id % 10 = 0)
+# cleaned against the EXISTING corpus's segments plus itself — the
+# daily C4-style line-dedup without re-deduping history. The corpus
+# side contributes only a segment-membership probe (at scale: the
+# stored segment-hash index, exactly what q64's first pass persists);
+# old-old work is never done, mirroring q54's incremental MinHash.
+# First occurrence within the batch wins in (doc_id, seg_idx) order;
+# any segment already in the corpus loses.
+
+ORACLE["q70_incremental_segment_dedup"] = f"""
+WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+seg AS (
+    SELECT doc_id, CAST(u.i AS INT) AS seg_idx,
+           array_to_string(list_slice(toks, u.i * {_SEG} + 1,
+                                      u.i * {_SEG} + {_SEG}), ' ') AS seg_text
+    FROM tok, UNNEST(range(0, (len(toks) + {_SEG} - 1) // {_SEG})) AS u(i)
+),
+old_seg AS (SELECT DISTINCT seg_text FROM seg WHERE doc_id % 10 <> 0),
+new_seg AS (
+    SELECT doc_id, seg_idx, seg_text,
+           ROW_NUMBER() OVER (PARTITION BY seg_text
+                              ORDER BY doc_id, seg_idx) AS rn
+    FROM seg WHERE doc_id % 10 = 0
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_segs,
+       CAST(SUM(CASE WHEN rn = 1 AND seg_text NOT IN (SELECT seg_text FROM old_seg)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       md5(COALESCE(string_agg(
+           CASE WHEN rn = 1 AND seg_text NOT IN (SELECT seg_text FROM old_seg)
+                THEN seg_text END, ' ' ORDER BY seg_idx), '')) AS clean_md5
+FROM new_seg GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+@_q("q70_incremental_segment_dedup")
+def q70(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    seg = (
+        d.select(
+            "doc_id",
+            F.split(F.col("text"), " ").alias("toks"),
+            F.expr(
+                f"CAST((size(split(text, ' ')) + {_SEG} - 1) div {_SEG} AS INT)"
+            ).alias("n_segs"),
+        )
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(0), F.col("n_segs") - 1)).alias("seg_idx"),
+            "toks",
+        )
+        .select(
+            "doc_id",
+            "seg_idx",
+            F.array_join(
+                F.slice(F.col("toks"), F.col("seg_idx") * _SEG + 1, _SEG), " "
+            ).alias("seg_text"),
+        )
+    )
+    old_seg = seg.filter(F.col("doc_id") % 10 != 0).select("seg_text").distinct()
+    new_seg = seg.filter(F.col("doc_id") % 10 == 0)
+    w = Window.partitionBy("seg_text").orderBy("doc_id", "seg_idx")
+    r = (
+        new_seg.withColumn("rn", F.row_number().over(w))
+        # membership probe against the corpus index: left-anti marks
+        # survivors; at scale old_seg is the persisted segment table
+        .join(old_seg.withColumn("__in_corpus", F.lit(1)), "seg_text", "left")
+    )
+    keep = (F.col("rn") == 1) & F.col("__in_corpus").isNull()
+    kept_struct = F.when(keep, F.struct(F.col("seg_idx"), F.col("seg_text")))
+    return (
+        r.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_segs"),
+            F.sum(F.when(keep, 1).otherwise(0)).cast("bigint").alias("n_kept"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(kept_struct)),
+                        lambda x: x["seg_text"],
+                    ),
+                    " ",
+                ).cast("binary")
+            ).alias("clean_md5"),
+        )
+        .orderBy("doc_id")
+    )

@@ -277,3 +277,13 @@ def test_q69_cooccurrence_topk_is_take_ordered_no_nested_loop(spark):
     assert "Python" not in plan
     assert "CartesianProduct" not in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_q70_incremental_probe_no_nested_loop(spark):
+    """The corpus-membership probe must be a hash join on the segment
+    key, never a nested loop, and the within-batch first-occurrence
+    window partitions by segment text."""
+    plan = _plan(spark, "q70_incremental_segment_dedup")
+    assert "Python" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    assert "windowspecdefinition(seg_text" in plan
