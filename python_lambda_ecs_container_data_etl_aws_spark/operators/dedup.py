@@ -705,3 +705,58 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_distance)
         .distinct()
     )
+
+
+def containment_pairs(
+    sh: DataFrame, threshold: float, candidates: DataFrame | None = None
+) -> DataFrame:
+    """Asymmetric near-dup: shingle containment C(A→B) = |A∩B| / |A| —
+    the quotation/partial-copy detector. A 50-shingle doc fully quoted
+    inside a 5000-shingle doc scores C≈1.0 while its Jaccard is ≈0.01,
+    so symmetric dedup never sees it; containment is the standard
+    complement (Broder's resemblance vs containment).
+
+    Same relational shape as :func:`jaccard_pairs` — shingle-key
+    intersection counts + two broadcast size joins — emitting pairs
+    where EITHER direction's containment clears ``threshold``, with
+    both directions reported. ``candidates`` restricts the
+    intersection to an LSH candidate set (the scale path; containment
+    candidates need per-band keying on the SHORTER side's signature —
+    the all-pairs fallback here is the exact/oracle baseline)."""
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    if candidates is not None:
+        inter = (
+            F.broadcast(candidates)
+            .join(a, F.col("a_id") == F.col("a.id"))
+            .join(
+                b,
+                (F.col("b_id") == F.col("b.id"))
+                & (F.col("a.shingle") == F.col("b.shingle")),
+            )
+            .groupBy("a_id", "b_id")
+            .agg(F.count(F.lit(1)).alias("n_inter"))
+        )
+    else:
+        inter = (
+            a.join(
+                b,
+                (F.col("a.shingle") == F.col("b.shingle"))
+                & (F.col("a.id") < F.col("b.id")),
+            )
+            .groupBy(F.col("a.id").alias("a_id"), F.col("b.id").alias("b_id"))
+            .agg(F.count(F.lit(1)).alias("n_inter"))
+        )
+    out = (
+        inter.join(F.broadcast(sizes.alias("sa")), F.col("a_id") == F.col("sa.id"))
+        .join(F.broadcast(sizes.alias("sb")), F.col("b_id") == F.col("sb.id"))
+        .select(
+            "a_id",
+            "b_id",
+            (F.col("n_inter") / F.col("sa.n")).alias("c_ab"),
+            (F.col("n_inter") / F.col("sb.n")).alias("c_ba"),
+        )
+    )
+    return out.filter(
+        (F.col("c_ab") >= threshold) | (F.col("c_ba") >= threshold)
+    )

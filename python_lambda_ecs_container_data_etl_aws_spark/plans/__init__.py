@@ -7,7 +7,7 @@ from . import ops as _ops  # noqa: F401  (registers q25-q28)
 from . import ext as _ext  # noqa: F401  (registers q29-q31)
 from . import extra as _extra  # noqa: F401  (registers q37-q43, q51, q67-q68)
 from . import curation as _cur  # noqa: F401  (registers q44-q50)
-from . import cleaning as _cln  # noqa: F401  (registers q55-q57, q64, q69-q70)
+from . import cleaning as _cln  # noqa: F401  (registers q55-q57, q64, q69-q71)
 from . import training as _trn  # noqa: F401  (registers q58-q63, q65-q66)
 
 __all__ = ["QUERIES", "ORACLE"]

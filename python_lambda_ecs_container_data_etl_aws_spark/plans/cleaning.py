@@ -487,3 +487,46 @@ def q70(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# q71 containment detection — the asymmetric complement of q22's
+# Jaccard: a short document largely CONTAINED in a longer one
+# (quotation, boilerplate inclusion, partial copy) scores near 1.0 on
+# containment while its Jaccard is tiny. Both directions are single
+# IEEE divisions of exact integers.
+
+_CONT_THRESH = 0.7
+
+
+ORACLE["q71_containment_pairs"] = f"""
+WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+shingle AS (
+    SELECT DISTINCT doc_id, s FROM tok,
+    UNNEST(list_transform(range(1, len(toks) - 1),
+                          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS u(s)
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingle GROUP BY 1),
+inter AS (
+    SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_inter
+    FROM shingle a JOIN shingle b ON a.s = b.s AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT a_id, b_id,
+       n_inter / sa.n AS c_ab,
+       n_inter / sb.n AS c_ba
+FROM inter
+JOIN sizes sa ON sa.doc_id = a_id
+JOIN sizes sb ON sb.doc_id = b_id
+WHERE n_inter / sa.n >= {_CONT_THRESH} OR n_inter / sb.n >= {_CONT_THRESH}
+ORDER BY a_id, b_id
+"""
+
+
+@_q("q71_containment_pairs")
+def q71(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import dedup
+
+    d = load_table(spark, sf_dir, "documents")
+    sh = dedup.shingles(d)
+    return dedup.containment_pairs(sh, _CONT_THRESH).orderBy("a_id", "b_id")

@@ -744,3 +744,22 @@ def test_lsh_near_dup_bucket_cap_bounds_candidates(spark, emb):
     found = {(r.a_id, r.b_id) for r in capped}
     for i in range(5):
         assert (i, i + 10_000) in found, i
+
+
+def test_containment_catches_subset_doc_jaccard_misses(spark):
+    """A short doc fully quoted inside a long one: containment ~1.0,
+    Jaccard tiny — the planted case the operator exists for."""
+    long_text = " ".join(f"w{i}" for i in range(100))
+    short_text = " ".join(f"w{i}" for i in range(20, 30))  # inside long
+    corpus = spark.createDataFrame(
+        [(1, long_text), (2, short_text), (3, " ".join(f"x{i}" for i in range(50)))],
+        "doc_id BIGINT, text STRING",
+    )
+    sh = dedup.shingles(corpus)
+    cont = {(r.a_id, r.b_id): (r.c_ab, r.c_ba) for r in dedup.containment_pairs(sh, 0.7).collect()}
+    assert (1, 2) in cont
+    c_ab, c_ba = cont[(1, 2)]
+    assert c_ba == 1.0  # every short-doc shingle is in the long doc
+    assert c_ab < 0.2  # direction matters
+    jac = {(r.a_id, r.b_id) for r in dedup.jaccard_pairs(sh, 0.5).collect()}
+    assert (1, 2) not in jac  # jaccard misses the quotation
