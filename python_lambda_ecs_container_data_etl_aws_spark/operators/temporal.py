@@ -50,6 +50,15 @@ def asof_join(
         raise ValueError("left side may not carry a __matched_ts_us column")
     rcols = [c for c in right.columns if c not in on and c != right_time]
     rout = {c: (c + "__right" if c in lcols else c) for c in rcols}
+    # pathological right-side names would still collide after the
+    # rename (a literal `x__right` next to a renamed `x`, or a column
+    # named like the generated match timestamp) — reject rather than
+    # emit ambiguous output
+    out_names = list(rout.values())
+    if "__matched_ts_us" in out_names or len(set(out_names)) != len(out_names):
+        raise ValueError(
+            f"right-side column names collide after rename: {sorted(rcols)}"
+        )
     l2 = left.select(
         *[F.col(c) for c in on],
         F.col(left_time).alias("__t"),

@@ -367,9 +367,14 @@ def q69(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("stoks"),
         )
     )
+    # tokenize/segment ONCE: st feeds the pair self-join (both sides)
+    # and the marginal counts — without the persist each consumer
+    # re-runs split+slice+explode over the whole corpus (lifetime:
+    # released by the consuming action's clearCache, same as the other
+    # persisted operator intermediates)
     st = seg.select(
         "doc_id", "seg_idx", F.explode("stoks").alias("tok")
-    )
+    ).persist()
     n = seg.agg(F.count(F.lit(1)).alias("n_segs"))
     cx = st.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
     a, b = st.alias("a"), st.alias("b")

@@ -95,13 +95,24 @@ def load_ingest_log(spark: SparkSession, log_dir: str) -> DataFrame:
     succeed" job must not die on the day there is nothing to report.
     The empty fallback triggers only when Spark itself cannot read the
     path, so remote (s3a/hdfs) logs are read normally."""
+    import os
+
     from pyspark.errors import AnalysisException
 
     _heal_log(log_dir)
     try:
         return spark.read.parquet(log_dir)
     except AnalysisException:
-        # empty or absent — a typed zero-row log, not an error
+        # fall back to a typed zero-row log ONLY when the path is
+        # genuinely absent or holds no day partitions (fresh deployment,
+        # full retention); a local dir WITH partitions that still fails
+        # to read is real corruption and must fail loudly, not read as
+        # "no loads". Remote paths (os checks false) keep the fallback —
+        # Spark already failed to read them.
+        if os.path.isdir(log_dir) and any(
+            e.startswith("log_date=") for e in os.listdir(log_dir)
+        ):
+            raise
         return spark.createDataFrame([], LOG_SCHEMA)
 
 

@@ -85,7 +85,12 @@ def read_csv_canonical(
     try:
         stamp = f"{os.path.getsize(path)}:{os.stat(path).st_mtime_ns}"
     except OSError:
-        stamp = "unknown"
+        # un-stattable path (remote scheme): a CONSTANT fallback would
+        # re-create the aliasing bug for every such path — a unique
+        # stamp merely forgoes cache reuse, which fails safe
+        import uuid
+
+        stamp = f"uncached:{uuid.uuid4()}"
     raw = (
         spark.read.option("header", True)
         .option("sep", sep)

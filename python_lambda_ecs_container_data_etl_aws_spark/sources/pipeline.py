@@ -408,9 +408,16 @@ def ingest_file(
             merged.unpersist()
             write_ok = persisted == expected
             extras["persisted_rows"] = persisted
-            extras["buckets_touched"] = _swap_bucket_dirs(staging, table_dir)
-            if layout is None:
-                _write_layout(table_dir, keys, n_buckets)  # legacy adopt
+            if write_ok:
+                extras["buckets_touched"] = _swap_bucket_dirs(staging, table_dir)
+                if layout is None:
+                    _write_layout(table_dir, keys, n_buckets)  # legacy adopt
+            else:
+                # NEVER install a staging write that lost rows: the old
+                # buckets are the only good copy, and aborting here is
+                # fully recoverable (idempotent merge + marker retry)
+                shutil.rmtree(staging, ignore_errors=True)
+                extras["buckets_touched"] = 0
         else:
             if table_existed:
                 # legacy unbucketed layout: one-time migration
@@ -422,20 +429,30 @@ def ingest_file(
             else:
                 _refresh_incremental(None)
             staging = table_dir + "__staging"
-            delta = delta.persist()
+            migrated = table_existed
+            if migrated:
+                delta = delta.persist()
             (
                 delta.repartition(n_buckets, F.col(BUCKET_COL))
                 .write.mode("overwrite")
                 .partitionBy(BUCKET_COL)
                 .parquet(staging)
             )
-            expected = delta.count()
+            # fresh table: delta rows == loaded by construction (the
+            # bucket column adds no rows) — only the migration merge
+            # needs its own expected count
+            expected = delta.count() if migrated else loaded
             persisted = spark.read.parquet(staging).count()
-            delta.unpersist()
+            if migrated:
+                delta.unpersist()
             write_ok = persisted == expected
             extras["persisted_rows"] = persisted
-            extras["buckets_touched"] = _swap_bucket_dirs(staging, table_dir)
-            _write_layout(table_dir, keys, n_buckets)
+            if write_ok:
+                extras["buckets_touched"] = _swap_bucket_dirs(staging, table_dir)
+                _write_layout(table_dir, keys, n_buckets)
+            else:
+                shutil.rmtree(staging, ignore_errors=True)
+                extras["buckets_touched"] = 0
     else:
         _refresh_incremental(None)
         before_files = (
@@ -456,6 +473,17 @@ def ingest_file(
         )
         write_ok = persisted == loaded
         extras["persisted_rows"] = persisted
+        if not write_ok:
+            # roll the append back to the pre-load state — a partial
+            # write must not linger in the live table
+            if table_existed:
+                for f in new_files:
+                    try:
+                        os.remove(f)
+                    except OSError:
+                        pass
+            else:
+                shutil.rmtree(table_dir, ignore_errors=True)
 
     if bootstrap_report:
         merged_facts = spark.read.parquet(table_dir)

@@ -524,7 +524,11 @@ def stateful_funnel(events: DataFrame, gap_us: int = 30 * 60 * 1_000_000) -> Dat
         rows = []
         for pdf in pdfs:
             rows.extend(zip(pdf["ts_us"].tolist(), pdf["event_type"].tolist()))
-        rows.sort()
+        # ties: views sort BEFORE purchases at the same instant, so a
+        # same-timestamp purchase converts the view — one deterministic
+        # convention regardless of micro-batch boundaries (lexicographic
+        # etype order would flip the outcome depending on batching)
+        rows.sort(key=lambda r: (r[0], 0 if r[1] == "view" else 1))
         for ts, etype in rows:
             ts = int(ts)
             hwm = max(hwm, ts)
