@@ -287,3 +287,23 @@ def test_q70_incremental_probe_no_nested_loop(spark):
     assert "Python" not in plan
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
     assert "windowspecdefinition(seg_text" in plan
+
+
+def test_every_query_plan_meets_universal_invariants(spark):
+    """Catalog-wide guard over ALL declared queries: no unconditioned
+    CartesianProduct anywhere (broadcast-scalar crossJoins compile to
+    BroadcastNestedLoopJoin with a 1-row side and are the only
+    sanctioned product shape), and no row-at-a-time Python UDF stage
+    (BatchEvalPython) — vectorized Arrow stages (ArrowEvalPython /
+    MapInPandas) are the only Python allowed in any plan."""
+    offenders = {}
+    for name in sorted(QUERIES):
+        plan = _plan(spark, name)
+        bad = []
+        if "CartesianProduct" in plan:
+            bad.append("CartesianProduct")
+        if "BatchEvalPython" in plan:
+            bad.append("BatchEvalPython")
+        if bad:
+            offenders[name] = bad
+    assert not offenders, offenders
