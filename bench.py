@@ -81,8 +81,16 @@ def main() -> None:
         return elapsed
 
     timings: dict[str, float] = {}
+    failed_elapsed: dict[str, float] = {}
     for name in sorted(QUERIES):
         timings[name] = run_once(name)
+
+    # A failed query's time-to-failure is neither the healthy-catalog
+    # time nor comparable across runs: pull it out before the outlier
+    # median and the total so error runs stay comparable to clean runs.
+    for name in errors:
+        if name in timings:
+            failed_elapsed[name] = timings.pop(name)
 
     # Noise guard: this container shares hardware, and exogenous load
     # spikes have measured a single arbitrary query 10x slower in one
@@ -102,6 +110,11 @@ def main() -> None:
             else:
                 timings[name] = min(t, t2)
 
+    # Re-runs can add new errored names; sweep once more.
+    for name in errors:
+        if name in timings:
+            failed_elapsed[name] = timings.pop(name)
+
     total = round(sum(timings.values()), 3)
     payload = {
         "metric": "catalog_wall_clock",
@@ -109,10 +122,30 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf),
+        "n_queries": len(timings),
     }
     if errors:
-        payload["errors"] = errors  # failed queries, timed to failure
-    print(json.dumps(payload))
+        payload["errors"] = errors
+        payload["failed_elapsed"] = failed_elapsed
+    # Full payload to a file (the single-line form outgrew the driver's
+    # tail capture at 71 queries — BENCH_r02 recorded "parsed": null).
+    out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_out.json")
+    with open(out_path, "w") as fh:
+        json.dump(payload, fh, indent=1)
+    # Per-query detail first (human/file readers), then the driver's
+    # machine-parsed line LAST and guaranteed compact (< 200 bytes).
+    print(json.dumps({"queries": timings, "errors": errors}))
+    summary = {
+        "metric": "catalog_wall_clock",
+        "value": total,
+        "unit": "sec",
+        "sf": float(sf),
+        "n_queries": len(timings),
+        "n_errors": len(errors),
+    }
+    line = json.dumps(summary)
+    assert len(line) < 200, f"summary line must stay tail-capturable: {len(line)}"
+    print(line)
     spark.stop()
 
 

@@ -546,6 +546,14 @@ def q53(spark: SparkSession, sf_dir: str) -> DataFrame:
 # range self-join (the naive funnel query that explodes on active
 # users). Day = epoch-microsecond integer division: no tz, no format,
 # bit-portable. conv_rate is one IEEE division.
+#
+# Tie rule (advisor): a purchase at the SAME instant as a view counts
+# as converting it — the timeline orders views before purchases at
+# equal ts_us (then event_id), so the same-ts purchase sits inside the
+# view's frame. This is the one convention the streaming twin
+# (runner.stateful_funnel) can hold regardless of micro-batch
+# boundaries; ordering by (ts_us, event_id) alone would let the
+# purchase's event_id decide, diverging stream from batch.
 
 _FUNNEL_GAP_US = 30 * 60 * 1_000_000
 _DAY_US = 86_400 * 1_000_000
@@ -558,7 +566,10 @@ WITH e AS (
 nxt AS (
     SELECT user_id, event_type, ts_us,
            MIN(CASE WHEN event_type = 'purchase' THEN ts_us END)
-               OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+               OVER (PARTITION BY user_id
+                     ORDER BY ts_us,
+                              CASE WHEN event_type = 'view' THEN 0 ELSE 1 END,
+                              event_id
                      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
                AS next_purchase_us
     FROM e
@@ -581,7 +592,11 @@ def q67(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = (
         Window.partitionBy("user_id")
-        .orderBy("ts_us", "event_id")
+        .orderBy(
+            "ts_us",
+            F.when(F.col("event_type") == "view", 0).otherwise(1),
+            "event_id",
+        )
         .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     )
     nxt = e.withColumn(

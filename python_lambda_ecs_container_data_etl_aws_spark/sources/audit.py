@@ -38,6 +38,10 @@ def log_ingest(
 ) -> None:
     """Append one audit row for ``report``. ``now_us`` is injectable for
     deterministic tests; defaults to wall-clock."""
+    # the write path is a maintenance entry point (single-maintainer
+    # contract), so it is the safe place to heal a crashed compaction
+    # swap — readers must not (see _heal_log)
+    _heal_log(log_dir)
     ts = int(time.time_ns() // 1000) if now_us is None else int(now_us)
     day = _dt.datetime.fromtimestamp(ts / 1e6, tz=_dt.timezone.utc).date().isoformat()
     row = [
@@ -66,9 +70,12 @@ def _heal_log(log_dir: str) -> None:
     dir renamed aside, staging never renamed in). Partition discovery
     skips the dot-prefixed aside, so without this an interrupted
     compact_log silently removes a whole day from every status query
-    until someone re-compacts that exact date. Runs from every reader
-    and from retention; single-maintainer contract (same as
-    compact_log: closed days, no concurrent compaction)."""
+    until the next maintenance pass heals it. Runs ONLY from the
+    maintenance entry points (log_ingest, compact_log, expire_log) —
+    never from readers: a status query healing mid-swap would rmtree
+    the maintainer's live staging or restore an aside it is about to
+    drop. Single-maintainer contract (same as compact_log: closed
+    days, no concurrent maintenance)."""
     import os
     import shutil
 
@@ -88,18 +95,21 @@ def _heal_log(log_dir: str) -> None:
 
 def load_ingest_log(spark: SparkSession, log_dir: str) -> DataFrame:
     """The audit table, ready for status queries (partition-pruned on
-    log_date). Heals interrupted compactions first — a crashed swap
-    must never read as a missing day — and an empty/absent log (fresh
-    deployment, or retention that expired every day) reads as zero
-    rows, not a schema-inference error: the "did yesterday's load
-    succeed" job must not die on the day there is nothing to report.
-    The empty fallback triggers only when Spark itself cannot read the
-    path, so remote (s3a/hdfs) logs are read normally."""
+    log_date). An empty/absent log (fresh deployment, or retention that
+    expired every day) reads as zero rows, not a schema-inference
+    error: the "did yesterday's load succeed" job must not die on the
+    day there is nothing to report. The empty fallback triggers only
+    when Spark itself cannot read the path, so remote (s3a/hdfs) logs
+    are read normally.
+
+    Readers do NOT heal crashed compaction swaps (that would race the
+    maintainer's in-flight swap — see _heal_log): a day stranded by a
+    compaction crash is invisible here until the next log_ingest /
+    compact_log / expire_log heals it."""
     import os
 
     from pyspark.errors import AnalysisException
 
-    _heal_log(log_dir)
     try:
         return spark.read.parquet(log_dir)
     except AnalysisException:

@@ -71,6 +71,13 @@ def _bucket_expr(keys: list[str], n_buckets: int):
     return F.pmod(F.xxhash64(*[F.col(k) for k in keys]), F.lit(n_buckets)).cast("int")
 
 
+def _count_parquet(spark: SparkSession, path: str) -> int:
+    """Row count of a written dir — parquet footers only, no data scan.
+    The single seam every 'never install a failed write' read-back gate
+    goes through (ingest staging, compaction staging)."""
+    return spark.read.parquet(path).count()
+
+
 def _heal_bucket_asides(table_dir: str) -> None:
     """Recover buckets stranded by a crash inside the per-bucket swap
     (bucket renamed aside, staged copy never renamed in): restore the
@@ -378,7 +385,17 @@ def ingest_file(
                     rejected=True,
                 )
         delta = res.good.withColumn(BUCKET_COL, _bucket_expr(keys, n_buckets))
-        if table_existed and _is_bucketed(table_dir):
+        if loaded == 0:
+            # Empty accepted delta (header-only file, or every bad row
+            # quarantined within maxerrors): nothing to merge, and the
+            # staging overwrite below would hold no part files — the
+            # read-back verification would then die on parquet schema
+            # inference instead of reporting a clean zero-row load.
+            # Short-circuit: no write, no swap, no migration (a legacy
+            # unbucketed table migrates on its next non-empty load).
+            extras["persisted_rows"] = 0
+            extras["buckets_touched"] = 0
+        elif table_existed and _is_bucketed(table_dir):
             # Bucket-scoped merge: only partitions the delta hashes into
             # are read, merged, and swapped. Everything else: untouched.
             touched = sorted(
@@ -404,7 +421,7 @@ def ingest_file(
                 .parquet(staging)
             )
             expected = merged.count()  # cached — no join re-run
-            persisted = spark.read.parquet(staging).count()
+            persisted = _count_parquet(spark, staging)
             merged.unpersist()
             write_ok = persisted == expected
             extras["persisted_rows"] = persisted
@@ -442,7 +459,7 @@ def ingest_file(
             # bucket column adds no rows) — only the migration merge
             # needs its own expected count
             expected = delta.count() if migrated else loaded
-            persisted = spark.read.parquet(staging).count()
+            persisted = _count_parquet(spark, staging)
             if migrated:
                 delta.unpersist()
             write_ok = persisted == expected
@@ -513,12 +530,18 @@ def ingest_file(
 
 
 def read_permanent(spark: SparkSession, warehouse_dir: str, table: str) -> DataFrame:
-    """The permanent table without the internal layout column. Heals an
-    interrupted compaction swap first — a crashed swap must surface the
-    stranded rows, not a missing-path error."""
+    """The permanent table without the internal layout column.
+
+    Readers never mutate the table dir: healing an interrupted swap
+    from here would race the single maintainer's own mid-flight swap
+    (rmtree its live staging, or restore an aside it is about to drop).
+    Crash recovery runs only from the maintenance entry points —
+    ``ingest_file``, ``compact_table`` — so a read landing inside the
+    crash window of a *whole-table* swap fails loudly on the missing
+    path (and heals on the next ingest/compaction); a crashed
+    *per-bucket* swap reads the surviving buckets (asides are
+    dot-prefixed, invisible to partition discovery) until healed."""
     table_dir = os.path.join(warehouse_dir, table)
-    _heal_unbucketed_swap(table_dir)
-    _heal_bucket_asides(table_dir)
     df = spark.read.parquet(table_dir)
     return df.drop(BUCKET_COL) if BUCKET_COL in df.columns else df
 
@@ -564,12 +587,24 @@ def compact_table(
         if n_files <= max_files_per_bucket:
             return 0
         staging = table_dir + "__compact"
-        (
-            spark.read.parquet(table_dir)
-            .repartition(max_files_per_bucket)
-            .write.mode("overwrite")
-            .parquet(staging)
+        src = spark.read.parquet(table_dir)
+        expected = src.count()
+        src.repartition(max_files_per_bucket).write.mode("overwrite").parquet(
+            staging
         )
+        # Same "never install a failed write" gate as ingest_file: the
+        # read-back (parquet footers only) must hold every pre-compaction
+        # row before the live dir is replaced — a silently short write
+        # must never displace good data.
+        persisted = (
+            _count_parquet(spark, staging) if expected else 0
+        )
+        if persisted != expected:
+            shutil.rmtree(staging, ignore_errors=True)
+            raise RuntimeError(
+                f"compact_table aborted: staging holds {persisted} rows, "
+                f"expected {expected}; live table left untouched"
+            )
         aside = _aside_dir(table_dir)
         shutil.rmtree(aside, ignore_errors=True)
         os.rename(table_dir, aside)
@@ -592,6 +627,7 @@ def compact_table(
     oversized = spark.read.parquet(table_dir).filter(
         F.col(BUCKET_COL).isin(todo)
     )
+    expected = oversized.count()
     staging = table_dir + "__compact"
     (
         oversized.repartition(len(todo), F.col(BUCKET_COL))
@@ -599,4 +635,14 @@ def compact_table(
         .partitionBy(BUCKET_COL)
         .parquet(staging)
     )
+    # read-back gate before the per-bucket swap, mirroring ingest_file:
+    # count the staged rows for the touched buckets (footer-only scan)
+    # against the pre-compaction count and abort on mismatch
+    persisted = _count_parquet(spark, staging) if expected else 0
+    if persisted != expected:
+        shutil.rmtree(staging, ignore_errors=True)
+        raise RuntimeError(
+            f"compact_table aborted: staging holds {persisted} rows for "
+            f"buckets {todo}, expected {expected}; live buckets untouched"
+        )
     return _swap_bucket_dirs(staging, table_dir)

@@ -527,7 +527,9 @@ def stateful_funnel(events: DataFrame, gap_us: int = 30 * 60 * 1_000_000) -> Dat
         # ties: views sort BEFORE purchases at the same instant, so a
         # same-timestamp purchase converts the view — one deterministic
         # convention regardless of micro-batch boundaries (lexicographic
-        # etype order would flip the outcome depending on batching)
+        # etype order would flip the outcome depending on batching).
+        # Batch q67 orders its window by the SAME (ts_us, view-first,
+        # event_id) rank, so drained-stream ≡ batch holds on ties too.
         rows.sort(key=lambda r: (r[0], 0 if r[1] == "view" else 1))
         for ts, etype in rows:
             ts = int(ts)

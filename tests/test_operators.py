@@ -114,7 +114,9 @@ def test_lsh_ann_recall_vs_brute_force(spark, emb):
     exact_set = {(r.query_id, r.cand_id) for r in exact.collect()}
     got_set = {(r.query_id, r.cand_id) for r in got.collect()}
     recall = len(exact_set & got_set) / len(exact_set)
-    assert recall >= 0.5, f"ANN recall too low: {recall}"
+    # measured 0.98 at this seeded geometry (round 3) — the floor
+    # encodes the real margin so a geometry regression fails CI
+    assert recall >= 0.9, f"ANN recall too low: {recall}"
 
 
 def test_ivf_ann_recall_vs_brute_force(spark, emb):
@@ -124,7 +126,8 @@ def test_ivf_ann_recall_vs_brute_force(spark, emb):
     exact_set = {(r.query_id, r.cand_id) for r in exact.collect()}
     got_set = {(r.query_id, r.cand_id) for r in got.collect()}
     recall = len(exact_set & got_set) / len(exact_set)
-    assert recall >= 0.5, f"IVF recall too low: {recall}"
+    # measured 0.92 at this seeded geometry (round 3)
+    assert recall >= 0.85, f"IVF recall too low: {recall}"
 
 
 def test_ivf_cells_partition_corpus(spark, emb):
@@ -228,7 +231,9 @@ def test_ivf_sampled_fit_recall_vs_brute_force(spark, emb):
     exact_set = {(r.query_id, r.cand_id) for r in exact.collect()}
     got_set = {(r.query_id, r.cand_id) for r in got.collect()}
     recall = len(exact_set & got_set) / len(exact_set)
-    assert recall >= 0.5, f"sampled-fit IVF recall too low: {recall}"
+    # measured 0.80 at this seeded geometry (round 3) — sampling the
+    # fit costs some recall vs full-fit IVF (0.92); floor just below
+    assert recall >= 0.75, f"sampled-fit IVF recall too low: {recall}"
 
 
 def test_lsh_near_dup_pairs_finds_planted_dups(spark, emb):

@@ -279,6 +279,23 @@ def test_q69_cooccurrence_topk_is_take_ordered_no_nested_loop(spark):
     assert "TakeOrderedAndProject" in plan
 
 
+def test_q54_incremental_band_join_shape(spark):
+    """The incremental near-dup must probe the corpus with equi hash
+    joins on the band keys — new-bands ⋈ old-bands only, old-old pairs
+    structurally never form — never a nested loop or Python stage, and
+    every candidate pair is ordered (a < b) before the exact verify."""
+    plan = _plan(spark, "q54_incremental_neardup")
+    assert "Python" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    # all joins are hash equi-joins (band-bucket probes + size lookups)
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan or (
+        "ShuffledHashJoin" in plan
+    )
+    # the ordered-pair canonicalization that keeps (a,b)/(b,a) from
+    # double-counting shows up as least/greatest join keys
+    assert "least(" in plan and "greatest(" in plan
+
+
 def test_q70_incremental_probe_no_nested_loop(spark):
     """The corpus-membership probe must be a hash join on the segment
     key, never a nested loop, and the within-batch first-occurrence

@@ -779,9 +779,12 @@ def test_report_refresh_applies_for_new_drop_reusing_filename_and_counts(spark, 
 
 def test_bucket_swap_crash_mid_rename_restores_stranded_bucket(spark, tmp_path):
     """Review regression (critical): a crash between the two renames of
-    one bucket's swap leaves that bucket aside; the next ingest or read
-    must RESTORE it — blindly scrubbing the aside (the old behavior)
-    destroyed the only surviving copy and silently lost the bucket."""
+    one bucket's swap leaves that bucket aside; the next INGEST must
+    RESTORE it — blindly scrubbing the aside (the old behavior)
+    destroyed the only surviving copy and silently lost the bucket.
+    Readers must NOT heal (advisor race: a status query healing
+    mid-swap can rmtree the maintainer's live staging) — they read the
+    surviving buckets and leave the dir untouched."""
     land = tmp_path / "landing"
     land.mkdir()
     wh = str(tmp_path / "wh")
@@ -802,17 +805,16 @@ def test_bucket_swap_crash_mid_rename_restores_stranded_bucket(spark, tmp_path):
         os.path.join(table_dir, "." + victim + "__old"),
     )
 
-    # a read heals it
-    restored = sorted(
+    # a read does NOT mutate the dir: it sees only the surviving
+    # buckets (the dot-aside is invisible to partition discovery) and
+    # leaves the aside in place for the maintainer to restore
+    partial = sorted(
         (r.DGUID, r.VALUE) for r in read_permanent(spark, wh, "priceindex").collect()
     )
-    assert restored == content
+    assert len(partial) < len(content)
+    assert os.path.isdir(os.path.join(table_dir, "." + victim + "__old"))
 
-    # same crash again, healed by the next ingest's merge path this time
-    os.rename(
-        os.path.join(table_dir, victim),
-        os.path.join(table_dir, "." + victim + "__old"),
-    )
+    # healed by the next ingest's merge path
     one = land / "price_one.csv"
     one.write_text("\n".join([HEADER, _row("D7", "777.7")]) + "\n")
     rep = ingest_file(spark, str(one), wh, keys=["DGUID"], n_buckets=8)
@@ -872,8 +874,11 @@ def test_bucket_layout_pinned_across_loads(spark, tmp_path):
 
 def test_load_ingest_log_survives_full_retention_and_crash(spark, tmp_path):
     """After retention expires every day, the status query returns a
-    typed empty log — never a schema-inference error — and a crashed
-    compaction swap is healed by the reader."""
+    typed empty log — never a schema-inference error. A crashed
+    compaction swap is NOT healed by the reader (advisor race: a status
+    query mutating the dir can collide with the maintainer's in-flight
+    swap) — the stranded day is invisible until the next maintenance
+    entry point (log_ingest / compact_log / expire_log) heals it."""
     from python_lambda_ecs_container_data_etl_aws_spark.sources.audit import (
         compact_log,
         expire_log,
@@ -898,7 +903,15 @@ def test_load_ingest_log_survives_full_retention_and_crash(spark, tmp_path):
     os.rename(
         os.path.join(log_dir, day), os.path.join(log_dir, "." + day + "__old")
     )
-    assert load_ingest_log(spark, log_dir).count() == 1  # reader heals
+    # reader: stranded day invisible, dir untouched (no healing race)
+    assert load_ingest_log(spark, log_dir).count() == 0
+    assert os.path.isdir(os.path.join(log_dir, "." + day + "__old"))
+    # the next write heals it — the appended row joins the restored one
+    log_ingest(
+        spark, log_dir, IngestReport(file="b.csv", route="t", loaded_rows=1),
+        now_us=1_700_000_000_000_000,
+    )
+    assert load_ingest_log(spark, log_dir).count() == 2
 
     dropped = expire_log(log_dir, keep_after="9999-01-01")
     assert dropped
@@ -908,3 +921,121 @@ def test_load_ingest_log_survives_full_retention_and_crash(spark, tmp_path):
 
     # compacting a nonexistent day on the empty log is a no-op
     assert compact_log(spark, log_dir, "2023-01-01") == 0
+
+
+def test_empty_accepted_delta_bucketed_ingest_is_clean_noop(spark, tmp_path):
+    """Advisor regression: a header-only CSV (src_rows=0) — or a file
+    whose bad rows are all quarantined within maxerrors — yields zero
+    accepted rows. The bucketed staging write then produces no part
+    files, and the read-back verification used to die on parquet
+    schema inference instead of reporting a clean zero-row load. Both
+    bucketed paths (merge into existing, fresh/migration) must
+    short-circuit and leave the table byte-identical."""
+    land = tmp_path / "landing"
+    land.mkdir()
+    wh = str(tmp_path / "wh")
+    empty = land / "PriceIndex_empty.csv"
+    empty.write_text(HEADER + "\n")
+
+    # fresh-table path: no table is created, status ok, zero rows
+    rep = ingest_file(spark, str(empty), wh, keys=["DGUID"], n_buckets=8)
+    assert rep.status == "ok" and rep.loaded_rows == 0
+    assert rep.extras["persisted_rows"] == 0
+    assert not os.path.isdir(os.path.join(wh, "priceindex"))
+
+    # existing-bucketed-table path: untouched buckets stay untouched
+    base = land / "PriceIndex_base.csv"
+    base.write_text(
+        "\n".join([HEADER] + [_row(f"D{i}", f"{i}.0") for i in range(50)]) + "\n"
+    )
+    ingest_file(spark, str(base), wh, keys=["DGUID"], n_buckets=8)
+    table_dir = os.path.join(wh, "priceindex")
+    before = {
+        p: os.stat(os.path.join(dp, p)).st_mtime_ns
+        for dp, _, fs in os.walk(table_dir)
+        for p in fs
+    }
+    empty2 = land / "PriceIndex_empty2.csv"
+    empty2.write_text(HEADER + "\n")
+    rep2 = ingest_file(spark, str(empty2), wh, keys=["DGUID"], n_buckets=8)
+    assert rep2.status == "ok" and rep2.extras["buckets_touched"] == 0
+    after = {
+        p: os.stat(os.path.join(dp, p)).st_mtime_ns
+        for dp, _, fs in os.walk(table_dir)
+        for p in fs
+    }
+    assert after == before  # filesystem byte/mtime identity
+    assert read_permanent(spark, wh, "priceindex").count() == 50
+
+    # all-bad-rows-within-maxerrors: same zero-accepted shape
+    allbad = land / "PriceIndex_allbad.csv"
+    allbad.write_text("\n".join([HEADER, "only,three,cols", "a,b,c"]) + "\n")
+    rep3 = ingest_file(spark, str(allbad), wh, keys=["DGUID"], maxerrors=5, n_buckets=8)
+    assert rep3.status == "ok" and rep3.loaded_rows == 0 and rep3.bad_rows == 2
+    assert read_permanent(spark, wh, "priceindex").count() == 50
+
+
+def test_compact_table_aborts_swap_on_short_staging_write(spark, tmp_path, monkeypatch):
+    """Advisor regression: compact_table must apply the same read-back
+    row-count gate as ingest ('never install a failed write') — a
+    silently short staging write aborts BOTH swap paths and leaves the
+    live table untouched."""
+    import pytest as _pt
+
+    from python_lambda_ecs_container_data_etl_aws_spark.sources import pipeline as pl
+
+    land = tmp_path / "landing"
+    land.mkdir()
+    # fragmented bucketed table (multi-task write -> >1 file per bucket)
+    table_dir = str(tmp_path / "frag")
+    rows = [(f"D{i}", float(i)) for i in range(80)]
+    (
+        spark.createDataFrame(rows, "DGUID STRING, VALUE DOUBLE")
+        .withColumn(pl.BUCKET_COL, pl._bucket_expr(["DGUID"], 4))
+        .repartition(8)
+        .write.partitionBy(pl.BUCKET_COL)
+        .parquet(table_dir)
+    )
+    before = {
+        os.path.join(dp, p)
+        for dp, _, fs in os.walk(table_dir)
+        for p in fs
+        if p.endswith(".parquet")
+    }
+
+    real = pl._count_parquet
+    monkeypatch.setattr(
+        pl, "_count_parquet", lambda spark_, path: real(spark_, path) - 1
+    )
+    with _pt.raises(RuntimeError, match="compact_table aborted"):
+        pl.compact_table(spark, table_dir)
+    monkeypatch.setattr(pl, "_count_parquet", real)
+    after = {
+        os.path.join(dp, p)
+        for dp, _, fs in os.walk(table_dir)
+        for p in fs
+        if p.endswith(".parquet")
+    }
+    assert after == before  # no bucket swapped, no staging left live
+    assert not os.path.isdir(table_dir + "__compact")
+    assert spark.read.parquet(table_dir).count() == 80
+
+    # unbucketed whole-table path: same abort contract
+    wh2 = str(tmp_path / "wh2")
+    for day in ["d1", "d2"]:
+        f = land / f"PriceIndex_u_{day}.csv"
+        f.write_text(
+            "\n".join([HEADER] + [_row(f"u{day}_{i}", "1.0") for i in range(10)]) + "\n"
+        )
+        ingest_file(spark, str(f), wh2)  # keyless append
+    t2 = os.path.join(wh2, "priceindex")
+    monkeypatch.setattr(
+        pl, "_count_parquet", lambda spark_, path: real(spark_, path) - 1
+    )
+    with _pt.raises(RuntimeError, match="compact_table aborted"):
+        pl.compact_table(spark, t2)
+    monkeypatch.setattr(pl, "_count_parquet", real)
+    assert spark.read.parquet(t2).count() == 20
+    # and with the healthy read-back, compaction proceeds normally
+    assert pl.compact_table(spark, t2) == 1
+    assert spark.read.parquet(t2).count() == 20

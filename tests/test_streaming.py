@@ -430,6 +430,11 @@ def test_stateful_funnel_agrees_with_batch_q67(spark, tmp_path):
         (2, 11 * day + 50, "view"),        # converts next day
         (2, 11 * day + 60, "purchase"),
         (4, 11 * day + 70, "purchase"),    # purchase with no view
+        # same-instant tie (advisor): a purchase at EXACTLY the view's
+        # ts converts it — batch and stream share the views-before-
+        # purchases ordering convention at equal ts_us
+        (5, 12 * day + 100, "view"),
+        (5, 12 * day + 100, "purchase"),
     ]
     land = tmp_path / "funnel_land"
     land.mkdir()
@@ -463,7 +468,7 @@ def test_stateful_funnel_agrees_with_batch_q67(spark, tmp_path):
 
     w = (
         W.partitionBy("user_id")
-        .orderBy("ts_us")
+        .orderBy("ts_us", F.when(F.col("event_type") == "view", 0).otherwise(1))
         .rowsBetween(W.currentRow, W.unboundedFollowing)
     )
     nxt = e.withColumn(
