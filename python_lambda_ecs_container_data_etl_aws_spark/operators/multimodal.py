@@ -1,13 +1,19 @@
 """Multimodal column plumbing: image/audio/video as opaque BINARY
 payloads with typed metadata, processed via Arrow-batched mapInPandas.
 
-The container has no codec libraries (PIL/librosa/av), so the actual
-decode is STUBBED: :func:`decode_image` raises NotImplementedError
-unless PIL is importable, and :func:`extract_features` uses a
-deterministic fake decoder (metadata derived from the payload bytes)
-so the Spark-side contract — schema, batch shape, partitioning — is
-real and tested end-to-end. Swapping in a real codec touches ONE
-function, not the pipeline.
+Decode strategy, three tiers:
+  1. Pillow when importable (:func:`decode_image`) — production path,
+     C-speed, every format.
+  2. A stdlib PNG decoder (`zlib` inflate + per-row unfilter,
+     :func:`_png_decode`) — REAL decode, testable in codec-less
+     environments like this container; drives
+     :func:`decode_png_features`. Python-loop speed: fine for
+     thumbnails/metadata probes, not for production-size rasters.
+  3. A deterministic fake (:func:`_fake_decode`, md5-derived metadata)
+     for :func:`extract_features`'s DuckDB-oracle-checkable contract
+     (q28) over arbitrary non-image payloads.
+Non-PNG decode without Pillow raises NotImplementedError — the
+documented seam for other codecs.
 
 Scale posture: payloads stay in executors (mapInPandas streams Arrow
 batches; nothing collects to the driver); feature extraction is
@@ -72,16 +78,142 @@ def documents_as_multimodal(docs: DataFrame) -> DataFrame:
     )
 
 
-def decode_image(payload: bytes):
-    """Real decode — requires a codec library absent from this container."""
-    if not _HAS_PIL:
-        raise NotImplementedError(
-            "image decode requires PIL; this environment stubs it — "
-            "extract_features uses the deterministic fake decoder instead"
-        )
-    import io
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# colortype -> channel count (8-bit, non-interlaced, non-paletted only)
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
 
-    return Image.open(io.BytesIO(payload))  # pragma: no cover
+
+def _png_decode(payload: bytes) -> tuple[int, int, int, bytes]:
+    """Minimal stdlib PNG decoder: (width, height, channels, pixels).
+
+    Supports 8-bit gray/RGB/gray+alpha/RGBA, non-interlaced — the
+    shapes a training pipeline's thumbnails/crops actually are. Pure
+    zlib + per-row unfilter, so the decode path is REAL and testable
+    in codec-less environments; Pillow (when importable) takes over in
+    :func:`decode_image` because its C loops are what you want for
+    production-size images.
+    """
+    import struct
+    import zlib
+
+    if payload[: len(_PNG_SIG)] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, width, height, ch, idat = len(_PNG_SIG), 0, 0, 0, []
+    while pos + 8 <= len(payload):
+        (length,), ctype = struct.unpack(">I", payload[pos : pos + 4]), payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # length + type + data + crc
+        if ctype == b"IHDR":
+            width, height, depth, color, _, _, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if depth != 8 or interlace != 0 or color not in _PNG_CHANNELS:
+                raise NotImplementedError(
+                    f"stdlib PNG fallback handles 8-bit non-interlaced "
+                    f"gray/RGB/alpha only (depth={depth}, color={color})"
+                )
+            ch = _PNG_CHANNELS[color]
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+    raw = zlib.decompress(b"".join(idat))
+    stride = width * ch
+    out = bytearray()
+    prev = bytearray(stride)
+    p = 0
+    for _ in range(height):
+        ft = raw[p]
+        row = bytearray(raw[p + 1 : p + 1 + stride])
+        p += 1 + stride
+        if ft == 1:  # Sub
+            for i in range(ch, stride):
+                row[i] = (row[i] + row[i - ch]) & 0xFF
+        elif ft == 2:  # Up
+            for i in range(stride):
+                row[i] = (row[i] + prev[i]) & 0xFF
+        elif ft == 3:  # Average
+            for i in range(stride):
+                left = row[i - ch] if i >= ch else 0
+                row[i] = (row[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth
+            for i in range(stride):
+                a = row[i - ch] if i >= ch else 0
+                b = prev[i]
+                c = prev[i - ch] if i >= ch else 0
+                pr = a + b - c
+                pa, pb, pc = abs(pr - a), abs(pr - b), abs(pr - c)
+                row[i] = (
+                    row[i] + (a if pa <= pb and pa <= pc else b if pb <= pc else c)
+                ) & 0xFF
+        elif ft != 0:
+            raise ValueError(f"bad PNG filter byte {ft}")
+        out += row
+        prev = row
+    return width, height, ch, bytes(out)
+
+
+def encode_png(width: int, height: int, channels: int, pixels: bytes) -> bytes:
+    """Deterministic stdlib PNG encoder (filter 0, one IDAT) — the test
+    fixture generator for the decode path; also usable as a sink codec."""
+    import struct
+    import zlib
+
+    color = {1: 0, 3: 2, 2: 4, 4: 6}[channels]
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    stride = width * channels
+    raw = b"".join(
+        b"\x00" + pixels[y * stride : (y + 1) * stride] for y in range(height)
+    )
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", width, height, 8, color, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+class DecodedImage:
+    """What :func:`decode_image` returns without Pillow: the same
+    (width, height, mode, tobytes()) surface q28-style consumers use."""
+
+    __slots__ = ("width", "height", "channels", "_pixels")
+
+    def __init__(self, width: int, height: int, channels: int, pixels: bytes):
+        self.width, self.height, self.channels = width, height, channels
+        self._pixels = pixels
+
+    @property
+    def mode(self) -> str:
+        return {1: "L", 2: "LA", 3: "RGB", 4: "RGBA"}[self.channels]
+
+    def tobytes(self) -> bytes:
+        return self._pixels
+
+
+def decode_image(payload: bytes):
+    """Real image decode. Pillow when importable (production: C-speed,
+    every format); otherwise the stdlib PNG fallback above (testable
+    everywhere, PNG-only). Raises NotImplementedError for formats the
+    fallback can't handle — the documented seam for other codecs."""
+    if _HAS_PIL:
+        import io
+
+        return Image.open(io.BytesIO(payload))  # pragma: no cover
+    if payload[: len(_PNG_SIG)] == _PNG_SIG:
+        return DecodedImage(*_png_decode(payload))
+    raise NotImplementedError(
+        "non-PNG decode requires PIL; this environment has the stdlib "
+        "PNG fallback only"
+    )
 
 
 def _fake_decode(payload: bytes) -> tuple[int, int, int]:
@@ -131,6 +263,119 @@ def extract_features(mm: DataFrame) -> DataFrame:
             )
 
     return mm.mapInPandas(fn, FEATURE_SCHEMA)
+
+
+DECODED_SCHEMA = StructType(
+    [
+        StructField("item_id", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("channels", LongType()),
+        StructField("pixel_crc32", LongType()),
+    ]
+)
+
+
+def decode_png_features(mm: DataFrame) -> DataFrame:
+    """mapInPandas REAL image decode: PNG payload → (width, height,
+    channels, crc32 of the decoded pixel bytes). Pillow when the worker
+    has it, stdlib PNG inflate+unfilter otherwise — so the decode path
+    runs end-to-end even in codec-less environments.
+
+    Self-contained closure (stdlib + optional PIL only): executors
+    unpickle it by value, so it must not touch module-level names."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+        import zlib
+
+        try:
+            from PIL import Image as _Img  # type: ignore
+
+            def decode(payload: bytes) -> tuple[int, int, int, bytes]:  # pragma: no cover
+                import io
+
+                im = _Img.open(io.BytesIO(payload))
+                px = im.tobytes()
+                return im.width, im.height, len(im.getbands()), px
+
+        except ImportError:
+
+            def decode(payload: bytes) -> tuple[int, int, int, bytes]:
+                sig = b"\x89PNG\r\n\x1a\n"
+                if payload[: len(sig)] != sig:
+                    raise ValueError("not a PNG payload")
+                pos, width, height, ch, idat = len(sig), 0, 0, 0, []
+                nch = {0: 1, 2: 3, 4: 2, 6: 4}
+                while pos + 8 <= len(payload):
+                    (length,) = struct.unpack(">I", payload[pos : pos + 4])
+                    ctype = payload[pos + 4 : pos + 8]
+                    data = payload[pos + 8 : pos + 8 + length]
+                    pos += 12 + length
+                    if ctype == b"IHDR":
+                        width, height, depth, color, _, _, il = struct.unpack(
+                            ">IIBBBBB", data
+                        )
+                        if depth != 8 or il != 0 or color not in nch:
+                            raise NotImplementedError("unsupported PNG shape")
+                        ch = nch[color]
+                    elif ctype == b"IDAT":
+                        idat.append(data)
+                    elif ctype == b"IEND":
+                        break
+                raw = zlib.decompress(b"".join(idat))
+                stride = width * ch
+                out = bytearray()
+                prev = bytearray(stride)
+                p = 0
+                for _ in range(height):
+                    ft = raw[p]
+                    row = bytearray(raw[p + 1 : p + 1 + stride])
+                    p += 1 + stride
+                    if ft == 1:
+                        for i in range(ch, stride):
+                            row[i] = (row[i] + row[i - ch]) & 0xFF
+                    elif ft == 2:
+                        for i in range(stride):
+                            row[i] = (row[i] + prev[i]) & 0xFF
+                    elif ft == 3:
+                        for i in range(stride):
+                            left = row[i - ch] if i >= ch else 0
+                            row[i] = (row[i] + ((left + prev[i]) >> 1)) & 0xFF
+                    elif ft == 4:
+                        for i in range(stride):
+                            a = row[i - ch] if i >= ch else 0
+                            b = prev[i]
+                            c = prev[i - ch] if i >= ch else 0
+                            pr = a + b - c
+                            pa, pb, pc = abs(pr - a), abs(pr - b), abs(pr - c)
+                            row[i] = (
+                                row[i]
+                                + (
+                                    a
+                                    if pa <= pb and pa <= pc
+                                    else b if pb <= pc else c
+                                )
+                            ) & 0xFF
+                    elif ft != 0:
+                        raise ValueError(f"bad PNG filter byte {ft}")
+                    out += row
+                    prev = row
+                return width, height, ch, bytes(out)
+
+        for pdf in batches:
+            decoded = [decode(bytes(p)) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "item_id": pdf["item_id"].astype("int64"),
+                    "width": [d[0] for d in decoded],
+                    "height": [d[1] for d in decoded],
+                    "channels": [d[2] for d in decoded],
+                    "pixel_crc32": [zlib.crc32(d[3]) & 0xFFFFFFFF for d in decoded],
+                }
+            )
+
+    return mm.mapInPandas(fn, DECODED_SCHEMA)
 
 
 def frame_sample_plan(mm: DataFrame, every_n: int = 10) -> DataFrame:

@@ -407,6 +407,126 @@ def dedup_ingest_stream(
     q.awaitTermination()
 
 
+def segment_dedup_ingest_stream(
+    spark: SparkSession,
+    landing_dir: str,
+    schema: StructType,
+    corpus_dir: str,
+    checkpoint_dir: str,
+    fmt: str = "parquet",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seg_tokens: int = 8,
+) -> None:
+    """Streaming twin of q70's incremental segment dedup (the C4-style
+    line-dedup run continuously): each arriving micro-batch's documents
+    are cut into ``seg_tokens``-token segments; a segment already in
+    the persisted corpus SEGMENT INDEX — or seen earlier in the batch,
+    first (doc_id, seg_idx) occurrence wins — is dropped, and every doc
+    is rebuilt from its surviving segments in order.
+
+    Cleaned docs land in ``corpus_dir``; kept segments append to the
+    index at ``corpus_dir + "__segindex"`` — the corpus is never
+    re-segmented, so per-batch cost scales with the batch (the same
+    incremental posture as :func:`dedup_ingest_stream`'s MinHash index).
+
+    Exactly-once without a transaction log: per-batch overwrite of
+    ``batch=<id>`` subdirs — a crash-replayed batch overwrites its own
+    directories instead of double-appending. The corpus dir is written
+    before the index dir, so a crash between the two leaves a corpus
+    batch whose index rows the replay re-derives and overwrites.
+
+    Scale note: the index stores segment TEXT here so the pytest
+    equality against batch q70 is exact; at 100 TB you store
+    ``xxhash64(seg_text)`` bucketed by hash range and probe on the
+    hash (collision risk bounded, same trade the reference's
+    count-validation makes)."""
+    import os
+
+    from pyspark.sql import Window
+
+    index_dir = corpus_dir.rstrip("/") + "__segindex"
+    src = file_stream(spark, landing_dir, schema, fmt)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        seg = (
+            batch_df.select(
+                F.col(id_col), F.split(F.col(text_col), " ").alias("toks")
+            )
+            .select(
+                id_col,
+                F.explode(
+                    F.sequence(
+                        F.lit(0),
+                        F.expr(
+                            f"CAST((size(toks) + {seg_tokens} - 1) "
+                            f"div {seg_tokens} AS INT)"
+                        )
+                        - 1,
+                    )
+                ).alias("seg_idx"),
+                "toks",
+            )
+            .select(
+                id_col,
+                "seg_idx",
+                F.array_join(
+                    F.slice(
+                        F.col("toks"), F.col("seg_idx") * seg_tokens + 1, seg_tokens
+                    ),
+                    " ",
+                ).alias("seg_text"),
+            )
+        )
+        # within-batch first occurrence + corpus-membership probe — the
+        # exact q70 shape (one seg_text-keyed window, one hash join)
+        w = Window.partitionBy("seg_text").orderBy(id_col, "seg_idx")
+        seg = seg.withColumn("rn", F.row_number().over(w))
+        has_index = os.path.isdir(index_dir) and any(
+            e.startswith("batch=") for e in os.listdir(index_dir)
+        )
+        if has_index:
+            idx = spark.read.parquet(index_dir).select("seg_text").distinct()
+            seg = seg.join(
+                idx.withColumn("__in_corpus", F.lit(1)), "seg_text", "left"
+            )
+        else:
+            seg = seg.withColumn("__in_corpus", F.lit(None).cast("int"))
+        seg = seg.persist()
+        keep = (F.col("rn") == 1) & F.col("__in_corpus").isNull()
+        kept_struct = F.when(keep, F.struct(F.col("seg_idx"), F.col("seg_text")))
+        cleaned = seg.groupBy(id_col).agg(
+            F.count(F.lit(1)).alias("n_segs"),
+            F.sum(F.when(keep, 1).otherwise(0)).cast("bigint").alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(kept_struct)),
+                    lambda x: x["seg_text"],
+                ),
+                " ",
+            ).alias("clean_text"),
+        )
+        cleaned.write.mode("overwrite").parquet(
+            os.path.join(corpus_dir, f"batch={batch_id}")
+        )
+        (
+            seg.filter(keep)
+            .select("seg_text")
+            .distinct()
+            .write.mode("overwrite")
+            .parquet(os.path.join(index_dir, f"batch={batch_id}"))
+        )
+        seg.unpersist()
+
+    q = (
+        src.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def stateful_user_value_stats(events: DataFrame) -> DataFrame:
     """Per-user running value statistics via transformWithStateInPandas
     — the Spark 4 successor to applyInPandasWithState (StatefulProcessor

@@ -1039,3 +1039,74 @@ def test_compact_table_aborts_swap_on_short_staging_write(spark, tmp_path, monke
     # and with the healthy read-back, compaction proceeds normally
     assert pl.compact_table(spark, t2) == 1
     assert spark.read.parquet(t2).count() == 20
+
+
+def test_hot_key_skew_join_aqe_split_and_salt_agree(spark):
+    """SURVEY §4 skew posture, demonstrated: one hot key (a dominant
+    GEO) holding 80% of a large-large SMJ's rows. AQE's skew-join split
+    must fire on this shape (thresholds scaled to local data sizes —
+    the 256MB default assumes cluster partitions), and salted_join must
+    produce identical results while flattening the per-partition row
+    spread. Timings recorded in BASELINE.md (round 3): plain/AQE-off
+    5.95 s, AQE skew split 3.61 s, salted 3.10 s at 10M rows."""
+    from python_lambda_ecs_container_data_etl_aws_spark.functions.skew import (
+        salted_join,
+    )
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "4m",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "2m",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        n_hot, n_cold, n_keys = 2_000_000, 500_000, 5_000
+        fact = (
+            spark.range(n_hot + n_cold)
+            .withColumn(
+                "k",
+                F.when(F.col("id") < n_hot, F.lit(0)).otherwise(
+                    (F.col("id") % (n_keys - 1)) + 1
+                ),
+            )
+            .withColumn("pad", F.md5(F.col("id").cast("string")))
+        )
+        dim = spark.range(n_keys).withColumnRenamed("id", "k").withColumn(
+            "w", (F.col("k") * 31) % 101
+        )
+
+        def agg_of(j):
+            # pad is consumed so the payload actually crosses the shuffle
+            return j.groupBy().agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.length("pad") + F.col("w")).alias("s"),
+            )
+
+        plain = agg_of(fact.join(dim, "k"))
+        plain_rows = plain.collect()
+        assert "skew=true" in plain._jdf.queryExecution().executedPlan().toString()
+
+        salted = agg_of(salted_join(fact, dim, "k", salt_buckets=16))
+        assert [tuple(r) for r in salted.collect()] == [tuple(r) for r in plain_rows]
+
+        # the salt really flattens the hot key: max rows in any
+        # (k, salt) bucket is ~1/16 of the hot key's rows
+        salt_expr = F.abs(F.xxhash64(*[F.col(c) for c in fact.columns])) % 16
+        spread = (
+            fact.withColumn("__salt", salt_expr)
+            .groupBy("k", "__salt")
+            .count()
+            .agg(F.max("count").alias("mx"))
+            .collect()[0]
+            .mx
+        )
+        assert spread < n_hot / 16 * 1.2
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -346,6 +346,59 @@ def test_dedup_ingest_stream_curates_corpus_across_batches(spark, tmp_path):
     assert {r.id for r in idx.select("id").collect()} == {1, 2, 12}
 
 
+def test_segment_dedup_ingest_stream_matches_q70_semantics(spark, tmp_path):
+    """Streaming twin of q70: cross-batch segment dedup against the
+    persisted segment index, within-batch first-(doc_id, seg_idx)
+    occurrence wins, docs rebuilt from surviving segments in order,
+    and a restart with no new input changes nothing."""
+    from pyspark.sql.types import LongType, StringType
+
+    doc_schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+    landing = str(tmp_path / "seg_landing")
+    corpus = str(tmp_path / "seg_corpus")
+    ck = str(tmp_path / "ck_seg")
+
+    segA = " ".join(f"a{i}" for i in range(8))
+    segB = " ".join(f"b{i}" for i in range(8))
+    segC = " ".join(f"c{i}" for i in range(8))
+    segD = " ".join(f"d{i}" for i in range(8))
+
+    def arrive(rows):
+        spark.createDataFrame(rows, doc_schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(landing)
+
+    def drain():
+        runner.segment_dedup_ingest_stream(
+            spark, landing, doc_schema, corpus, ck, seg_tokens=8
+        )
+        return {
+            r.doc_id: (r.n_segs, r.n_kept, r.clean_text)
+            for r in spark.read.parquet(corpus).collect()
+        }
+
+    # batch 0: segB appears in doc 1 and doc 2 — doc 1's copy wins
+    # (lower doc_id); doc 2 keeps only segC
+    arrive([(1, f"{segA} {segB}"), (2, f"{segB} {segC}")])
+    assert drain() == {
+        1: (2, 2, f"{segA} {segB}"),
+        2: (2, 1, segC),
+    }
+    # batch 1: segA is already in the corpus index → dropped from doc
+    # 11; segD is new → kept. History is NOT re-deduped.
+    arrive([(11, f"{segA} {segD}")])
+    got = drain()
+    assert got[11] == (2, 1, segD)
+    assert got[1] == (2, 2, f"{segA} {segB}")  # untouched
+    # restart with nothing new: no-op (exactly-once replay safety)
+    assert drain() == got
+    # the persisted index holds exactly the distinct kept segments
+    idx = {r.seg_text for r in spark.read.parquet(corpus + "__segindex").collect()}
+    assert idx == {segA, segB, segC, segD}
+
+
 def test_transform_with_state_user_value_stats(spark, tmp_path):
     """transformWithStateInPandas (Spark 4 stateful API): final
     per-user stats must equal the batch aggregation (null values
