@@ -44,6 +44,10 @@ _NEVER_DRIVER_VERIFIED = [
     "q64_segment_dedup", "q65_rademacher_projection", "q66_projected_knn",
     "q69_cooccurrence_lift", "q70_incremental_segment_dedup",
     "q71_containment_pairs",
+    # new in round 3
+    "q72_source_cap", "q73_bigram_lm_score", "q74_semantic_dedup_survivors",
+    "q75_quality_percentile_hist", "q76_stratified_sample",
+    "q77_shingle_novelty",
 ]
 _SINGLE_GREEN = [
     "q44_decontaminate", "q54_incremental_neardup", "q53_salted_join",

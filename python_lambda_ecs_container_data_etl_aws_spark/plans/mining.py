@@ -1,0 +1,483 @@
+"""Corpus-mining queries q72-q77: the curation decisions a 100 TB
+pre-training pipeline makes AFTER the per-doc quality/dedup signals
+exist — capping, scoring, sampling, and novelty measurement.
+
+- q72 per-source document cap: web-scale "max K docs per domain",
+  keeping the best K by a quality proxy — one window, no shuffle
+  beyond the source-keyed one.
+- q73 interpolated bigram LM score: the CCNet/KenLM-shaped
+  fluency proxy (q57 is the unigram half); per-token probabilities are
+  floor-quantized to BIGINTs so the doc score is an exact integer sum
+  with one final IEEE division.
+- q74 semantic-dedup survivors: SemDeDup-style greedy-by-id resolution
+  over the q29 embedding near-dup pair relation — an anti-join, no
+  transitive clustering needed at the decision point.
+- q75 per-source quality percentile normalization: cross-source
+  threshold harmonization (a raw score that means "good" on src3 may
+  be mediocre on src7) via percent_rank, summarized as a decile
+  histogram per language.
+- q76 stratified sample with exact allocation: a fixed-size eval set
+  allocated across language strata by largest-remainder rounding
+  (allocations sum EXACTLY to the budget), members picked by a
+  deterministic hash order both engines share (md5).
+- q77 shingle novelty vs a reference corpus: the graded complement of
+  q44's decontamination — what fraction of a new doc's shingles the
+  corpus has never seen.
+
+The reference pipeline has no curation stage (SURVEY Tier C); these
+extend the LLM-operator suite with oracle-backed contracts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from .core import ORACLE, _q
+
+# --------------------------------------------------------------------------
+# q72 per-source document cap (domain capping): keep the top K docs per
+# source by (n_chars DESC, doc_id) — the "best K per domain" rule that
+# stops a single crawled domain from dominating a shard. One
+# source-keyed window; the kept-set fingerprint makes the whole kept
+# LIST part of the hash contract, not just its size.
+
+_CAP_K = 10
+
+ORACLE["q72_source_cap"] = f"""
+WITH r AS (
+    SELECT doc_id, source,
+           ROW_NUMBER() OVER (PARTITION BY source
+                              ORDER BY n_chars DESC, doc_id) AS rn
+    FROM documents
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN rn <= {_CAP_K} THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       md5(string_agg(CASE WHEN rn <= {_CAP_K} THEN CAST(doc_id AS VARCHAR) END,
+                      ' ' ORDER BY doc_id)) AS kept_md5
+FROM r GROUP BY source ORDER BY source
+"""
+
+
+@_q("q72_source_cap")
+def q72(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(F.col("n_chars").desc(), "doc_id")
+    r = d.select("doc_id", "source", "n_chars").withColumn(
+        "rn", F.row_number().over(w)
+    )
+    kept_struct = F.when(F.col("rn") <= _CAP_K, F.col("doc_id"))
+    return (
+        r.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("rn") <= _CAP_K, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_kept"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(kept_struct)
+                        ),
+                        lambda x: x.cast("string"),
+                    ),
+                    " ",
+                ).cast("binary")
+            ).alias("kept_md5"),
+        )
+        .orderBy("source")
+    )
+
+
+# --------------------------------------------------------------------------
+# q73 interpolated bigram LM score. Corpus model: unigram counts c1,
+# bigram counts c2, total tokens N; per adjacent token pair
+# p = LAMBDA * c2(w1,w2)/c1(w1) + (1-LAMBDA) * c1(w2)/N, floor-quantized
+# to an integer at 1e9 so the per-doc mean is an exact BIGINT sum with
+# one final division. LAMBDA = 0.75 is exactly representable in binary,
+# and both engines evaluate the identical expression tree, so the
+# quantized values agree bit-for-bit. Every observed pair has c2 >= 1
+# (the corpus contains the doc), so no smoothing edge case exists.
+# Scale shape: two count aggregations (map-side combinable), then
+# broadcast-able joins of the pair stream against c2/c1 — the same
+# aggregate-before-join posture as q57/q59.
+
+_LM_LAMBDA = "0.75"
+_LM_Q = "1000000000"
+
+ORACLE["q73_bigram_lm_score"] = f"""
+WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+uni AS (
+    SELECT w, COUNT(*) AS c1 FROM tok, UNNEST(toks) AS u(w) GROUP BY 1
+),
+total AS (SELECT SUM(c1) AS n FROM uni),
+big AS (
+    SELECT w1, w2, COUNT(*) AS c2 FROM (
+        SELECT toks[i] AS w1, toks[i+1] AS w2
+        FROM tok, UNNEST(range(1, len(toks))) AS u(i)
+    ) GROUP BY 1, 2
+),
+pairs AS (
+    SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2
+    FROM tok, UNNEST(range(1, len(toks))) AS u(i)
+),
+scored AS (
+    SELECT p.doc_id,
+           CAST(floor({_LM_Q} * ({_LM_LAMBDA} * (CAST(b.c2 AS DOUBLE) / u1.c1)
+                + (1 - {_LM_LAMBDA}) * (CAST(u2.c1 AS DOUBLE) / t.n))) AS BIGINT) AS qp
+    FROM pairs p
+    JOIN big b ON b.w1 = p.w1 AND b.w2 = p.w2
+    JOIN uni u1 ON u1.w = p.w1
+    JOIN uni u2 ON u2.w = p.w2
+    CROSS JOIN total t
+)
+SELECT doc_id, COUNT(*) AS n_pairs,
+       CAST(SUM(qp) AS BIGINT) AS sum_qp,
+       CAST(SUM(qp) AS DOUBLE) / (COUNT(*) * {_LM_Q}) AS lm_score
+FROM scored GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+@_q("q73_bigram_lm_score")
+def q73(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.split("text", " ").alias("toks"))
+    uni = (
+        tok.select(F.explode("toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    pairs = tok.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(toks) - 1), "
+                "i -> struct(toks[i-1] AS w1, toks[i] AS w2))"
+            )
+        ).alias("p"),
+    ).select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    big = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    total = uni.agg(F.sum("c1").alias("n"))
+    lam, q = float(_LM_LAMBDA), int(_LM_Q)
+    u1 = uni.select(F.col("w").alias("w1"), F.col("c1").alias("c1a"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("c1").alias("c1b"))
+    scored = (
+        pairs.join(big, ["w1", "w2"])
+        .join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            F.floor(
+                q
+                * (
+                    lam * (F.col("c2").cast("double") / F.col("c1a"))
+                    + (1 - lam) * (F.col("c1b").cast("double") / F.col("n"))
+                )
+            )
+            .cast("bigint")
+            .alias("qp"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum("qp").cast("bigint").alias("sum_qp"),
+            (F.sum("qp").cast("double") / (F.count(F.lit(1)) * q)).alias(
+                "lm_score"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# q74 semantic-dedup survivors: greedy-by-id resolution over the exact
+# quantized-cosine pair relation of q29 — a vector survives unless some
+# LOWER-id vector sits within the cosine threshold. At the decision
+# point this is ONE anti-join on the pair relation (no transitive
+# closure needed: the kept set of greedy-by-id is exactly "no smaller
+# neighbor"); at 100 TB the pair relation comes from the LSH-bucketed
+# path (operators/similarity.lsh_near_dup_pairs) instead of all-pairs.
+
+_SEM_THRESH = 0.4
+_SEM_SUBSET = 300
+
+ORACLE["q74_semantic_dedup_survivors"] = f"""
+WITH comp AS (
+    SELECT vec_id, i AS pos,
+           CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT) AS qv
+    FROM embeddings, range(1, 65) t(i)
+    WHERE vec_id < {_SEM_SUBSET}
+),
+norms AS (SELECT vec_id, SUM(qv * qv) AS nrm FROM comp GROUP BY 1),
+dots AS (
+    SELECT a.vec_id AS a_id, b.vec_id AS b_id, SUM(a.qv * b.qv) AS dot
+    FROM comp a JOIN comp b ON a.pos = b.pos AND a.vec_id < b.vec_id
+    GROUP BY 1, 2
+),
+dup AS (
+    SELECT DISTINCT b_id AS vec_id FROM dots
+    JOIN norms na ON na.vec_id = a_id
+    JOIN norms nb ON nb.vec_id = b_id
+    WHERE CAST(dot AS DOUBLE) / (sqrt(CAST(na.nrm AS DOUBLE)) * sqrt(CAST(nb.nrm AS DOUBLE)))
+          >= {_SEM_THRESH}
+)
+SELECT e.vec_id, e.label
+FROM embeddings e
+WHERE e.vec_id < {_SEM_SUBSET}
+  AND e.vec_id NOT IN (SELECT vec_id FROM dup)
+ORDER BY e.vec_id
+"""
+
+
+@_q("q74_semantic_dedup_survivors")
+def q74(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < _SEM_SUBSET
+    )
+    comp = (
+        emb.select("vec_id", F.posexplode("embedding").alias("pos0", "val"))
+        .select(
+            "vec_id",
+            (F.col("pos0") + 1).alias("pos"),
+            F.floor(F.col("val").cast("double") * 1000).cast("bigint").alias("qv"),
+        )
+        .persist()
+    )
+    norms = comp.groupBy("vec_id").agg(F.sum(F.col("qv") * F.col("qv")).alias("nrm"))
+    a, b = comp.alias("a"), comp.alias("b")
+    dots = (
+        a.join(
+            b,
+            (F.col("a.pos") == F.col("b.pos"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .groupBy(F.col("a.vec_id").alias("a_id"), F.col("b.vec_id").alias("b_id"))
+        .agg(F.sum(F.col("a.qv") * F.col("b.qv")).alias("dot"))
+    )
+    na, nb = norms.alias("na"), norms.alias("nb")
+    dup = (
+        dots.join(F.broadcast(na), F.col("a_id") == F.col("na.vec_id"))
+        .join(F.broadcast(nb), F.col("b_id") == F.col("nb.vec_id"))
+        .filter(
+            F.col("dot").cast("double")
+            / (
+                F.sqrt(F.col("na.nrm").cast("double"))
+                * F.sqrt(F.col("nb.nrm").cast("double"))
+            )
+            >= _SEM_THRESH
+        )
+        .select(F.col("b_id").alias("vec_id"))
+        .distinct()
+    )
+    return (
+        emb.select("vec_id", "label")
+        .join(dup, "vec_id", "left_anti")
+        .orderBy("vec_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# q75 per-source quality percentile normalization: percent_rank of the
+# quality proxy within each source (unique tiebreak on doc_id so ranks
+# are dense and both engines agree), then a per-language decile
+# histogram of the normalized score — the summary a curation dashboard
+# shows to pick one cross-source threshold.
+
+ORACLE["q75_quality_percentile_hist"] = """
+WITH r AS (
+    SELECT doc_id, lang, source,
+           PERCENT_RANK() OVER (PARTITION BY source
+                                ORDER BY n_chars, doc_id) AS pr
+    FROM documents
+)
+SELECT lang,
+       CAST(LEAST(CAST(floor(pr * 10) AS BIGINT), 9) AS BIGINT) AS decile,
+       COUNT(*) AS n_docs
+FROM r GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+@_q("q75_quality_percentile_hist")
+def q75(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    r = d.select("doc_id", "lang", "source", "n_chars").withColumn(
+        "pr", F.percent_rank().over(w)
+    )
+    return (
+        r.select(
+            "lang",
+            F.least(F.floor(F.col("pr") * 10).cast("bigint"), F.lit(9).cast("bigint")).alias(
+                "decile"
+            ),
+        )
+        .groupBy("lang", "decile")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("lang", "decile")
+    )
+
+
+# --------------------------------------------------------------------------
+# q76 stratified sample with exact allocation: allocate a fixed budget
+# S across language strata proportionally, rounded by largest remainder
+# so the allocations sum EXACTLY to S (floor everything, then give the
+# leftover units to the strata with the largest remainders, language
+# ascending on ties). Members are picked per stratum in md5(doc_id)
+# order — a deterministic hash both engines share, so the sampled SET
+# is part of the hash contract. The stratum relation is tiny (one row
+# per language): every allocation join broadcasts.
+
+_SAMPLE_BUDGET = 100
+
+ORACLE["q76_stratified_sample"] = f"""
+WITH strata AS (
+    SELECT lang, COUNT(*) AS n_l FROM documents GROUP BY 1
+),
+tot AS (SELECT SUM(n_l) AS n FROM strata),
+alloc0 AS (
+    SELECT s.lang, s.n_l,
+           CAST(floor({_SAMPLE_BUDGET} * s.n_l / t.n) AS BIGINT) AS base,
+           ({_SAMPLE_BUDGET} * s.n_l) % t.n AS rem
+    FROM strata s CROSS JOIN tot t
+),
+leftover AS (
+    SELECT {_SAMPLE_BUDGET} - SUM(base) AS k FROM alloc0
+),
+alloc AS (
+    SELECT lang, n_l,
+           base + CASE WHEN ROW_NUMBER() OVER (ORDER BY rem DESC, lang)
+                            <= (SELECT k FROM leftover)
+                       THEN 1 ELSE 0 END AS n_pick
+    FROM alloc0
+),
+ranked AS (
+    SELECT d.doc_id, d.lang,
+           ROW_NUMBER() OVER (PARTITION BY d.lang
+                              ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id)
+               AS rn
+    FROM documents d
+)
+SELECT a.lang, a.n_l AS n_docs, CAST(a.n_pick AS BIGINT) AS n_pick,
+       md5(string_agg(CAST(r.doc_id AS VARCHAR), ' ' ORDER BY r.doc_id)) AS picked_md5
+FROM alloc a
+JOIN ranked r ON r.lang = a.lang AND r.rn <= a.n_pick
+GROUP BY a.lang, a.n_l, a.n_pick
+ORDER BY a.lang
+"""
+
+
+@_q("q76_stratified_sample")
+def q76(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    strata = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_l"))
+    tot = strata.agg(F.sum("n_l").alias("n"))
+    alloc0 = strata.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_l",
+        F.floor(F.lit(_SAMPLE_BUDGET) * F.col("n_l") / F.col("n"))
+        .cast("bigint")
+        .alias("base"),
+        ((F.lit(_SAMPLE_BUDGET) * F.col("n_l")) % F.col("n")).alias("rem"),
+    )
+    leftover = alloc0.agg(
+        (F.lit(_SAMPLE_BUDGET) - F.sum("base")).alias("k")
+    )
+    wr = Window.orderBy(F.col("rem").desc(), "lang")
+    alloc = (
+        alloc0.withColumn("rr", F.row_number().over(wr))
+        .crossJoin(F.broadcast(leftover))
+        .select(
+            "lang",
+            "n_l",
+            (
+                F.col("base")
+                + F.when(F.col("rr") <= F.col("k"), 1).otherwise(0)
+            ).alias("n_pick"),
+        )
+    )
+    wp = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string").cast("binary")), "doc_id"
+    )
+    ranked = d.select("doc_id", "lang").withColumn("rn", F.row_number().over(wp))
+    picked = ranked.join(F.broadcast(alloc), "lang").filter(
+        F.col("rn") <= F.col("n_pick")
+    )
+    return (
+        picked.groupBy("lang", "n_l", "n_pick")
+        .agg(
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list("doc_id")),
+                        lambda x: x.cast("string"),
+                    ),
+                    " ",
+                ).cast("binary")
+            ).alias("picked_md5")
+        )
+        .select(
+            "lang",
+            F.col("n_l").alias("n_docs"),
+            F.col("n_pick").cast("bigint").alias("n_pick"),
+            "picked_md5",
+        )
+        .orderBy("lang")
+    )
+
+
+# --------------------------------------------------------------------------
+# q77 shingle novelty vs a reference corpus: the graded complement of
+# q44's decontamination gate. Reference = doc_id % 10 != 0 ("the corpus
+# so far"), batch = % 10 == 0; per batch doc, the fraction of its
+# distinct 3-token shingles the reference has never seen. One
+# membership probe on the shingle key (at scale: the persisted shingle
+# index q70's ingest maintains), exact integer counts, one division.
+
+ORACLE["q77_shingle_novelty"] = """
+WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+shingle AS (
+    SELECT DISTINCT doc_id, s FROM tok,
+    UNNEST(list_transform(range(1, len(toks) - 1),
+                          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS u(s)
+),
+ref AS (SELECT DISTINCT s FROM shingle WHERE doc_id % 10 <> 0),
+batch AS (SELECT doc_id, s FROM shingle WHERE doc_id % 10 = 0)
+SELECT b.doc_id,
+       COUNT(*) AS n_shingles,
+       CAST(SUM(CASE WHEN r.s IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+       CAST(SUM(CASE WHEN r.s IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+           AS novelty
+FROM batch b LEFT JOIN ref r ON r.s = b.s
+GROUP BY b.doc_id ORDER BY b.doc_id
+"""
+
+
+@_q("q77_shingle_novelty")
+def q77(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import dedup
+
+    d = load_table(spark, sf_dir, "documents")
+    sh = dedup.shingles(d).select(
+        F.col("id").alias("doc_id"), F.col("shingle").alias("s")
+    )
+    ref = sh.filter(F.col("doc_id") % 10 != 0).select("s").distinct()
+    batch = sh.filter(F.col("doc_id") % 10 == 0)
+    probed = batch.join(
+        ref.withColumn("__seen", F.lit(1)), "s", "left"
+    )
+    novel = F.when(F.col("__seen").isNull(), 1).otherwise(0)
+    return (
+        probed.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(novel).cast("bigint").alias("n_novel"),
+            (F.sum(novel).cast("double") / F.count(F.lit(1))).alias("novelty"),
+        )
+        .orderBy("doc_id")
+    )
