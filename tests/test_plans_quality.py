@@ -324,3 +324,46 @@ def test_every_query_plan_meets_universal_invariants(spark):
         if bad:
             offenders[name] = bad
     assert not offenders, offenders
+
+
+def test_q72_cap_window_prunes_scan_columns(spark):
+    """The per-source cap reads only (doc_id, source, n_chars) — a cap
+    query that scans text at 100 TB is wrong — and runs as one
+    source-keyed window, no joins."""
+    plan = _plan(spark, "q72_source_cap")
+    assert "Join" not in plan and "Python" not in plan
+    schemas = re.findall(r"ReadSchema: (struct<[^\n]*)", plan)
+    assert schemas and all("text" not in s for s in schemas)
+
+
+def test_q73_bigram_lm_aggregates_before_joins(spark):
+    """The LM-score joins run against AGGREGATED count relations
+    (c1/c2), never raw token streams on both sides — partial
+    aggregation must appear below every join input, and no nested
+    loop forms except the sanctioned 1-row total broadcast."""
+    plan = _plan(spark, "q73_bigram_lm_score")
+    assert "Python" not in plan and "CartesianProduct" not in plan
+    # the only BroadcastNestedLoopJoin allowed is the 1-row `total`
+    # (formatted plans print each operator twice: tree + detail header)
+    assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan)) <= 1
+    assert "partial_count" in plan  # map-side combine on the count aggs
+
+
+def test_q74_survivor_antijoin_shape(spark):
+    plan = _plan(spark, "q74_semantic_dedup_survivors")
+    assert "Python" not in plan and "CartesianProduct" not in plan
+    assert "LeftAnti" in plan  # the greedy-by-id decision is one anti-join
+
+
+def test_q76_allocation_joins_broadcast(spark):
+    """The strata/allocation relations are |langs|-sized: every
+    allocation join must broadcast, never SMJ."""
+    plan = _plan(spark, "q76_stratified_sample")
+    assert "Python" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_q77_novelty_is_hash_probe_no_nested_loop(spark):
+    plan = _plan(spark, "q77_shingle_novelty")
+    assert "Python" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
