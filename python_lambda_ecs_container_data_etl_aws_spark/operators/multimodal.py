@@ -378,6 +378,98 @@ def decode_png_features(mm: DataFrame) -> DataFrame:
     return mm.mapInPandas(fn, DECODED_SCHEMA)
 
 
+def encode_wav(sample_rate: int, n_channels: int, pcm16: bytes) -> bytes:
+    """Deterministic stdlib WAV encoder (16-bit PCM) — fixture
+    generator for the audio decode path; also usable as a sink codec."""
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(n_channels)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(pcm16)
+    return buf.getvalue()
+
+
+def decode_audio(payload: bytes) -> tuple[int, int, int, bytes]:
+    """Real audio decode: (sample_rate, n_channels, n_frames, pcm16).
+
+    WAV/PCM decodes via the stdlib ``wave`` module — REAL and testable
+    everywhere, no codec library needed. Compressed formats (mp3/ogg/
+    flac) raise NotImplementedError: the documented seam for a
+    librosa/av-backed decoder behind this same signature."""
+    import io
+    import wave
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise NotImplementedError(
+            "non-WAV audio decode requires a codec library (librosa/av); "
+            "this environment decodes PCM WAV via the stdlib"
+        )
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        if w.getsampwidth() != 2:
+            raise NotImplementedError("only 16-bit PCM WAV is supported")
+        return (
+            w.getframerate(),
+            w.getnchannels(),
+            w.getnframes(),
+            w.readframes(w.getnframes()),
+        )
+
+
+AUDIO_FEATURE_SCHEMA = StructType(
+    [
+        StructField("item_id", LongType()),
+        StructField("sample_rate", LongType()),
+        StructField("n_channels", LongType()),
+        StructField("n_frames", LongType()),
+        StructField("duration_us", LongType()),
+        StructField("peak_amp", LongType()),
+        StructField("energy", LongType()),
+    ]
+)
+
+
+def audio_features(mm: DataFrame) -> DataFrame:
+    """mapInPandas REAL audio feature extraction over WAV payloads:
+    (sample_rate, channels, frames, integer-µs duration, peak |amp|,
+    total energy as an exact BIGINT sum of squared samples). Arrow
+    batches in/out, nothing driver-side; self-contained closure
+    (stdlib wave/array only) so executors unpickle it by value."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import array
+        import io
+        import wave
+
+        def decode(payload: bytes):
+            with wave.open(io.BytesIO(bytes(payload)), "rb") as w:
+                rate, ch, nf = w.getframerate(), w.getnchannels(), w.getnframes()
+                samples = array.array("h")
+                samples.frombytes(w.readframes(nf))
+                peak = max((abs(s) for s in samples), default=0)
+                energy = sum(int(s) * int(s) for s in samples)
+                return rate, ch, nf, nf * 1_000_000 // rate, peak, energy
+
+        for pdf in batches:
+            d = [decode(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "item_id": pdf["item_id"].astype("int64"),
+                    "sample_rate": [x[0] for x in d],
+                    "n_channels": [x[1] for x in d],
+                    "n_frames": [x[2] for x in d],
+                    "duration_us": [x[3] for x in d],
+                    "peak_amp": [x[4] for x in d],
+                    "energy": [x[5] for x in d],
+                }
+            )
+
+    return mm.mapInPandas(fn, AUDIO_FEATURE_SCHEMA)
+
+
 def frame_sample_plan(mm: DataFrame, every_n: int = 10) -> DataFrame:
     """Video-frame-sampling plumbing: explode a (stubbed) frame index
     per payload — the Spark-side shape of frame extraction (real frame

@@ -372,35 +372,49 @@ ORDER BY a.lang
 """
 
 
-@_q("q76_stratified_sample")
-def q76(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
-    strata = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_l"))
-    tot = strata.agg(F.sum("n_l").alias("n"))
+def largest_remainder_alloc(
+    strata: DataFrame, budget: int, key_col: str = "lang", n_col: str = "n_l"
+) -> DataFrame:
+    """Proportional allocation of ``budget`` across strata, rounded by
+    largest remainder so the allocations sum EXACTLY to the budget
+    (floor each share, hand the leftover units to the largest
+    remainders, key ascending on ties). The strata relation is
+    |strata|-sized — the single-partition window and both crossJoins
+    are over tiny broadcast relations, never data-sized.
+
+    Output: (key_col, n_col, n_pick). Property-tested directly
+    (allocations sum to budget, monotone in stratum size, never
+    negative); q76 composes it with the md5-ordered member pick."""
+    tot = strata.agg(F.sum(n_col).alias("n"))
     alloc0 = strata.crossJoin(F.broadcast(tot)).select(
-        "lang",
-        "n_l",
-        F.floor(F.lit(_SAMPLE_BUDGET) * F.col("n_l") / F.col("n"))
+        key_col,
+        n_col,
+        F.floor(F.lit(budget) * F.col(n_col) / F.col("n"))
         .cast("bigint")
         .alias("base"),
-        ((F.lit(_SAMPLE_BUDGET) * F.col("n_l")) % F.col("n")).alias("rem"),
+        ((F.lit(budget) * F.col(n_col)) % F.col("n")).alias("rem"),
     )
-    leftover = alloc0.agg(
-        (F.lit(_SAMPLE_BUDGET) - F.sum("base")).alias("k")
-    )
-    wr = Window.orderBy(F.col("rem").desc(), "lang")
-    alloc = (
+    leftover = alloc0.agg((F.lit(budget) - F.sum("base")).alias("k"))
+    wr = Window.orderBy(F.col("rem").desc(), key_col)
+    return (
         alloc0.withColumn("rr", F.row_number().over(wr))
         .crossJoin(F.broadcast(leftover))
         .select(
-            "lang",
-            "n_l",
+            key_col,
+            n_col,
             (
                 F.col("base")
                 + F.when(F.col("rr") <= F.col("k"), 1).otherwise(0)
             ).alias("n_pick"),
         )
     )
+
+
+@_q("q76_stratified_sample")
+def q76(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    strata = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_l"))
+    alloc = largest_remainder_alloc(strata, _SAMPLE_BUDGET)
     wp = Window.partitionBy("lang").orderBy(
         F.md5(F.col("doc_id").cast("string").cast("binary")), "doc_id"
     )

@@ -172,6 +172,16 @@ def compact_log(spark: SparkSession, log_dir: str, log_date: str) -> int:
     rows = spark.read.parquet(part)
     n = rows.count()
     rows.coalesce(1).write.mode("overwrite").parquet(staging)
+    # same "never install a failed write" gate as pipeline.compact_table:
+    # the staged day must hold every audit row before the swap — a short
+    # write must not displace the only copy of a day's audit history
+    persisted = spark.read.parquet(staging).count() if n else 0
+    if persisted != n:
+        shutil.rmtree(staging, ignore_errors=True)
+        raise RuntimeError(
+            f"compact_log aborted: staging holds {persisted} rows for "
+            f"log_date={log_date}, expected {n}; live partition untouched"
+        )
     shutil.rmtree(aside, ignore_errors=True)
     os.rename(part, aside)
     os.rename(staging, part)

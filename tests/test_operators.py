@@ -868,3 +868,117 @@ def test_containment_catches_subset_doc_jaccard_misses(spark):
     assert c_ab < 0.2  # direction matters
     jac = {(r.a_id, r.b_id) for r in dedup.jaccard_pairs(sh, 0.5).collect()}
     assert (1, 2) not in jac  # jaccard misses the quotation
+
+
+def test_wav_encode_decode_roundtrip():
+    import struct
+
+    pcm = struct.pack("<8h", 0, 1000, -1000, 32767, -32768, 5, -5, 0)
+    payload = multimodal.encode_wav(16000, 1, pcm)
+    rate, ch, nf, out = multimodal.decode_audio(payload)
+    assert (rate, ch, nf) == (16000, 1, 8)
+    assert out == pcm
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_audio(b"ID3\x04 fake mp3")
+
+
+def test_audio_features_mapinpandas(spark):
+    """End-to-end REAL audio decode through Spark: WAV payloads →
+    mapInPandas → frame/duration/peak/energy, agreeing with a local
+    decode of the same PCM."""
+    import struct
+
+    items, expected = [], {}
+    for item_id, (rate, nsamp) in enumerate([(8000, 64), (16000, 128), (44100, 10)]):
+        samples = [((i * 997 + item_id * 13) % 65536) - 32768 for i in range(nsamp)]
+        pcm = struct.pack(f"<{nsamp}h", *samples)
+        items.append((item_id, "audio", multimodal.encode_wav(rate, 1, pcm), {}))
+        expected[item_id] = (
+            rate,
+            1,
+            nsamp,
+            nsamp * 1_000_000 // rate,
+            max(abs(s) for s in samples),
+            sum(s * s for s in samples),
+        )
+    mm = spark.createDataFrame(items, multimodal.MULTIMODAL_SCHEMA).repartition(2)
+    got = {
+        r.item_id: (r.sample_rate, r.n_channels, r.n_frames, r.duration_us, r.peak_amp, r.energy)
+        for r in multimodal.audio_features(mm).collect()
+    }
+    assert got == expected
+
+
+def test_largest_remainder_alloc_properties(spark):
+    """Allocation invariants over assorted distributions: sums exactly
+    to the budget, never negative, never exceeds budget per stratum,
+    within 1 of the exact proportional share (the largest-remainder
+    guarantee), and ties break deterministically (key ascending)."""
+    from python_lambda_ecs_container_data_etl_aws_spark.plans.mining import (
+        largest_remainder_alloc,
+    )
+
+    cases = [
+        ([("a", 7), ("b", 2), ("c", 1)], 10),
+        ([("a", 1), ("b", 1), ("c", 1)], 10),       # ties
+        ([("a", 999), ("b", 1)], 7),                # extreme skew
+        ([("only", 5)], 3),                          # single stratum
+        ([("a", 3), ("b", 3), ("c", 3), ("d", 1)], 5),
+        ([("a", 1000000), ("b", 3), ("c", 2)], 100),
+    ]
+    for strata, budget in cases:
+        df = spark.createDataFrame(strata, "lang STRING, n_l BIGINT")
+        got = {
+            r.lang: r.n_pick
+            for r in largest_remainder_alloc(df, budget).collect()
+        }
+        total = sum(n for _, n in strata)
+        assert sum(got.values()) == budget, (strata, budget, got)
+        for k, n in strata:
+            exact = budget * n / total
+            assert 0 <= got[k] <= budget
+            assert abs(got[k] - exact) < 1, (k, got[k], exact)
+    # deterministic tie break: equal remainders resolve key-ascending
+    df = spark.createDataFrame([("x", 1), ("y", 1), ("z", 1)], "lang STRING, n_l BIGINT")
+    got = {r.lang: r.n_pick for r in largest_remainder_alloc(df, 4).collect()}
+    assert got == {"x": 2, "y": 1, "z": 1}
+
+
+def test_compact_log_aborts_swap_on_short_staging_write(spark, tmp_path, monkeypatch):
+    """The audit-log compaction carries the same read-back gate as
+    table compaction: a short staging write must abort the swap and
+    leave the day partition untouched."""
+    import os
+
+    from python_lambda_ecs_container_data_etl_aws_spark.sources import audit
+    from python_lambda_ecs_container_data_etl_aws_spark.sources.pipeline import (
+        IngestReport,
+    )
+
+    log_dir = str(tmp_path / "log")
+    for i in range(3):
+        audit.log_ingest(
+            spark, log_dir, IngestReport(file=f"f{i}.csv", route="t", loaded_rows=i),
+            now_us=1_700_000_000_000_000,
+        )
+    day = next(e for e in os.listdir(log_dir) if e.startswith("log_date="))
+    date = day.split("=", 1)[1]
+
+    real_read = spark.read.parquet
+
+    class FakeReader:
+        def parquet(self, path):
+            df = real_read(path)
+            return df.limit(2) if path.endswith("__staging") else df
+
+    monkeypatch.setattr(
+        type(spark), "read", property(lambda self: FakeReader())
+    )
+    with pytest.raises(RuntimeError, match="compact_log aborted"):
+        audit.compact_log(spark, log_dir, date)
+    monkeypatch.undo()
+    assert audit.load_ingest_log(spark, log_dir).count() == 3
+    assert not os.path.isdir(os.path.join(log_dir, f".log_date={date}__staging"))
+    # healthy path still compacts
+    assert audit.compact_log(spark, log_dir, date) == 3
+    assert audit.load_ingest_log(spark, log_dir).count() == 3
