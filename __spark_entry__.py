@@ -47,7 +47,7 @@ _NEVER_DRIVER_VERIFIED = [
     # new in round 3
     "q72_source_cap", "q73_bigram_lm_score", "q74_semantic_dedup_survivors",
     "q75_quality_percentile_hist", "q76_stratified_sample",
-    "q77_shingle_novelty",
+    "q77_shingle_novelty", "q78_cluster_best_doc", "q79_normalized_dedup",
 ]
 _SINGLE_GREEN = [
     "q44_decontaminate", "q54_incremental_neardup", "q53_salted_join",

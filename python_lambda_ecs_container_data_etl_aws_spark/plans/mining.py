@@ -1,4 +1,4 @@
-"""Corpus-mining queries q72-q77: the curation decisions a 100 TB
+"""Corpus-mining queries q72-q79: the curation decisions a 100 TB
 pre-training pipeline makes AFTER the per-doc quality/dedup signals
 exist — capping, scoring, sampling, and novelty measurement.
 
@@ -23,6 +23,10 @@ exist — capping, scoring, sampling, and novelty measurement.
 - q77 shingle novelty vs a reference corpus: the graded complement of
   q44's decontamination — what fraction of a new doc's shingles the
   corpus has never seen.
+- q78 quality-aware cluster representatives: keep the BEST copy of a
+  near-dup cluster (argmax quality), not the arbitrary first.
+- q79 normalized-text exact dedup: case/punctuation/whitespace
+  variants of the same text are the same document.
 
 The reference pipeline has no curation stage (SURVEY Tier C); these
 extend the LLM-operator suite with oracle-backed contracts.
@@ -494,4 +498,169 @@ def q77(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum(novel).cast("double") / F.count(F.lit(1))).alias("novelty"),
         )
         .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# q78 quality-aware cluster representatives: q47 resolves near-dup
+# clusters; the curation decision is WHICH copy to keep. "First copy"
+# (min id) is arbitrary — real pipelines keep the BEST copy. Per
+# connected component: representative = argmax (n_chars, doc_id).
+# Oracle = q47's recursive-CTE component walk + the same argmax.
+# Scale: the cluster relation is pairs-sized (tiny next to the corpus),
+# and the quality join touches only clustered docs.
+
+ORACLE["q78_cluster_best_doc"] = """
+WITH RECURSIVE tok AS (
+    SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+sh AS (
+    SELECT DISTINCT doc_id, s FROM tok,
+    UNNEST(list_transform(range(1, len(toks) - 1),
+                          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS u(s)
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+inter AS (
+    SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_inter
+    FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+),
+edges AS (
+    SELECT a_id, b_id FROM inter
+    JOIN sizes sa ON sa.doc_id = a_id
+    JOIN sizes sb ON sb.doc_id = b_id
+    WHERE n_inter / (sa.n + sb.n - n_inter) >= 0.5
+),
+sym AS (
+    SELECT a_id AS s, b_id AS d FROM edges
+    UNION ALL SELECT b_id, a_id FROM edges
+),
+walk(node, label) AS (
+    SELECT DISTINCT s, s FROM sym
+    UNION
+    SELECT sym.d, walk.label FROM walk JOIN sym ON sym.s = walk.node
+),
+cc AS (SELECT node, MIN(label) AS cluster_rep FROM walk GROUP BY node),
+best AS (
+    SELECT cc.cluster_rep, cc.node, d.n_chars,
+           ROW_NUMBER() OVER (PARTITION BY cc.cluster_rep
+                              ORDER BY d.n_chars DESC, cc.node DESC) AS rn
+    FROM cc JOIN documents d ON d.doc_id = cc.node
+)
+SELECT cluster_rep,
+       COUNT(*) AS n_docs,
+       CAST(MAX(CASE WHEN rn = 1 THEN node END) AS BIGINT) AS best_doc,
+       CAST(MAX(CASE WHEN rn = 1 THEN n_chars END) AS BIGINT) AS best_chars,
+       CAST(COUNT(*) - 1 AS BIGINT) AS n_dropped
+FROM best GROUP BY cluster_rep ORDER BY cluster_rep
+"""
+
+
+@_q("q78_cluster_best_doc")
+def q78(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import dedup as dedup_ops
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = dedup_ops.minhash_lsh_dedup(d, threshold=0.5)
+    cc = dedup_ops.connected_components(pairs)
+    quality = d.select(F.col("doc_id").alias("node"), "n_chars")
+    w = Window.partitionBy("cluster_rep").orderBy(
+        F.col("n_chars").desc(), F.col("node").desc()
+    )
+    ranked = cc.join(quality, "node").withColumn("rn", F.row_number().over(w))
+    return (
+        ranked.groupBy("cluster_rep")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.max(F.when(F.col("rn") == 1, F.col("node")))
+            .cast("bigint")
+            .alias("best_doc"),
+            F.max(F.when(F.col("rn") == 1, F.col("n_chars")))
+            .cast("bigint")
+            .alias("best_chars"),
+            (F.count(F.lit(1)) - 1).cast("bigint").alias("n_dropped"),
+        )
+        .orderBy("cluster_rep")
+    )
+
+
+# --------------------------------------------------------------------------
+# q79 normalized-text exact dedup (the Dolma-style "fuzzy-exact" rule):
+# case, punctuation, and whitespace variants of the same text are the
+# same document. The fixture corpus is already clean, so variants are
+# PLANTED deterministically in both engines (doc_id % 5 selects a
+# transformation), then the normalizer (lower, strip non-alnum, collapse
+# runs of spaces, trim) must collapse every planted variant back onto
+# its original. One md5-of-normalized-text hash shuffle — the exact
+# dedup cost shape, insensitive to surface noise.
+
+ORACLE["q79_normalized_dedup"] = """
+WITH variants AS (
+    SELECT doc_id, CASE doc_id % 5
+        WHEN 0 THEN upper(text)
+        WHEN 1 THEN text || '!!!'
+        WHEN 2 THEN replace(text, ' ', '   ')
+        WHEN 3 THEN '  ' || text || '  '
+        ELSE text END AS raw
+    FROM documents
+),
+norm AS (
+    SELECT doc_id,
+           trim(regexp_replace(regexp_replace(lower(raw), '[^a-z0-9 ]', '', 'g'),
+                               ' +', ' ', 'g')) AS norm_text
+    FROM variants
+),
+grp AS (
+    SELECT md5(norm_text) AS norm_md5,
+           COUNT(*) AS n_copies,
+           MIN(doc_id) AS keeper
+    FROM norm GROUP BY 1
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+       CAST(SUM(n_copies) AS BIGINT) AS n_docs,
+       CAST(SUM(n_copies - 1) AS BIGINT) AS n_dropped,
+       md5(string_agg(CAST(keeper AS VARCHAR), ' ' ORDER BY keeper)) AS keepers_md5
+FROM grp
+"""
+
+
+@_q("q79_normalized_dedup")
+def q79(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    raw = (
+        F.when(F.col("doc_id") % 5 == 0, F.upper("text"))
+        .when(F.col("doc_id") % 5 == 1, F.concat(F.col("text"), F.lit("!!!")))
+        .when(F.col("doc_id") % 5 == 2, F.regexp_replace("text", " ", "   "))
+        .when(
+            F.col("doc_id") % 5 == 3,
+            F.concat(F.lit("  "), F.col("text"), F.lit("  ")),
+        )
+        .otherwise(F.col("text"))
+    )
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(raw), "[^a-z0-9 ]", ""), " +", " "
+        )
+    )
+    grp = (
+        d.select("doc_id", norm.alias("norm_text"))
+        .groupBy(F.md5(F.col("norm_text").cast("binary")).alias("norm_md5"))
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min("doc_id").alias("keeper"),
+        )
+    )
+    return grp.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+        F.sum("n_copies").cast("bigint").alias("n_docs"),
+        F.sum(F.col("n_copies") - 1).cast("bigint").alias("n_dropped"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("keeper")),
+                    lambda x: x.cast("string"),
+                ),
+                " ",
+            ).cast("binary")
+        ).alias("keepers_md5"),
     )

@@ -333,6 +333,12 @@ def dedup_ingest_stream(
     src = file_stream(spark, landing_dir, schema, fmt)
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            # an empty arriving file must be a no-op: writing a zero-row
+            # batch dir would leave part-file-less dirs that fail parquet
+            # schema inference on the next batch's corpus/index read
+            # (the streaming twin of the ingest empty-delta guard)
+            return
         batch = batch_df.persist()
         bsh, bb = lsh_index_of(batch, text_col, id_col)
         bsh, bb = bsh.persist(), bb.persist()
@@ -449,6 +455,8 @@ def segment_dedup_ingest_stream(
     src = file_stream(spark, landing_dir, schema, fmt)
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return  # same empty-batch no-op contract as dedup_ingest_stream
         seg = (
             batch_df.select(
                 F.col(id_col), F.split(F.col(text_col), " ").alias("toks")

@@ -397,6 +397,14 @@ def test_segment_dedup_ingest_stream_matches_q70_semantics(spark, tmp_path):
     # the persisted index holds exactly the distinct kept segments
     idx = {r.seg_text for r in spark.read.parquet(corpus + "__segindex").collect()}
     assert idx == {segA, segB, segC, segD}
+    # an EMPTY arriving file is a clean no-op — no zero-row batch dir
+    # may strand the corpus/index reads (ingest empty-delta guard twin)
+    arrive([])
+    assert drain() == got
+    # and the stream still processes real data afterwards
+    segE = " ".join(f"e{i}" for i in range(8))
+    arrive([(21, segE)])
+    assert drain()[21] == (1, 1, segE)
 
 
 def test_transform_with_state_user_value_stats(spark, tmp_path):
