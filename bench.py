@@ -1,7 +1,10 @@
 """Benchmark runner: executes the declared query catalog at
 ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
-``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
-{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+``local[$SPARK_GRAFT_CPUS]``. Output contract (round 3): a per-query
+detail JSON line first, then a compact (<200 byte) machine-parseable
+summary line LAST — {"metric", "value", "unit", "sf", "n_queries",
+"n_errors"} — because the driver tail-captures stdout and a 70+-query
+single line outgrew it. The full payload also lands in bench_out.json.
 """
 
 from __future__ import annotations
@@ -19,7 +22,10 @@ from python_lambda_ecs_container_data_etl_aws_spark.session import get_spark
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    except ValueError:
+        sf = -1.0  # unconventional dir name: still emit a parseable payload
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -50,10 +56,18 @@ def main() -> None:
     else:
         # No separate warm dataset: minimal warm of the shared engine
         # paths (scan/join/agg/window, interpreted HOFs, Python workers)
-        # without giving any measured query a silent second run.
-        QUERIES["q01_ingest_count"](spark, sf_dir).collect()
-        QUERIES["q04_recency_window"](spark, sf_dir).collect()
-        QUERIES["q11_latest_version_dedup"](spark, sf_dir).collect()
+        # without giving any measured query a silent second run. Warm
+        # failures must not kill the run before any timing/error output
+        # exists (e.g. a bad SF dir should still yield an errors payload).
+        for warm_name in (
+            "q01_ingest_count",
+            "q04_recency_window",
+            "q11_latest_version_dedup",
+        ):
+            try:
+                QUERIES[warm_name](spark, sf_dir).collect()
+            except Exception:
+                break  # dataset unusable: the timed pass will record it
         spark.range(1000).selectExpr(
             "aggregate(transform(sequence(0, 50), i -> concat('t', i)),"
             " cast(0 as bigint), (a, v) -> a + length(v))"
@@ -99,7 +113,10 @@ def main() -> None:
     # median, floored at 5s) once and keep the min — steady-state cost
     # is the quantity that predicts cluster throughput; a one-off CPU
     # steal is not. Bounded extra cost: only outliers re-run.
-    med = sorted(timings.values())[len(timings) // 2]
+    # (guard: if EVERY query errored — bad SF dir — timings is empty
+    # and the median is undefined; skip straight to the error payload
+    # so the driver still gets a diagnosable line, not a crash)
+    med = sorted(timings.values())[len(timings) // 2] if timings else 0.0
     for name, t in list(timings.items()):
         if t >= max(5.0, 3 * med) and name not in errors:
             had_error = set(errors)
@@ -121,7 +138,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
-        "sf": float(sf),
+        "sf": sf,
         "n_queries": len(timings),
     }
     if errors:
@@ -139,7 +156,7 @@ def main() -> None:
         "metric": "catalog_wall_clock",
         "value": total,
         "unit": "sec",
-        "sf": float(sf),
+        "sf": sf,
         "n_queries": len(timings),
         "n_errors": len(errors),
     }

@@ -446,6 +446,11 @@ def audio_features(mm: DataFrame) -> DataFrame:
 
         def decode(payload: bytes):
             with wave.open(io.BytesIO(bytes(payload)), "rb") as w:
+                if w.getsampwidth() != 2:
+                    # same contract as decode_audio: refuse loudly —
+                    # reinterpreting 8/24-bit frames as int16 silently
+                    # yields garbage peak/energy
+                    raise NotImplementedError("only 16-bit PCM WAV is supported")
                 rate, ch, nf = w.getframerate(), w.getnchannels(), w.getnframes()
                 samples = array.array("h")
                 samples.frombytes(w.readframes(nf))

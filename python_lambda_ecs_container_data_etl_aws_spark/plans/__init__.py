@@ -9,6 +9,6 @@ from . import extra as _extra  # noqa: F401  (registers q37-q43, q51, q67-q68)
 from . import curation as _cur  # noqa: F401  (registers q44-q50)
 from . import cleaning as _cln  # noqa: F401  (registers q55-q57, q64, q69-q71)
 from . import training as _trn  # noqa: F401  (registers q58-q63, q65-q66)
-from . import mining as _mng  # noqa: F401  (registers q72-q77)
+from . import mining as _mng  # noqa: F401  (registers q72-q79)
 
 __all__ = ["QUERIES", "ORACLE"]

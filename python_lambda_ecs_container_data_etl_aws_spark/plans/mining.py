@@ -154,7 +154,12 @@ def q73(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("c1"))
     )
-    pairs = tok.select(
+    # single-token guard: sequence(1, 0) DESCENDS under Spark and the
+    # out-of-bounds toks[i] aborts the job in ANSI mode — same hazard
+    # dedup.shingles guards. Filtering short docs BEFORE the generator
+    # keeps the transform unconditional; the DuckDB range(1, len) is
+    # empty-safe, and a <2-token doc has no pairs in either engine.
+    pairs = tok.filter(F.size("toks") >= 2).select(
         "doc_id",
         F.explode(
             F.expr(
@@ -509,6 +514,13 @@ def q77(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Oracle = q47's recursive-CTE component walk + the same argmax.
 # Scale: the cluster relation is pairs-sized (tiny next to the corpus),
 # and the quality join touches only clustered docs.
+# Edge-set contract: the Spark side generates candidates via MinHash
+# banding (16 bands x 2 rows) with an EXACT Jaccard verify, the oracle
+# is exact all-pairs — identical results rely on the banding missing no
+# >= 0.5 pair, the SAME corpus-wide bet q25/q47/q54 make, validated by
+# the full parity suite at sf0.001/0.01/0.1 (BASELINE.md). A borderline
+# organic pair at j ≈ 0.5 has ~1% band-miss probability; if one ever
+# appears in new testdata, q47 and q78 fail together and loudly.
 
 ORACLE["q78_cluster_best_doc"] = """
 WITH RECURSIVE tok AS (

@@ -438,9 +438,11 @@ def segment_dedup_ingest_stream(
 
     Exactly-once without a transaction log: per-batch overwrite of
     ``batch=<id>`` subdirs — a crash-replayed batch overwrites its own
-    directories instead of double-appending. The corpus dir is written
-    before the index dir, so a crash between the two leaves a corpus
-    batch whose index rows the replay re-derives and overwrites.
+    directories instead of double-appending — and the membership probe
+    reads every index batch dir EXCEPT this batch's own, so a replay
+    after the index write (crash before checkpoint commit) re-derives
+    the same survivors instead of seeing its own crashed attempt as
+    "the corpus" and gutting the batch.
 
     Scale note: the index stores segment TEXT here so the pytest
     equality against batch q70 is exact; at 100 TB you store
@@ -490,11 +492,26 @@ def segment_dedup_ingest_stream(
         # exact q70 shape (one seg_text-keyed window, one hash join)
         w = Window.partitionBy("seg_text").orderBy(id_col, "seg_idx")
         seg = seg.withColumn("rn", F.row_number().over(w))
-        has_index = os.path.isdir(index_dir) and any(
-            e.startswith("batch=") for e in os.listdir(index_dir)
+        # crash-replay idempotence: a crash AFTER this batch's index
+        # write but BEFORE the checkpoint commit re-runs the same
+        # batch_id — reading the index wholesale would then see the
+        # crashed attempt's own segments and mark the ENTIRE batch
+        # already-in-corpus, overwriting it with empty docs. Probe only
+        # the OTHER batches' index dirs; this batch's own rows are
+        # re-derived and overwritten below either way.
+        other_batches = (
+            [
+                os.path.join(index_dir, e)
+                for e in os.listdir(index_dir)
+                if e.startswith("batch=") and e != f"batch={batch_id}"
+            ]
+            if os.path.isdir(index_dir)
+            else []
         )
-        if has_index:
-            idx = spark.read.parquet(index_dir).select("seg_text").distinct()
+        if other_batches:
+            idx = (
+                spark.read.parquet(*other_batches).select("seg_text").distinct()
+            )
             seg = seg.join(
                 idx.withColumn("__in_corpus", F.lit(1)), "seg_text", "left"
             )

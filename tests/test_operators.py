@@ -982,3 +982,22 @@ def test_compact_log_aborts_swap_on_short_staging_write(spark, tmp_path, monkeyp
     # healthy path still compacts
     assert audit.compact_log(spark, log_dir, date) == 3
     assert audit.load_ingest_log(spark, log_dir).count() == 3
+
+
+def test_audio_features_rejects_non_16bit(spark):
+    """8-bit PCM must fail loudly (NotImplementedError contract), never
+    silently reinterpret bytes as int16."""
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(1)  # 8-bit
+        w.setframerate(8000)
+        w.writeframes(bytes(range(16)))
+    mm = spark.createDataFrame(
+        [(0, "audio", buf.getvalue(), {})], multimodal.MULTIMODAL_SCHEMA
+    )
+    with pytest.raises(Exception, match="16-bit"):
+        multimodal.audio_features(mm).collect()

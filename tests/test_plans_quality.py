@@ -367,3 +367,26 @@ def test_q77_novelty_is_hash_probe_no_nested_loop(spark):
     plan = _plan(spark, "q77_shingle_novelty")
     assert "Python" not in plan
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_q73_survives_single_token_docs(spark):
+    """ANSI regression: a one-token document must contribute no bigram
+    pairs, not abort the job (sequence(1, 0) descends and indexes out
+    of bounds when unguarded)."""
+    from python_lambda_ecs_container_data_etl_aws_spark.plans.mining import q73
+
+    import os
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        docs = spark.createDataFrame(
+            [
+                (1, "single", "en", "s0", 6),
+                (2, "", "en", "s0", 0),
+                (3, "two tokens here", "en", "s0", 15),
+            ],
+            "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT",
+        )
+        docs.write.parquet(os.path.join(d, "documents.parquet"))
+        out = {r.doc_id: r.n_pairs for r in q73(spark, d).collect()}
+        assert out == {3: 2}  # short docs absent, multi-token doc scored

@@ -553,3 +553,48 @@ def test_stateful_funnel_agrees_with_batch_q67(spark, tmp_path):
         got[r.day_idx] = [v + 1, c + r.converted]
     # every view emitted exactly once, per-day counts identical
     assert {k: tuple(v) for k, v in got.items()} == batch
+
+
+def test_segment_dedup_replay_after_index_write_is_idempotent(spark, tmp_path):
+    """Review regression (critical): a crash AFTER a batch's index
+    write but BEFORE the checkpoint commit re-runs the same batch_id.
+    The membership probe must NOT see the crashed attempt's own index
+    rows — doing so marked every segment already-in-corpus and
+    overwrote the batch with empty docs. Simulated by pre-planting the
+    batch's own index dir exactly as the crashed attempt left it."""
+    from pyspark.sql.types import LongType, StringType
+
+    doc_schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+    landing = str(tmp_path / "rp_landing")
+    corpus = str(tmp_path / "rp_corpus")
+    ck = str(tmp_path / "ck_rp")
+    segA = " ".join(f"a{i}" for i in range(8))
+    segB = " ".join(f"b{i}" for i in range(8))
+
+    spark.createDataFrame(
+        [(1, f"{segA} {segB}")], doc_schema
+    ).coalesce(1).write.mode("append").parquet(landing)
+
+    # simulate the crashed first attempt: its index rows are already on
+    # disk under the batch id the replay will reuse (batch 0), but the
+    # checkpoint knows nothing, so the stream reprocesses the file
+    index_dir = corpus + "__segindex"
+    spark.createDataFrame(
+        [(segA,), (segB,)], "seg_text STRING"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(index_dir, "batch=0")
+    )
+
+    runner.segment_dedup_ingest_stream(
+        spark, landing, doc_schema, corpus, ck, seg_tokens=8
+    )
+    got = {
+        r.doc_id: (r.n_segs, r.n_kept, r.clean_text)
+        for r in spark.read.parquet(corpus).collect()
+    }
+    # the replay must keep the doc's segments, not gut them
+    assert got == {1: (2, 2, f"{segA} {segB}")}
+    idx = {r.seg_text for r in spark.read.parquet(index_dir).collect()}
+    assert idx == {segA, segB}
