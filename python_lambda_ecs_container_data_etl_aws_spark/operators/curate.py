@@ -1,0 +1,137 @@
+"""One-call corpus curation: the composed cleaning pipeline a corpus
+owner actually runs — quality gate → normalized exact dedup → near-dup
+cluster resolution (keep the best copy) → per-source cap — with a
+per-stage funnel report.
+
+Every stage is one of the individually-contracted operators (q18/q49
+quality rules, q79 normalization, q25+q47+q78 near-dup resolution, q72
+capping); this module only composes them, adding no new semantics —
+so the composition inherits each stage's oracle-backed behavior and
+its scale posture (all stages are windows, hash joins, or banded
+candidate joins; nothing all-pairs, nothing driver-sized except the
+≤1M-edge union-find path documented in dedup.connected_components).
+
+Stage order matters and mirrors production pipelines: cheap row-local
+gates first (quality), then exact-hash dedup (one shuffle), then the
+expensive near-dup stage over the already-shrunk corpus, then capping
+(which must see the final survivor set to pick the best K).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from . import dedup as dedup_ops
+
+
+@dataclass
+class CurationReport:
+    """Per-stage funnel: rows in/out per stage, in execution order."""
+
+    stages: list[tuple[str, int, int]]
+
+    def as_rows(self) -> list[tuple[str, int, int, int]]:
+        return [
+            (name, n_in, n_out, n_in - n_out) for name, n_in, n_out in self.stages
+        ]
+
+
+def normalize_text(col) -> F.Column:
+    """The q79 normalization: lower, strip non-alnum, collapse space
+    runs, trim — case/punctuation/whitespace variants collapse."""
+    return F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(col), "[^a-z0-9 ]", ""), " +", " "
+        )
+    )
+
+
+def curate_corpus(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+    quality_cols=None,
+    min_tokens: int = 5,
+    max_tokens: int = 10_000,
+    neardup_threshold: float = 0.5,
+    cap_per_source: int | None = None,
+) -> tuple[DataFrame, CurationReport]:
+    """Run the full cleaning funnel; returns (survivors, report).
+
+    Survivors keep the input schema. The report counts one action per
+    stage, so ``n_out`` of stage k equals ``n_in`` of stage k+1 —
+    asserting that chain is the composition test's core invariant.
+
+    Each stage materializes its count (the funnel IS the product here);
+    a count-free variant would simply drop the report.
+    """
+    stages: list[tuple[str, int, int]] = []
+    cur = docs
+
+    def _record(name: str, nxt: DataFrame) -> DataFrame:
+        nonlocal cur
+        n_in = cur.count()
+        nxt = nxt.persist()
+        n_out = nxt.count()
+        stages.append((name, n_in, n_out))
+        cur = nxt
+        return cur
+
+    # 1. quality gate — row-local, runs in the scan stage
+    toks = F.size(F.split(F.col(text_col), " "))
+    _record(
+        "quality_gate",
+        cur.filter(toks.between(min_tokens, max_tokens)),
+    )
+
+    # 2. normalized exact dedup (q79 rule): lowest id per normalized
+    # text — one hash shuffle
+    w = Window.partitionBy(F.md5(normalize_text(F.col(text_col)).cast("binary"))).orderBy(
+        F.col(id_col)
+    )
+    _record(
+        "normalized_exact_dedup",
+        cur.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn"),
+    )
+
+    # 3. near-dup resolution (q25 pairs → q47 clusters → q78 keep-best):
+    # banded candidates, exact verify, per-cluster argmax on a quality
+    # proxy (token count, id tiebreak). Docs in no cluster survive.
+    pairs = dedup_ops.minhash_lsh_dedup(
+        cur.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")),
+        threshold=neardup_threshold,
+    )
+    cc = dedup_ops.connected_components(pairs)
+    quality = cur.select(
+        F.col(id_col).alias("node"), toks.alias("__q")
+    )
+    wbest = Window.partitionBy("cluster_rep").orderBy(
+        F.col("__q").desc(), F.col("node").desc()
+    )
+    losers = (
+        cc.join(quality, "node")
+        .withColumn("__rn", F.row_number().over(wbest))
+        .filter(F.col("__rn") > 1)
+        .select(F.col("node").alias(id_col))
+    )
+    _record("neardup_keep_best", cur.join(losers, id_col, "left_anti"))
+
+    # 4. per-source cap (q72 rule): best K per source by (tokens, id)
+    if cap_per_source is not None:
+        wcap = Window.partitionBy(source_col).orderBy(
+            toks.desc(), F.col(id_col)
+        )
+        _record(
+            "source_cap",
+            cur.withColumn("__rn", F.row_number().over(wcap))
+            .filter(F.col("__rn") <= cap_per_source)
+            .drop("__rn"),
+        )
+
+    return cur, CurationReport(stages)

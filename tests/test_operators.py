@@ -1001,3 +1001,52 @@ def test_audio_features_rejects_non_16bit(spark):
     )
     with pytest.raises(Exception, match="16-bit"):
         multimodal.audio_features(mm).collect()
+
+
+def test_curate_corpus_end_to_end(spark, docs):
+    """Composition test for the one-call cleaning pipeline: the funnel
+    chains (out of stage k == in of stage k+1), every stage's rule
+    holds on the survivor set, and the result is deterministic."""
+    from python_lambda_ecs_container_data_etl_aws_spark.operators import curate
+
+    survivors, report = curate.curate_corpus(
+        docs, min_tokens=5, neardup_threshold=0.5, cap_per_source=15
+    )
+    rows = report.as_rows()
+    assert [name for name, *_ in rows] == [
+        "quality_gate",
+        "normalized_exact_dedup",
+        "neardup_keep_best",
+        "source_cap",
+    ]
+    # funnel chains and shrinks monotonically
+    for (_, _, n_out, _), (_, n_in, _, _) in zip(rows, rows[1:]):
+        assert n_out == n_in
+    assert all(n_out <= n_in for _, n_in, n_out, _ in rows)
+    assert rows[-1][2] == survivors.count() > 0
+
+    surv = survivors.collect()
+    ids = [r.doc_id for r in surv]
+    assert len(ids) == len(set(ids))
+
+    # stage rules hold on the survivor set:
+    # (2) no two survivors share a normalized text
+    norm = survivors.select(
+        curate.normalize_text(F.col("text")).alias("nt")
+    ).collect()
+    nts = [r.nt for r in norm]
+    assert len(nts) == len(set(nts))
+    # (3) no surviving near-dup pair — one doc per cluster survived
+    pairs = dedup.minhash_lsh_dedup(
+        survivors.select("doc_id", "text"), threshold=0.5
+    )
+    assert pairs.count() == 0
+    # (4) no source exceeds the cap
+    per_src = survivors.groupBy("source").count().collect()
+    assert all(r["count"] <= 15 for r in per_src)
+
+    # deterministic: a second run returns the identical survivor set
+    survivors2, _ = curate.curate_corpus(
+        docs, min_tokens=5, neardup_threshold=0.5, cap_per_source=15
+    )
+    assert sorted(ids) == sorted(r.doc_id for r in survivors2.collect())
