@@ -552,6 +552,147 @@ def segment_dedup_ingest_stream(
     q.awaitTermination()
 
 
+def exact_dedup_ingest_stream(
+    spark: SparkSession,
+    landing_dir: str,
+    schema: StructType,
+    corpus_dir: str,
+    checkpoint_dir: str,
+    fmt: str = "parquet",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Continuous NORMALIZED-exact dedup ingest (the q79 rule run as a
+    stream): each arriving micro-batch keeps, per normalized text
+    (lower + strip non-alnum + collapse spaces + trim), the lowest-id
+    doc not already in the corpus — probing a persisted md5(norm)
+    index, never re-normalizing history. The cheap front tier of
+    continuous curation (the near-dup tiers are dedup_ingest_stream /
+    segment_dedup_ingest_stream).
+
+    Exactly-once: per-batch ``batch=<id>`` overwrite; the index probe
+    excludes this batch's own dir so a crash-after-index-write replay
+    re-derives the same survivors (same idempotence contract as the
+    segment stream)."""
+    import os
+
+    from pyspark.sql import Window
+
+    from ..operators.curate import normalize_text
+
+    index_dir = corpus_dir.rstrip("/") + "__normindex"
+    src = file_stream(spark, landing_dir, schema, fmt)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        batch = batch_df.withColumn(
+            "__nmd5", F.md5(normalize_text(F.col(text_col)).cast("binary"))
+        )
+        w = Window.partitionBy("__nmd5").orderBy(id_col)
+        batch = batch.withColumn("__rn", F.row_number().over(w))
+        others = (
+            [
+                os.path.join(index_dir, e)
+                for e in os.listdir(index_dir)
+                if e.startswith("batch=") and e != f"batch={batch_id}"
+            ]
+            if os.path.isdir(index_dir)
+            else []
+        )
+        if others:
+            idx = spark.read.parquet(*others).select("__nmd5").distinct()
+            batch = batch.join(
+                idx.withColumn("__seen", F.lit(1)), "__nmd5", "left"
+            )
+        else:
+            batch = batch.withColumn("__seen", F.lit(None).cast("int"))
+        survivors = batch.filter(
+            (F.col("__rn") == 1) & F.col("__seen").isNull()
+        ).persist()
+        survivors.drop("__nmd5", "__rn", "__seen").write.mode(
+            "overwrite"
+        ).parquet(os.path.join(corpus_dir, f"batch={batch_id}"))
+        survivors.select("__nmd5").distinct().write.mode("overwrite").parquet(
+            os.path.join(index_dir, f"batch={batch_id}")
+        )
+        survivors.unpersist()
+
+    q = (
+        src.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def source_cap_stream(
+    spark: SparkSession,
+    landing_dir: str,
+    schema: StructType,
+    kept_dir: str,
+    checkpoint_dir: str,
+    fmt: str = "parquet",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+    cap: int = 10,
+) -> None:
+    """Incremental per-source best-K cap (the q72 rule as a stream):
+    the kept table always holds, per source, the top ``cap`` docs by
+    (token count desc, id asc) over EVERYTHING seen so far. Each batch
+    folds into the kept state — top-K is an incrementally maintainable
+    aggregate: topK(state ∪ batch) ≡ topK(all history) because any doc
+    outside a previous top-K can never re-enter (scores are immutable).
+
+    Replay-safe by construction: the fold dedups by id before ranking,
+    so re-folding an already-folded batch is a no-op; the kept table
+    (≤ cap × |sources| rows — state, not data) swaps atomically via the
+    report module's aside-dir rename protocol."""
+    import os
+    import shutil
+
+    from pyspark.sql import Window
+
+    from ..sources.report import _recover_dir, _swap_dir
+
+    src = file_stream(spark, landing_dir, schema, fmt)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        _recover_dir(kept_dir)
+        merged = batch_df
+        if os.path.isdir(kept_dir):
+            state = spark.read.parquet(kept_dir)
+            merged = state.unionByName(batch_df)
+        # replay fold: same doc may sit in state AND the batch
+        wid = Window.partitionBy(id_col).orderBy(id_col)
+        merged = merged.withColumn("__dup", F.row_number().over(wid)).filter(
+            F.col("__dup") == 1
+        )
+        toks = F.size(F.split(F.col(text_col), " "))
+        wcap = Window.partitionBy(source_col).orderBy(toks.desc(), F.col(id_col))
+        kept = (
+            merged.withColumn("__rn", F.row_number().over(wcap))
+            .filter(F.col("__rn") <= cap)
+            .drop("__rn", "__dup")
+        )
+        staging = kept_dir.rstrip("/") + "__staging"
+        shutil.rmtree(staging, ignore_errors=True)
+        kept.coalesce(1).write.mode("overwrite").parquet(staging)
+        _swap_dir(staging, kept_dir)
+
+    q = (
+        src.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def stateful_user_value_stats(events: DataFrame) -> DataFrame:
     """Per-user running value statistics via transformWithStateInPandas
     — the Spark 4 successor to applyInPandasWithState (StatefulProcessor

@@ -598,3 +598,80 @@ def test_segment_dedup_replay_after_index_write_is_idempotent(spark, tmp_path):
     assert got == {1: (2, 2, f"{segA} {segB}")}
     idx = {r.seg_text for r in spark.read.parquet(index_dir).collect()}
     assert idx == {segA, segB}
+
+
+def test_exact_dedup_ingest_stream_norm_index_across_batches(spark, tmp_path):
+    """Normalized-exact dedup as a stream: case/punct variants of a
+    corpus doc are dropped in later batches via the persisted norm
+    index; within a batch the lowest id wins; replay-safe."""
+    from pyspark.sql.types import LongType, StringType
+
+    doc_schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+    landing = str(tmp_path / "nd_landing")
+    corpus = str(tmp_path / "nd_corpus")
+    ck = str(tmp_path / "ck_nd")
+
+    def arrive(rows):
+        spark.createDataFrame(rows, doc_schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(landing)
+
+    def drain():
+        runner.exact_dedup_ingest_stream(
+            spark, landing, doc_schema, corpus, ck
+        )
+        return {r.doc_id for r in spark.read.parquet(corpus).collect()}
+
+    # batch 0: 3 is a punctuation variant of 1 -> within-batch dropped
+    arrive([(1, "alpha beta gamma"), (2, "delta epsilon"), (3, "Alpha, beta gamma!")])
+    assert drain() == {1, 2}
+    # batch 1: 11 is a case variant of corpus doc 1 -> dropped; 12 new
+    arrive([(11, "ALPHA BETA GAMMA"), (12, "zeta eta theta")])
+    assert drain() == {1, 2, 12}
+    # restart with nothing new: unchanged
+    assert drain() == {1, 2, 12}
+
+
+def test_source_cap_stream_maintains_global_topk(spark, tmp_path):
+    """Incremental per-source best-K: after every batch the kept table
+    equals the batch-computed top-K over everything seen so far, and a
+    replayed fold is a no-op."""
+    from pyspark.sql.types import LongType, StringType
+
+    doc_schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("text", StringType()),
+            StructField("source", StringType()),
+        ]
+    )
+    landing = str(tmp_path / "cap_landing")
+    kept_dir = str(tmp_path / "cap_kept")
+    ck = str(tmp_path / "ck_cap")
+
+    def txt(n):  # n tokens -> score n
+        return " ".join(f"w{i}" for i in range(n))
+
+    def arrive(rows):
+        spark.createDataFrame(rows, doc_schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(landing)
+
+    def drain():
+        runner.source_cap_stream(
+            spark, landing, doc_schema, kept_dir, ck, cap=2
+        )
+        return {
+            (r.source, r.doc_id) for r in spark.read.parquet(kept_dir).collect()
+        }
+
+    arrive([(1, txt(5), "a"), (2, txt(9), "a"), (3, txt(3), "a"), (4, txt(4), "b")])
+    # top-2 of a by tokens: 2 (9), 1 (5); b: 4
+    assert drain() == {("a", 2), ("a", 1), ("b", 4)}
+    # batch 1: a doc longer than a's current best displaces the weakest
+    arrive([(10, txt(20), "a"), (11, txt(1), "b")])
+    assert drain() == {("a", 10), ("a", 2), ("b", 4), ("b", 11)}
+    # restart with nothing new: state unchanged (idempotent fold)
+    assert drain() == {("a", 10), ("a", 2), ("b", 4), ("b", 11)}
