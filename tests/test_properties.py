@@ -113,3 +113,48 @@ def test_incremental_merge_equals_recompute_over_upsert(perm_rows, delta_rows, s
         for r in state(merge.upsert(perm, delta, ["k"])).collect()
     }
     assert maintained == recomputed
+
+
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+            max_size=60,
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+@settings(max_examples=8, deadline=None)
+def test_normalize_text_idempotent_and_variant_stable(texts, spark):
+    """∀ printable-ASCII strings: the q79 normalizer is idempotent
+    (normalize∘normalize ≡ normalize) and canonical under the planted
+    variant transforms — uppercasing, punctuation suffixes, space
+    inflation, and padding never change the normalized form."""
+    from pyspark.sql import functions as F
+
+    from python_lambda_ecs_container_data_etl_aws_spark.operators.curate import (
+        normalize_text,
+    )
+
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "i int, t string")
+    out = df.select(
+        "i",
+        normalize_text(F.col("t")).alias("n1"),
+        normalize_text(normalize_text(F.col("t"))).alias("n2"),
+        normalize_text(F.upper(F.col("t"))).alias("vu"),
+        normalize_text(F.concat(F.col("t"), F.lit("!!!"))).alias("vp"),
+        normalize_text(F.regexp_replace("t", " ", "   ")).alias("vs"),
+        normalize_text(F.concat(F.lit("  "), F.col("t"), F.lit("  "))).alias("vw"),
+    ).collect()
+    for r in out:
+        assert r.n2 == r.n1  # idempotent
+        assert r.vu == r.n1  # case-invariant
+        assert r.vs == r.n1  # space-run-invariant
+        assert r.vw == r.n1  # padding-invariant
+        # '!!!' is stripped entirely; it can only merge with a trailing
+        # stripped run, never add tokens
+        assert r.vp == r.n1
+        # normalized form contains only [a-z0-9 ] with single spaces
+        assert "  " not in r.n1 and r.n1 == r.n1.strip()
+        assert all(c.islower() or c.isdigit() or c == " " for c in r.n1)

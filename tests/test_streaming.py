@@ -675,3 +675,41 @@ def test_source_cap_stream_maintains_global_topk(spark, tmp_path):
     assert drain() == {("a", 10), ("a", 2), ("b", 4), ("b", 11)}
     # restart with nothing new: state unchanged (idempotent fold)
     assert drain() == {("a", 10), ("a", 2), ("b", 4), ("b", 11)}
+
+
+def test_source_cap_stream_recovers_crashed_swap(spark, tmp_path):
+    """Crash window of the kept-table swap (state renamed aside, new
+    state never renamed in): the next batch's fold must restore the
+    aside and keep folding — never silently restart from empty."""
+    from pyspark.sql.types import LongType, StringType
+
+    doc_schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("text", StringType()),
+            StructField("source", StringType()),
+        ]
+    )
+    landing = str(tmp_path / "cr_landing")
+    kept_dir = str(tmp_path / "cr_kept")
+    ck = str(tmp_path / "ck_cr")
+
+    def txt(n):
+        return " ".join(f"w{i}" for i in range(n))
+
+    spark.createDataFrame(
+        [(1, txt(5), "a"), (2, txt(9), "a")], doc_schema
+    ).coalesce(1).write.mode("append").parquet(landing)
+    runner.source_cap_stream(spark, landing, doc_schema, kept_dir, ck, cap=2)
+    assert {r.doc_id for r in spark.read.parquet(kept_dir).collect()} == {1, 2}
+
+    # simulate the crash window: state renamed aside
+    parent, base = os.path.split(kept_dir)
+    os.rename(kept_dir, os.path.join(parent, "." + base + "__old"))
+
+    spark.createDataFrame(
+        [(3, txt(7), "a")], doc_schema
+    ).coalesce(1).write.mode("append").parquet(landing)
+    runner.source_cap_stream(spark, landing, doc_schema, kept_dir, ck, cap=2)
+    # history restored: top-2 over ALL of {5,9,7} tokens = docs 2 and 3
+    assert {r.doc_id for r in spark.read.parquet(kept_dir).collect()} == {2, 3}
