@@ -95,6 +95,7 @@ def doc_shingles(
     InferFiltersFromGenerate for. The token-count gate also makes the
     sequence bounds trivially non-negative, so no ANSI CASE guard is
     needed around the generator.
+
     """
     parts = ", ".join(f"toks[i+{j}]" for j in range(n))
     gen = (

@@ -303,14 +303,22 @@ ORDER BY a_id, b_id
 
 @_q("q22_ngram_jaccard_neardup")
 def q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.spread import spread_scan
+
     d = _t(spark, sf_dir, "documents")
     # Per-row array_distinct (shingle-distinctness is a per-document
     # property) then explode — the corpus-wide .distinct() exchange
     # this replaces did the same dedup with a full shuffle. Short-doc
     # guard: <3 tokens → zero shingles (ANSI-safe; the DuckDB twin's
     # range(1, len-1) is empty for the same docs).
+    # spread_scan: q22's shingle build + exact all-candidate verify is
+    # the heaviest per-row expansion in the catalog; on a narrow scan
+    # (single-file testdata) it would run on one core. A/B at sf0.1:
+    # 3.3 s → 2.1 s. The same spread was measured on the LIGHTER
+    # expansions (q55/q59/q64/q69/q70/q73/q44) and REGRESSED them
+    # ~1.5-2x (extra stage > parallelism gain) — it stays q22-local.
     shingle = (
-        dedup_ops.doc_shingles(d, "text", "doc_id", 3)
+        dedup_ops.doc_shingles(spread_scan(d), "text", "doc_id", 3)
         .select(F.col("id").alias("doc_id"), F.explode("sh").alias("s"))
         .persist()  # feeds sizes + both sides of the self-join
     )
