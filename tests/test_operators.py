@@ -1050,3 +1050,21 @@ def test_curate_corpus_end_to_end(spark, docs):
         docs, min_tokens=5, neardup_threshold=0.5, cap_per_source=15
     )
     assert sorted(ids) == sorted(r.doc_id for r in survivors2.collect())
+
+
+def test_spread_scan_adaptive(spark):
+    """spread_scan parallelizes narrow inputs and passes already-
+    parallel inputs through plan-unchanged (no exchange added)."""
+    from python_lambda_ecs_container_data_etl_aws_spark.functions.spread import (
+        spread_scan,
+    )
+
+    slots = spark.sparkContext.defaultParallelism
+    narrow = spark.range(1000).coalesce(1)
+    assert narrow.rdd.getNumPartitions() == 1
+    spread = spread_scan(narrow)
+    assert spread.rdd.getNumPartitions() == slots
+    assert spread.count() == 1000  # row-preserving
+
+    wide = spark.range(1000).repartition(slots)
+    assert spread_scan(wide) is wide  # identity: no plan change at all
