@@ -519,7 +519,10 @@ def connected_components(
             {"node": list(parent), "cluster_rep": [find(n) for n in parent]},
             dtype="int64",
         )
-        return spark.createDataFrame(pdf)
+        # explicit schema: a pair-free corpus (every doc unique) yields
+        # an EMPTY frame, and schema inference on empty data raises —
+        # "no near-dups" must be a zero-row result, not a crash
+        return spark.createDataFrame(pdf, "node BIGINT, cluster_rep BIGINT")
     edges = e2.select(F.col("a").alias(a_col), F.col("b").alias(b_col))
     # persist + materialize the symmetric edge relation: every round's
     # join consumes it, and without the cache each round would recompute

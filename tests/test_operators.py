@@ -1068,3 +1068,25 @@ def test_spread_scan_adaptive(spark):
 
     wide = spark.range(1000).repartition(slots)
     assert spread_scan(wide) is wide  # identity: no plan change at all
+
+
+def test_connected_components_and_curate_on_pairfree_corpus(spark):
+    """Empty-sweep regression: a corpus with NO near-dup pairs (every
+    doc unique) must flow through cluster resolution and the composed
+    curation pipeline as zero clusters / all survivors — not crash on
+    empty-schema inference in the union-find handback."""
+    from python_lambda_ecs_container_data_etl_aws_spark.operators import curate
+
+    empty_edges = spark.createDataFrame([], "a_id BIGINT, b_id BIGINT")
+    assert dedup.connected_components(empty_edges).count() == 0
+
+    uniq = spark.createDataFrame(
+        [
+            (i, " ".join(f"tok{i}_{j}" for j in range(12)), "en", "s0", 60)
+            for i in range(8)
+        ],
+        "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT",
+    )
+    survivors, report = curate.curate_corpus(uniq, min_tokens=1)
+    assert survivors.count() == 8  # nothing deduped, nothing dropped
+    assert all(n_in == n_out for _, n_in, n_out, _ in report.as_rows())
