@@ -182,6 +182,14 @@ def ivf_fit(
     # it, while the skew this init tolerates makes hot probed cells
     # cover more. Revisit only together with the n_probe policy.
     init = fit.orderBy(id_col).limit(n_cells).select(vec_col).collect()
+    if not init and fit is not emb:
+        # a small corpus can sample away entirely; fall back to the
+        # full corpus rather than crash (sketch-fit is an optimization,
+        # not a semantic requirement)
+        fit = emb
+        init = fit.orderBy(id_col).limit(n_cells).select(vec_col).collect()
+    if not init:
+        raise ValueError("cannot fit IVF cells on an empty corpus")
     centroids = [[float(x) for x in r[0]] for r in init]
     for _ in range(iters):
         assigned = ivf_assign(fit, centroids, id_col, vec_col)

@@ -1090,3 +1090,18 @@ def test_connected_components_and_curate_on_pairfree_corpus(spark):
     survivors, report = curate.curate_corpus(uniq, min_tokens=1)
     assert survivors.count() == 8  # nothing deduped, nothing dropped
     assert all(n_in == n_out for _, n_in, n_out, _ in report.as_rows())
+
+
+def test_ivf_fit_tiny_corpus_and_empty(spark):
+    """A corpus small enough that the fit sample comes back empty must
+    fall back to the full corpus; a genuinely empty corpus raises a
+    clean ValueError, not an IndexError."""
+    tiny = spark.createDataFrame(
+        [(i, [float(i)] * 64, 0) for i in range(3)],
+        "vec_id BIGINT, embedding ARRAY<FLOAT>, label INT",
+    )
+    cents = similarity.ivf_fit(tiny, n_cells=2, iters=1, fit_fraction=0.0001)
+    assert len(cents) == 2
+    empty = spark.createDataFrame([], "vec_id BIGINT, embedding ARRAY<FLOAT>, label INT")
+    with pytest.raises(ValueError, match="empty corpus"):
+        similarity.ivf_fit(empty, n_cells=2, iters=1)
