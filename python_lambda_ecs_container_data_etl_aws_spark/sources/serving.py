@@ -24,6 +24,14 @@ def write_serving_table(
     cluster_col: str,
     max_records_per_file: int | None = None,
 ) -> None:
+    if df.isEmpty():
+        # an empty serving refresh must stay READABLE: the partitioned
+        # write of zero rows produces no part files (only _SUCCESS) and
+        # every later read dies on schema inference. Write one zero-row
+        # schema-carrying file instead — the partition column survives
+        # as a regular column, so point_query's filters still resolve.
+        df.coalesce(1).write.mode("overwrite").parquet(path)
+        return
     writer = (
         df.repartition(F.col(partition_col))
         .sortWithinPartitions(cluster_col)

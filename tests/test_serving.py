@@ -32,3 +32,21 @@ def test_serving_table_point_query_and_pruning(spark, tmp_path):
     plan = got._jdf.queryExecution().executedPlan().toString()
     pf_lines = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
     assert pf_lines and any("1995-06" in ln for ln in pf_lines), plan[:2000]
+
+
+def test_empty_serving_refresh_stays_readable(spark, tmp_path):
+    """Empty-sweep regression: refreshing the serving table with zero
+    rows must leave a readable (schema-carrying) table, not a part-
+    file-less dir that fails schema inference on every later read."""
+    from python_lambda_ecs_container_data_etl_aws_spark.sources import serving
+
+    path = str(tmp_path / "serv")
+    empty = spark.createDataFrame(
+        [], "AutoID BIGINT, Date STRING, GEO STRING, VALUE DOUBLE"
+    )
+    serving.write_serving_table(empty, path, "Date", "GEO")
+    back = spark.read.parquet(path)
+    assert back.count() == 0
+    assert set(back.columns) == {"AutoID", "Date", "GEO", "VALUE"}
+    out = serving.point_query(spark, path, "2023-01-01", "Canada", "Date", "GEO")
+    assert out.count() == 0
