@@ -17,7 +17,16 @@ from pyspark.sql import DataFrame, SparkSession
 def write_partitioned_idempotent(
     df: DataFrame, path: str, partition_cols: list[str]
 ) -> None:
-    """Dynamic partition overwrite: deterministic re-runs, no dupes."""
+    """Dynamic partition overwrite: deterministic re-runs, no dupes.
+
+    An EMPTY frame is a no-op by dynamic-overwrite semantics (no
+    partitions present → nothing replaced) — but a first-ever empty
+    write would create a part-file-less dir that poisons every later
+    read with a schema-inference error, so it is skipped outright (a
+    never-written path stays missing, which reads as a clean
+    path-not-found instead)."""
+    if df.isEmpty():
+        return
     spark = df.sparkSession
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")

@@ -1110,3 +1110,19 @@ def test_hot_key_skew_join_aqe_split_and_salt_agree(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_idempotent_write_empty_frame_is_noop(spark, tmp_path):
+    """Empty-sweep regression: an empty frame must not create a
+    part-file-less dir (unreadable table) on first write, and must
+    leave an existing table untouched."""
+    path = str(tmp_path / "tbl")
+    empty = spark.createDataFrame([], "k BIGINT, y INT")
+    write_partitioned_idempotent(empty, path, ["y"])
+    assert not os.path.isdir(path)  # never-written path stays missing
+
+    data = spark.createDataFrame([(1, 1995), (2, 1996)], "k BIGINT, y INT")
+    write_partitioned_idempotent(data, path, ["y"])
+    assert spark.read.parquet(path).count() == 2
+    write_partitioned_idempotent(empty, path, ["y"])  # no-op on existing
+    assert spark.read.parquet(path).count() == 2
