@@ -26,6 +26,8 @@ def spread_scan(df: DataFrame) -> DataFrame:
     parallel enough (≥ half the slots)."""
     sc = df.sparkSession.sparkContext
     slots = sc.defaultParallelism
-    if df.rdd.getNumPartitions() < max(2, slots // 2):
+    # a 1-slot session has nothing to spread over — repartition(1)
+    # would add a shuffle that can buy no parallelism
+    if slots > 1 and df.rdd.getNumPartitions() < max(2, slots // 2):
         return df.repartition(slots)
     return df

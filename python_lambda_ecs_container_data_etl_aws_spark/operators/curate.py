@@ -39,12 +39,23 @@ class CurationReport:
         ]
 
 
+# Shared between the q79 batch query (plans/mining.py), its oracle
+# twin, the curation pipeline, and the streaming dedup — ONE source of
+# truth. The class keeps Unicode letters/digits (\p{L}\p{N}), not just
+# a-z: an ASCII-only class would normalize every Chinese/Cyrillic/
+# accented document to the empty string and silently collapse all
+# non-English content onto one survivor (review finding, round 3).
+# Both Java regex (Spark) and RE2 (DuckDB) support these classes.
+NORM_STRIP_CLASS = r"[^\p{L}\p{N} ]"
+
+
 def normalize_text(col) -> F.Column:
-    """The q79 normalization: lower, strip non-alnum, collapse space
-    runs, trim — case/punctuation/whitespace variants collapse."""
+    """The q79 normalization: lower, strip everything that is not a
+    letter/digit/space (Unicode-aware), collapse space runs, trim —
+    case/punctuation/whitespace variants collapse."""
     return F.trim(
         F.regexp_replace(
-            F.regexp_replace(F.lower(col), "[^a-z0-9 ]", ""), " +", " "
+            F.regexp_replace(F.lower(col), NORM_STRIP_CLASS, ""), " +", " "
         )
     )
 
@@ -59,6 +70,7 @@ def curate_corpus(
     max_tokens: int = 10_000,
     neardup_threshold: float = 0.5,
     cap_per_source: int | None = None,
+    max_bucket_size: int | None = None,
 ) -> tuple[DataFrame, CurationReport]:
     """Run the full cleaning funnel; returns (survivors, report).
 
@@ -66,19 +78,32 @@ def curate_corpus(
     stage, so ``n_out`` of stage k equals ``n_in`` of stage k+1 —
     asserting that chain is the composition test's core invariant.
 
+    ``max_bucket_size`` passes through to the MinHash-LSH candidate
+    stage: set it on boilerplate-heavy corpora so a degenerate band
+    bucket's self-join stays bounded (without it that one stage is
+    quadratic in the bucket — the cap is how the inherited "nothing
+    all-pairs" posture actually holds there).
+
     Each stage materializes its count (the funnel IS the product here);
-    a count-free variant would simply drop the report.
+    a count-free variant would simply drop the report. Stage caches
+    release as soon as the next stage materializes — only the FINAL
+    survivor frame stays persisted for the caller.
     """
     stages: list[tuple[str, int, int]] = []
     cur = docs
+    prev_persisted: DataFrame | None = None
+    n_prev: int | None = None
 
     def _record(name: str, nxt: DataFrame) -> DataFrame:
-        nonlocal cur
-        n_in = cur.count()
+        nonlocal cur, prev_persisted, n_prev
+        # n_in is the previous stage's materialized n_out — never recount
+        n_in = cur.count() if n_prev is None else n_prev
         nxt = nxt.persist()
         n_out = nxt.count()
         stages.append((name, n_in, n_out))
-        cur = nxt
+        if prev_persisted is not None:
+            prev_persisted.unpersist()
+        prev_persisted, n_prev, cur = nxt, n_out, nxt
         return cur
 
     # 1. quality gate — row-local, runs in the scan stage
@@ -89,15 +114,18 @@ def curate_corpus(
     )
 
     # 2. normalized exact dedup (q79 rule): lowest id per normalized
-    # text — one hash shuffle
-    w = Window.partitionBy(F.md5(normalize_text(F.col(text_col)).cast("binary"))).orderBy(
-        F.col(id_col)
-    )
+    # text — one hash shuffle. Docs whose normalized form is EMPTY
+    # (nothing but strippable characters) carry no content signal and
+    # are all kept: grouping them would collapse arbitrarily many
+    # distinct docs onto one survivor on zero evidence.
+    norm = normalize_text(F.col(text_col))
+    w = Window.partitionBy(F.md5(norm.cast("binary"))).orderBy(F.col(id_col))
     _record(
         "normalized_exact_dedup",
         cur.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn"),
+        .withColumn("__empty", norm == F.lit(""))
+        .filter((F.col("__rn") == 1) | F.col("__empty"))
+        .drop("__rn", "__empty"),
     )
 
     # 3. near-dup resolution (q25 pairs → q47 clusters → q78 keep-best):
@@ -106,6 +134,7 @@ def curate_corpus(
     pairs = dedup_ops.minhash_lsh_dedup(
         cur.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")),
         threshold=neardup_threshold,
+        max_bucket_size=max_bucket_size,
     )
     cc = dedup_ops.connected_components(pairs)
     quality = cur.select(

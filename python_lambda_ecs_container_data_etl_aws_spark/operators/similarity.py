@@ -182,10 +182,11 @@ def ivf_fit(
     # it, while the skew this init tolerates makes hot probed cells
     # cover more. Revisit only together with the n_probe policy.
     init = fit.orderBy(id_col).limit(n_cells).select(vec_col).collect()
-    if not init and fit is not emb:
-        # a small corpus can sample away entirely; fall back to the
-        # full corpus rather than crash (sketch-fit is an optimization,
-        # not a semantic requirement)
+    if len(init) < n_cells and fit is not emb:
+        # a small corpus can sample away partially or entirely; fall
+        # back to the full corpus rather than crash or silently return
+        # fewer cells than asked (sketch-fit is an optimization, not a
+        # semantic requirement)
         fit = emb
         init = fit.orderBy(id_col).limit(n_cells).select(vec_col).collect()
     if not init:

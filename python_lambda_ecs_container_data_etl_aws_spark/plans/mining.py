@@ -606,7 +606,7 @@ def q78(spark: SparkSession, sf_dir: str) -> DataFrame:
 # its original. One md5-of-normalized-text hash shuffle — the exact
 # dedup cost shape, insensitive to surface noise.
 
-ORACLE["q79_normalized_dedup"] = """
+ORACLE["q79_normalized_dedup"] = r"""
 WITH variants AS (
     SELECT doc_id, CASE doc_id % 5
         WHEN 0 THEN upper(text)
@@ -618,7 +618,7 @@ WITH variants AS (
 ),
 norm AS (
     SELECT doc_id,
-           trim(regexp_replace(regexp_replace(lower(raw), '[^a-z0-9 ]', '', 'g'),
+           trim(regexp_replace(regexp_replace(lower(raw), '[^\p{L}\p{N} ]', '', 'g'),
                                ' +', ' ', 'g')) AS norm_text
     FROM variants
 ),
@@ -649,11 +649,12 @@ def q79(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .otherwise(F.col("text"))
     )
-    norm = F.trim(
-        F.regexp_replace(
-            F.regexp_replace(F.lower(raw), "[^a-z0-9 ]", ""), " +", " "
-        )
-    )
+    from ..operators.curate import normalize_text
+
+    # ONE normalizer: the same expression the curation pipeline and the
+    # streaming dedup apply (operators/curate.normalize_text) — the
+    # oracle above spells out the identical regex chain
+    norm = normalize_text(raw)
     grp = (
         d.select("doc_id", norm.alias("norm_text"))
         .groupBy(F.md5(F.col("norm_text").cast("binary")).alias("norm_md5"))

@@ -586,9 +586,14 @@ def exact_dedup_ingest_stream(
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        # empty-normalized docs (nothing but strippable characters)
+        # carry no dedup signal: keep them all and never index '' —
+        # an indexed '' would otherwise drop every such doc forever
+        # (same rule as curate_corpus stage 2)
+        nrm = normalize_text(F.col(text_col))
         batch = batch_df.withColumn(
-            "__nmd5", F.md5(normalize_text(F.col(text_col)).cast("binary"))
-        )
+            "__nmd5", F.md5(nrm.cast("binary"))
+        ).withColumn("__empty", nrm == F.lit(""))
         w = Window.partitionBy("__nmd5").orderBy(id_col)
         batch = batch.withColumn("__rn", F.row_number().over(w))
         others = (
@@ -608,14 +613,25 @@ def exact_dedup_ingest_stream(
         else:
             batch = batch.withColumn("__seen", F.lit(None).cast("int"))
         survivors = batch.filter(
-            (F.col("__rn") == 1) & F.col("__seen").isNull()
+            F.col("__empty")
+            | ((F.col("__rn") == 1) & F.col("__seen").isNull())
         ).persist()
-        survivors.drop("__nmd5", "__rn", "__seen").write.mode(
+        survivors.drop("__nmd5", "__rn", "__seen", "__empty").write.mode(
             "overwrite"
         ).parquet(os.path.join(corpus_dir, f"batch={batch_id}"))
-        survivors.select("__nmd5").distinct().write.mode("overwrite").parquet(
-            os.path.join(index_dir, f"batch={batch_id}")
-        )
+        # the '' hash never enters the index (see comment above); a
+        # batch of ONLY empty-norm docs writes no index dir at all —
+        # a zero-row dir would fail parquet schema inference on every
+        # later probe (and a crashed attempt's stale dir is removed so
+        # replay converges)
+        import shutil
+
+        idx_rows = survivors.filter(~F.col("__empty")).select("__nmd5").distinct()
+        idx_path = os.path.join(index_dir, f"batch={batch_id}")
+        if idx_rows.isEmpty():
+            shutil.rmtree(idx_path, ignore_errors=True)
+        else:
+            idx_rows.write.mode("overwrite").parquet(idx_path)
         survivors.unpersist()
 
     q = (
@@ -657,12 +673,18 @@ def source_cap_stream(
 
     from ..sources.report import _recover_dir, _swap_dir
 
+    # heal a crashed swap at STREAM START, not only inside the sink: a
+    # restart with no new input fires zero batches, and readers of the
+    # kept table would otherwise see a missing path until data happens
+    # to arrive (the swap contract is old-or-new, never destroyed)
+    _recover_dir(kept_dir)
     src = file_stream(spark, landing_dir, schema, fmt)
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
+        # recovery precedes the empty-batch return for the same reason
+        _recover_dir(kept_dir)
         if batch_df.isEmpty():
             return
-        _recover_dir(kept_dir)
         merged = batch_df
         if os.path.isdir(kept_dir):
             state = spark.read.parquet(kept_dir)

@@ -1105,3 +1105,28 @@ def test_ivf_fit_tiny_corpus_and_empty(spark):
     empty = spark.createDataFrame([], "vec_id BIGINT, embedding ARRAY<FLOAT>, label INT")
     with pytest.raises(ValueError, match="empty corpus"):
         similarity.ivf_fit(empty, n_cells=2, iters=1)
+
+
+def test_normalized_dedup_preserves_non_ascii_docs(spark):
+    """Review regression (round 3): the normalizer keeps Unicode
+    letters/digits — distinct non-English docs must NOT collapse onto
+    one survivor, and punctuation-only docs (empty normalized form)
+    are all kept: no content signal, no dedup."""
+    from python_lambda_ecs_container_data_etl_aws_spark.operators import curate
+
+    docs = spark.createDataFrame(
+        [
+            (1, "天地玄黄 宇宙洪荒", "zh", "s0", 9),
+            (2, "日月盈昃 辰宿列张", "zh", "s0", 9),
+            (3, "Привет мир", "ru", "s0", 10),
+            (4, "привет мир!!!", "ru", "s0", 13),   # variant of 3
+            (5, "!!! ???", "xx", "s0", 7),          # empty after normalize
+            (6, "... ...", "xx", "s0", 7),          # also empty — distinct doc
+        ],
+        "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT",
+    )
+    survivors, _ = curate.curate_corpus(docs, min_tokens=1, neardup_threshold=0.99)
+    ids = {r.doc_id for r in survivors.collect()}
+    # distinct Chinese docs both survive; Cyrillic variant collapses
+    # onto its original; both no-signal docs survive
+    assert ids == {1, 2, 3, 5, 6}

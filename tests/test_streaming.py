@@ -713,3 +713,61 @@ def test_source_cap_stream_recovers_crashed_swap(spark, tmp_path):
     runner.source_cap_stream(spark, landing, doc_schema, kept_dir, ck, cap=2)
     # history restored: top-2 over ALL of {5,9,7} tokens = docs 2 and 3
     assert {r.doc_id for r in spark.read.parquet(kept_dir).collect()} == {2, 3}
+
+
+def test_exact_dedup_stream_non_ascii_and_empty_norm(spark, tmp_path):
+    """Streaming twin of the Unicode-normalizer regression: non-ASCII
+    docs dedup on their OWN content (not all-to-empty), and no-signal
+    docs are kept without poisoning the index."""
+    from pyspark.sql.types import LongType, StringType
+
+    doc_schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+    landing = str(tmp_path / "u_landing")
+    corpus = str(tmp_path / "u_corpus")
+    ck = str(tmp_path / "ck_u")
+
+    def arrive(rows):
+        spark.createDataFrame(rows, doc_schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(landing)
+
+    def drain():
+        runner.exact_dedup_ingest_stream(spark, landing, doc_schema, corpus, ck)
+        return {r.doc_id for r in spark.read.parquet(corpus).collect()}
+
+    arrive([(1, "天地玄黄"), (2, "日月盈昃"), (3, "!!!")])
+    assert drain() == {1, 2, 3}
+    # later batch: a variant of doc 1 drops, a new no-signal doc stays
+    arrive([(11, "天地玄黄!!!"), (12, "???")])
+    assert drain() == {1, 2, 3, 12}
+
+
+def test_source_cap_stream_recovers_on_restart_without_new_data(spark, tmp_path):
+    """Review regression: a crash in the swap window followed by a
+    restart with NO new input must still restore the kept table (the
+    recovery runs at stream start, not only inside a data batch)."""
+    from pyspark.sql.types import LongType, StringType
+
+    doc_schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("text", StringType()),
+            StructField("source", StringType()),
+        ]
+    )
+    landing = str(tmp_path / "r0_landing")
+    kept_dir = str(tmp_path / "r0_kept")
+    ck = str(tmp_path / "ck_r0")
+    spark.createDataFrame(
+        [(1, "a b c", "s"), (2, "a b c d e", "s")], doc_schema
+    ).coalesce(1).write.mode("append").parquet(landing)
+    runner.source_cap_stream(spark, landing, doc_schema, kept_dir, ck, cap=2)
+    assert spark.read.parquet(kept_dir).count() == 2
+
+    parent, base = os.path.split(kept_dir)
+    os.rename(kept_dir, os.path.join(parent, "." + base + "__old"))
+    # restart, nothing new: zero batches fire, recovery must run anyway
+    runner.source_cap_stream(spark, landing, doc_schema, kept_dir, ck, cap=2)
+    assert spark.read.parquet(kept_dir).count() == 2
