@@ -36,25 +36,37 @@ _CONTRACT = [
     "q16_rank_and_lag",
 ]
 _NEVER_DRIVER_VERIFIED = [
-    "q45_split_assign", "q46_pack_contexts", "q47_neardup_clusters",
-    "q48_label_centroids", "q49_quality_funnel", "q50_mixture_sample",
-    "q55_repetition_signals", "q56_pii_scrub", "q57_token_freq_score",
-    "q58_sliding_windows", "q59_tfidf_topterms", "q60_seeded_shuffle",
-    "q61_epoch_mixture", "q62_quality_classifier", "q63_group_sample",
-    "q64_segment_dedup", "q65_rademacher_projection", "q66_projected_knn",
-    "q69_cooccurrence_lift", "q70_incremental_segment_dedup",
-    "q71_containment_pairs",
-    # new in round 3
+    # round-3 reds: rows+schema matched, hash tripped on a DuckDB HUGEINT
+    # canonicalization drift in the ORACLE SQL (round-3 verdict item 1);
+    # the oracles now CAST to BIGINT — keep both in the window until a
+    # fully-green CORRECTNESS row exists.
+    "q46_pack_contexts", "q56_pii_scrub",
+    # new in round 4
+    "q80_line_quality_filter", "q81_paragraph_dedup", "q82_domain_cap",
+    "q83_vocab_encode", "q84_dsir_importance",
+    "q85_kmeans_assign", "q86_crosscorpus_neardup", "q87_length_curriculum",
+    "q88_pack_index", "q89_minhash_containment_est",
+    "q90_url_filter", "q91_pii_density_hist",
+]
+_SINGLE_GREEN = [
+    # green in exactly one driver round so far; oldest single-green first
+    # (round-2-only names), then the 27 queries whose first green row was
+    # round 3 — whatever fits in the remaining window slots earns a second
+    # row this round.
+    "q67_event_funnel", "q68_cohort_retention", "q37_audit_rollup",
+    "q38_event_envelope", "q39_tz_wallclock", "q40_token_topk",
+    "q41_doclen_histogram", "q42_asof_view_before_purchase",
+    "q43_range_join_windows",
+    "q45_split_assign", "q47_neardup_clusters", "q48_label_centroids",
+    "q49_quality_funnel", "q50_mixture_sample", "q55_repetition_signals",
+    "q57_token_freq_score", "q58_sliding_windows", "q59_tfidf_topterms",
+    "q60_seeded_shuffle", "q61_epoch_mixture", "q62_quality_classifier",
+    "q63_group_sample", "q64_segment_dedup", "q65_rademacher_projection",
+    "q66_projected_knn", "q69_cooccurrence_lift",
+    "q70_incremental_segment_dedup", "q71_containment_pairs",
     "q72_source_cap", "q73_bigram_lm_score", "q74_semantic_dedup_survivors",
     "q75_quality_percentile_hist", "q76_stratified_sample",
     "q77_shingle_novelty", "q78_cluster_best_doc", "q79_normalized_dedup",
-]
-_SINGLE_GREEN = [
-    "q44_decontaminate", "q54_incremental_neardup", "q53_salted_join",
-    "q51_incremental_report", "q52_table_profile", "q67_event_funnel",
-    "q68_cohort_retention", "q37_audit_rollup", "q38_event_envelope",
-    "q39_tz_wallclock", "q40_token_topk", "q41_doclen_histogram",
-    "q42_asof_view_before_purchase", "q43_range_join_windows",
 ]
 
 

@@ -118,9 +118,12 @@ s3 AS (
     FROM s2
 )
 SELECT source, COUNT(*) AS n_docs,
-       SUM(n_emails) AS emails, SUM(n_phones) AS phones, SUM(n_ips) AS ips,
-       SUM(CASE WHEN n_emails + n_phones + n_ips > 0 THEN 1 ELSE 0 END) AS docs_redacted,
-       SUM(LENGTH(clean_text)) AS clean_chars
+       CAST(SUM(n_emails) AS BIGINT) AS emails,
+       CAST(SUM(n_phones) AS BIGINT) AS phones,
+       CAST(SUM(n_ips) AS BIGINT) AS ips,
+       CAST(SUM(CASE WHEN n_emails + n_phones + n_ips > 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS docs_redacted,
+       CAST(SUM(LENGTH(clean_text)) AS BIGINT) AS clean_chars
 FROM s3 GROUP BY source ORDER BY source
 """
 

@@ -421,7 +421,7 @@ c AS (
            SUM(ntok) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
     FROM t
 )
-SELECT (cum - ntok) // {_CTX_TOKENS} AS bin,
+SELECT CAST((cum - ntok) // {_CTX_TOKENS} AS BIGINT) AS bin,
        COUNT(*) AS n_docs,
        CAST(SUM(ntok) AS BIGINT) AS bin_tokens
 FROM c GROUP BY 1 ORDER BY 1

@@ -24,3 +24,26 @@ def test_query_matches_oracle(spark, duck, name):
 
 def test_every_oracle_has_query():
     assert set(ORACLE) <= set(QUERIES)
+
+
+# Round-3 verdict item 2: the driver's canonicalizer renders DuckDB
+# HUGEINT output float-style, so an oracle whose SELECT list types as
+# HUGEINT hash-mismatches even when values agree (q46/q56 in round 3).
+# tests/parity.py canonicalizes fetched *Python* values, which hides the
+# drift locally — lint the bound output types instead so the whole bug
+# class is caught at test time.
+_BANNED_ORACLE_TYPES = {"HUGEINT", "UHUGEINT"}
+
+
+@pytest.mark.parametrize("name", sorted(ORACLE))
+def test_oracle_output_types(duck, name):
+    rel = duck.sql(ORACLE[name])
+    bad = [
+        (col, str(typ))
+        for col, typ in zip(rel.columns, rel.types)
+        if str(typ).upper() in _BANNED_ORACLE_TYPES
+    ]
+    assert not bad, (
+        f"{name}: oracle emits driver-unsafe column types {bad}; "
+        "wrap the expression in CAST(... AS BIGINT)"
+    )
