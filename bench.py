@@ -161,7 +161,16 @@ def main() -> None:
         "n_errors": len(errors),
     }
     line = json.dumps(summary)
-    assert len(line) < 200, f"summary line must stay tail-capturable: {len(line)}"
+    if len(line) >= 200:
+        # Never die before the driver's machine-parsed line is printed
+        # (a missing final line IS the "parsed: null" failure this
+        # contract exists to prevent) — drop optional keys until the
+        # line fits, minimal core last.
+        for drop in ("unit", "n_queries", "n_errors", "sf"):
+            summary.pop(drop, None)
+            line = json.dumps(summary)
+            if len(line) < 200:
+                break
     print(line)
     spark.stop()
 

@@ -60,6 +60,18 @@ def normalize_text(col) -> F.Column:
     )
 
 
+def norm_group_key(norm_col, id_col) -> F.Column:
+    """Group key for normalized-text exact dedup with the keep-all-empty
+    rule: md5 of the normalized text, except docs whose normalized form
+    is EMPTY (no content signal) get a per-doc key (``'E' || id`` —
+    cannot collide with a 32-hex-char md5) so each is its own kept
+    group. Shared by q79, curate_corpus stage 2, and the exact-dedup
+    ingest stream."""
+    return F.when(
+        norm_col == "", F.concat(F.lit("E"), id_col.cast("string"))
+    ).otherwise(F.md5(norm_col.cast("binary")))
+
+
 def curate_corpus(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -83,6 +95,12 @@ def curate_corpus(
     bucket's self-join stays bounded (without it that one stage is
     quadratic in the bucket — the cap is how the inherited "nothing
     all-pairs" posture actually holds there).
+
+    ``quality_cols`` (optional list of column names on ``docs``) is the
+    quality proxy used by the keep-best (stage 3) and per-source-cap
+    (stage 4) rankings: higher is better, listed priority first, with
+    token count and then id as final tiebreakers. When omitted the
+    token-count proxy alone ranks survivors (the q78/q72 contract rule).
 
     Each stage materializes its count (the funnel IS the product here);
     a count-free variant would simply drop the report. Stage caches
@@ -116,16 +134,16 @@ def curate_corpus(
     # 2. normalized exact dedup (q79 rule): lowest id per normalized
     # text — one hash shuffle. Docs whose normalized form is EMPTY
     # (nothing but strippable characters) carry no content signal and
-    # are all kept: grouping them would collapse arbitrarily many
-    # distinct docs onto one survivor on zero evidence.
+    # are all kept: the shared group key gives each its own group.
     norm = normalize_text(F.col(text_col))
-    w = Window.partitionBy(F.md5(norm.cast("binary"))).orderBy(F.col(id_col))
+    w = Window.partitionBy(norm_group_key(norm, F.col(id_col))).orderBy(
+        F.col(id_col)
+    )
     _record(
         "normalized_exact_dedup",
         cur.withColumn("__rn", F.row_number().over(w))
-        .withColumn("__empty", norm == F.lit(""))
-        .filter((F.col("__rn") == 1) | F.col("__empty"))
-        .drop("__rn", "__empty"),
+        .filter(F.col("__rn") == 1)
+        .drop("__rn"),
     )
 
     # 3. near-dup resolution (q25 pairs → q47 clusters → q78 keep-best):
@@ -137,11 +155,15 @@ def curate_corpus(
         max_bucket_size=max_bucket_size,
     )
     cc = dedup_ops.connected_components(pairs)
+    qcols = list(quality_cols or [])
     quality = cur.select(
-        F.col(id_col).alias("node"), toks.alias("__q")
+        F.col(id_col).alias("node"),
+        *[F.col(c).alias(f"__q{i}") for i, c in enumerate(qcols)],
+        toks.alias("__q"),
     )
+    q_order = [F.col(f"__q{i}").desc() for i in range(len(qcols))]
     wbest = Window.partitionBy("cluster_rep").orderBy(
-        F.col("__q").desc(), F.col("node").desc()
+        *q_order, F.col("__q").desc(), F.col("node").desc()
     )
     losers = (
         cc.join(quality, "node")
@@ -151,10 +173,11 @@ def curate_corpus(
     )
     _record("neardup_keep_best", cur.join(losers, id_col, "left_anti"))
 
-    # 4. per-source cap (q72 rule): best K per source by (tokens, id)
+    # 4. per-source cap (q72 rule): best K per source by
+    # (quality_cols..., tokens, id)
     if cap_per_source is not None:
         wcap = Window.partitionBy(source_col).orderBy(
-            toks.desc(), F.col(id_col)
+            *[F.col(c).desc() for c in qcols], toks.desc(), F.col(id_col)
         )
         _record(
             "source_cap",

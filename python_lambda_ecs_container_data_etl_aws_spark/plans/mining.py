@@ -623,7 +623,13 @@ norm AS (
     FROM variants
 ),
 grp AS (
-    SELECT md5(norm_text) AS norm_md5,
+    -- keep-all-empty rule (shared with curate_corpus stage 2 and the
+    -- exact-dedup stream): a doc whose normalized form is EMPTY carries
+    -- no content signal, so each one is its own group (kept), never
+    -- collapsed onto the md5('') group. 'E'||id cannot collide with a
+    -- 32-hex-char md5.
+    SELECT CASE WHEN norm_text = '' THEN 'E' || CAST(doc_id AS VARCHAR)
+                ELSE md5(norm_text) END AS norm_md5,
            COUNT(*) AS n_copies,
            MIN(doc_id) AS keeper
     FROM norm GROUP BY 1
@@ -649,15 +655,19 @@ def q79(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .otherwise(F.col("text"))
     )
-    from ..operators.curate import normalize_text
+    from ..operators.curate import norm_group_key, normalize_text
 
-    # ONE normalizer: the same expression the curation pipeline and the
-    # streaming dedup apply (operators/curate.normalize_text) — the
-    # oracle above spells out the identical regex chain
+    # ONE normalizer and ONE group key: the same expressions the
+    # curation pipeline and the streaming dedup apply
+    # (operators/curate.normalize_text / norm_group_key) — the oracle
+    # above spells out the identical regex chain and the keep-all-empty
+    # per-doc key rule.
     norm = normalize_text(raw)
     grp = (
         d.select("doc_id", norm.alias("norm_text"))
-        .groupBy(F.md5(F.col("norm_text").cast("binary")).alias("norm_md5"))
+        .groupBy(
+            norm_group_key(F.col("norm_text"), F.col("doc_id")).alias("norm_md5")
+        )
         .agg(
             F.count(F.lit(1)).alias("n_copies"),
             F.min("doc_id").alias("keeper"),

@@ -104,12 +104,29 @@ def load_ingest_log(spark: SparkSession, log_dir: str) -> DataFrame:
 
     Readers do NOT heal crashed compaction swaps (that would race the
     maintainer's in-flight swap — see _heal_log): a day stranded by a
-    compaction crash is invisible here until the next log_ingest /
-    compact_log / expire_log heals it."""
+    compaction crash reads as ZERO rows for that day until the next
+    log_ingest / compact_log / expire_log heals it — so stranded
+    dot-prefixed day asides trigger a warning here, making the partial
+    read observable without mutating the log dir."""
     import os
+    import warnings
 
     from pyspark.errors import AnalysisException
 
+    if os.path.isdir(log_dir):
+        stranded = sorted(
+            e
+            for e in os.listdir(log_dir)
+            if e.startswith(".log_date=") and e.endswith("__old")
+        )
+        if stranded:
+            warnings.warn(
+                f"ingest log has {len(stranded)} day partition(s) stranded "
+                f"by a crashed compaction ({stranded[0]}...); those days "
+                "read as zero rows until the next maintenance pass heals "
+                "them",
+                stacklevel=2,
+            )
     try:
         return spark.read.parquet(log_dir)
     except AnalysisException:

@@ -35,6 +35,7 @@ from __future__ import annotations
 
 import os
 import shutil
+import warnings
 from collections.abc import Callable
 from dataclasses import dataclass, field
 
@@ -529,7 +530,26 @@ def ingest_file(
     return _finish(report)
 
 
-def read_permanent(spark: SparkSession, warehouse_dir: str, table: str) -> DataFrame:
+def stranded_asides(table_dir: str) -> list[str]:
+    """Mutation-free detection of crash-window swap leftovers: the
+    whole-table aside (sibling ``.<table>__old``) and any per-bucket
+    asides (dot-prefixed ``*__old`` entries inside the table dir).
+    A non-empty result means the live table is silently PARTIAL until
+    the next maintenance entry point heals it."""
+    out = []
+    parent_aside = _aside_dir(table_dir)
+    if os.path.isdir(parent_aside):
+        out.append(parent_aside)
+    if os.path.isdir(table_dir):
+        for entry in sorted(os.listdir(table_dir)):
+            if entry.startswith(".") and entry.endswith("__old"):
+                out.append(os.path.join(table_dir, entry))
+    return out
+
+
+def read_permanent(
+    spark: SparkSession, warehouse_dir: str, table: str, strict: bool = False
+) -> DataFrame:
     """The permanent table without the internal layout column.
 
     Readers never mutate the table dir: healing an interrupted swap
@@ -540,8 +560,23 @@ def read_permanent(spark: SparkSession, warehouse_dir: str, table: str) -> DataF
     crash window of a *whole-table* swap fails loudly on the missing
     path (and heals on the next ingest/compaction); a crashed
     *per-bucket* swap reads the surviving buckets (asides are
-    dot-prefixed, invisible to partition discovery) until healed."""
+    dot-prefixed, invisible to partition discovery) until healed.
+
+    That crash window is OBSERVABLE here without mutating anything:
+    stranded aside dirs trigger a warning (default) so a caller knows
+    the result may be missing a bucket, or a ``RuntimeError`` under
+    ``strict=True`` for jobs that must not consume partial tables."""
     table_dir = os.path.join(warehouse_dir, table)
+    asides = stranded_asides(table_dir)
+    if asides:
+        msg = (
+            f"table '{table}' has {len(asides)} stranded swap aside(s) "
+            f"from a crashed maintenance pass ({asides[0]}...); reads may "
+            "be partial until the next ingest/compaction heals them"
+        )
+        if strict:
+            raise RuntimeError(msg)
+        warnings.warn(msg, stacklevel=2)
     df = spark.read.parquet(table_dir)
     return df.drop(BUCKET_COL) if BUCKET_COL in df.columns else df
 

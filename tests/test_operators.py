@@ -1130,3 +1130,61 @@ def test_normalized_dedup_preserves_non_ascii_docs(spark):
     # distinct Chinese docs both survive; Cyrillic variant collapses
     # onto its original; both no-signal docs survive
     assert ids == {1, 2, 3, 5, 6}
+
+
+def test_norm_group_key_keep_all_empty(spark):
+    """The shared dedup group key (q79 / curate_corpus stage 2): equal
+    normalized texts share one md5 group; empty-normalized docs each get
+    a unique per-doc group, so none is ever dropped as a duplicate."""
+    from python_lambda_ecs_container_data_etl_aws_spark.operators import curate
+
+    d = spark.createDataFrame(
+        [(1, "Hello, World!"), (2, "hello world"), (3, "!!!"), (4, "???")],
+        "doc_id BIGINT, text STRING",
+    )
+    norm = curate.normalize_text(F.col("text"))
+    keys = {
+        r.doc_id: r.k
+        for r in d.select(
+            "doc_id", curate.norm_group_key(norm, F.col("doc_id")).alias("k")
+        ).collect()
+    }
+    assert keys[1] == keys[2]          # variants collapse
+    assert keys[3] == "E3" and keys[4] == "E4"  # empties: one group each
+    assert len({keys[1], keys[3], keys[4]}) == 3
+
+
+def test_curate_corpus_quality_cols_rank_survivors(spark):
+    """quality_cols must actually drive keep-best and the source cap:
+    with a custom score the surviving copy of a near-dup cluster is the
+    high-score doc, not the token-count winner."""
+    from python_lambda_ecs_container_data_etl_aws_spark.operators import curate
+
+    base = " ".join(f"tok{j}" for j in range(30))
+    docs = spark.createDataFrame(
+        [
+            # near-dup cluster: doc 1 is longer (token-count winner) but
+            # doc 2 carries the higher custom score
+            (1, base + " extra1 extra2 extra3", "s0", 10),
+            (2, base, "s0", 99),
+            # unique fillers with mid scores
+            (3, " ".join(f"u3w{j}" for j in range(20)), "s0", 50),
+            (4, " ".join(f"u4w{j}" for j in range(20)), "s0", 60),
+        ],
+        "doc_id BIGINT, text STRING, source STRING, score BIGINT",
+    )
+    survivors, _ = curate.curate_corpus(
+        docs, min_tokens=1, neardup_threshold=0.5, quality_cols=["score"]
+    )
+    ids = {r.doc_id for r in survivors.collect()}
+    assert 2 in ids and 1 not in ids  # score outranks token count
+
+    # the cap ranks by score too: cap 2 keeps the two highest scores
+    capped, _ = curate.curate_corpus(
+        docs,
+        min_tokens=1,
+        neardup_threshold=0.5,
+        quality_cols=["score"],
+        cap_per_source=2,
+    )
+    assert {r.doc_id for r in capped.collect()} == {2, 4}

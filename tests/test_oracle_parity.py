@@ -47,3 +47,21 @@ def test_oracle_output_types(duck, name):
         f"{name}: oracle emits driver-unsafe column types {bad}; "
         "wrap the expression in CAST(... AS BIGINT)"
     )
+
+
+def test_embedding_dimension_contract():
+    """Several oracles hardcode the 64-dim embedding layout (range(1,65)
+    laterals in q23/q29/q48/q74, the literal 64-wide Rademacher matrix in
+    q65/q66). If testdata ever changes dimension, DuckDB would silently
+    read NULL components (SUM skips them) — fail loudly here instead."""
+    import glob
+
+    import duckdb
+
+    con = duckdb.connect()
+    for sf_dir in sorted(glob.glob("/root/testdata/sf*")):
+        lo, hi = con.execute(
+            "SELECT MIN(len(embedding)), MAX(len(embedding)) "
+            f"FROM '{sf_dir}/embeddings.parquet'"
+        ).fetchone()
+        assert (lo, hi) == (64, 64), f"{sf_dir}: embedding dims [{lo},{hi}] != 64"

@@ -1126,3 +1126,58 @@ def test_idempotent_write_empty_frame_is_noop(spark, tmp_path):
     assert spark.read.parquet(path).count() == 2
     write_partitioned_idempotent(empty, path, ["y"])  # no-op on existing
     assert spark.read.parquet(path).count() == 2
+
+
+def test_readers_surface_stranded_asides(spark, tmp_path):
+    """Readers stay mutation-free over crash-window leftovers (healing
+    races the maintainer), but must not be SILENT about them: stranded
+    dot-prefixed aside dirs warn (or raise under strict=True), and the
+    aside dirs themselves are untouched afterwards."""
+    import warnings as _w
+
+    import pytest as _pt
+
+    from python_lambda_ecs_container_data_etl_aws_spark.sources import audit
+    from python_lambda_ecs_container_data_etl_aws_spark.sources.pipeline import (
+        IngestReport,
+        stranded_asides,
+    )
+
+    land = tmp_path / "landing"
+    land.mkdir()
+    wh = str(tmp_path / "wh")
+    f = land / "PriceIndex_x.csv"
+    f.write_text("\n".join([HEADER] + [_row(f"D{i}", "1.0") for i in range(5)]) + "\n")
+    ingest_file(spark, str(f), wh, keys=["DGUID"])
+    table_dir = os.path.join(wh, "priceindex")
+
+    # healthy table: silent
+    with _w.catch_warnings():
+        _w.simplefilter("error")
+        assert read_permanent(spark, wh, "priceindex").count() == 5
+    assert stranded_asides(table_dir) == []
+
+    # plant a crashed per-bucket swap leftover
+    aside = os.path.join(table_dir, ".__bucket=0__old")
+    os.makedirs(aside)
+    with _pt.warns(UserWarning, match="stranded swap aside"):
+        read_permanent(spark, wh, "priceindex")
+    with _pt.raises(RuntimeError, match="stranded swap aside"):
+        read_permanent(spark, wh, "priceindex", strict=True)
+    assert os.path.isdir(aside)  # reader never healed/mutated it
+
+    # audit log: stranded day partition warns, reads the rest
+    from python_lambda_ecs_container_data_etl_aws_spark.sources.audit import (
+        load_ingest_log,
+    )
+
+    log_dir = str(tmp_path / "log")
+    audit.log_ingest(
+        spark, log_dir, IngestReport(file="x.csv", route="priceindex", loaded_rows=5)
+    )
+    with _w.catch_warnings():
+        _w.simplefilter("error")
+        assert load_ingest_log(spark, log_dir).count() == 1
+    os.makedirs(os.path.join(log_dir, ".log_date=2001-01-01__old"))
+    with _pt.warns(UserWarning, match="stranded"):
+        assert load_ingest_log(spark, log_dir).count() == 1
