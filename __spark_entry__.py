@@ -42,10 +42,10 @@ _NEVER_DRIVER_VERIFIED = [
     # fully-green CORRECTNESS row exists.
     "q46_pack_contexts", "q56_pii_scrub",
     # new in round 4
-    "q80_line_quality_filter", "q81_paragraph_dedup", "q82_domain_cap",
+    "q80_line_quality_filter", "q81_boilerplate_lines", "q82_domain_cap",
     "q83_vocab_encode", "q84_dsir_importance",
     "q85_kmeans_assign", "q86_crosscorpus_neardup", "q87_length_curriculum",
-    "q88_pack_index", "q89_minhash_containment_est",
+    "q88_pack_index", "q89_minhash_jaccard_est",
     "q90_url_filter", "q91_pii_density_hist",
 ]
 _SINGLE_GREEN = [

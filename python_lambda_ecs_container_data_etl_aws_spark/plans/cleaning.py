@@ -128,11 +128,12 @@ FROM s3 GROUP BY source ORDER BY source
 """
 
 
-@_q("q56_pii_scrub")
-def q56(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+def pii_augmented(d: DataFrame) -> DataFrame:
+    """documents with the deterministic PII plants (the _PII_AUG_SQL
+    twin) — shared fixture for q56 (per-source scrub totals) and q91
+    (per-doc density histogram)."""
     did = F.col("doc_id")
-    aug = d.select(
+    return d.select(
         "doc_id",
         "source",
         F.concat(
@@ -159,6 +160,11 @@ def q56(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(F.lit("")),
         ).alias("text"),
     )
+
+
+@_q("q56_pii_scrub")
+def q56(spark: SparkSession, sf_dir: str) -> DataFrame:
+    aug = pii_augmented(load_table(spark, sf_dir, "documents"))
     return (
         text_ops.scrub_pii(aug)
         .groupBy("source")

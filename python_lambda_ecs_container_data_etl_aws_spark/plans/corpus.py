@@ -1,0 +1,1110 @@
+"""Web-corpus preparation queries q80-q91: the line/URL/vocab-level
+curation a 100 TB crawl pipeline runs that the earlier tiers don't
+cover — C4-style line rules, CCNet boilerplate-line removal, domain
+capping and URL filtering, vocabulary encoding, DSIR importance
+weights, k-means assignment, cross-corpus near-dup, curriculum
+ordering, sequence-packing offset index, and MinHash-estimate
+validation.
+
+- q80 line quality filter: C4's per-line rejection rules (short line,
+  boilerplate marker, low token diversity, stopword lead) with
+  first-fail attribution — a zero-shuffle explode + one source-keyed
+  aggregation.
+- q81 boilerplate line removal: CCNet's "drop lines that repeat across
+  many documents" — line-hash frequency (one linear aggregation), then
+  a broadcast flag join; no all-pairs anything.
+- q82 domain cap: per-registered-domain keep-best-K (the crawl-side
+  twin of q72's per-source cap) over URL host parsing.
+- q83 vocab encode: frequency-ranked vocabulary build + document
+  id-sequence encoding with OOV accounting (tokenizer-prep shape).
+- q84 DSIR importance: hashed-feature target/raw frequency-ratio
+  weights, integer-exact (Data Selection via Importance Resampling,
+  Xie et al. 2023, reduced to its relational skeleton).
+- q85 k-means assign: one Lloyd assignment step against fixed seed
+  centroids on quantized embeddings — exact integer distances.
+- q86 cross-corpus near-dup: new-crawl-vs-existing-corpus overlap via
+  shared-shingle candidates + exact Jaccard verify, never old-vs-old.
+- q87 length curriculum: decile bucketing by token count with exact
+  allocation fingerprints (curriculum/data-ordering prep).
+- q88 pack index: per-document global token offsets [start, end) and
+  context-bin span from the two-pass prefix sum — the doc→bin index
+  that q46's per-bin aggregate is built from.
+- q89 MinHash Jaccard estimate vs exact: signature agreement on
+  planted (doc, truncated-doc) pairs, both engines computing the SAME
+  md5-derived hash family — validates the q25 LSH machinery's
+  estimator end-to-end.
+- q90 URL filter: RefinedWeb-style TLD/extension blocklists with
+  first-fail attribution plus tracker-param canonicalization.
+- q91 PII density histogram: the per-document distribution behind
+  q56's per-source totals.
+
+The reference pipeline (CSV -> MySQL/DynamoDB loads) has no crawl
+curation; these extend the Tier-C LLM-operator suite with
+oracle-backed contracts. URLs and boilerplate plants are synthesized
+deterministically inside both engines from doc_id (same fixture
+pattern as q56's PII plants / q79's variant plants).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from .core import ORACLE, _q
+
+# --------------------------------------------------------------------------
+# shared helpers
+
+# Engine-portable token "lines": documents are single-line space-
+# separated text, so the line unit is a fixed 10-token window (the same
+# segmentation trick as q64, reused as the line fixture for the
+# line-level operators q80/q81).
+_LINE_TOKS = 10
+
+# The boilerplate plant: docs with doc_id % 13 == 0 get this exact
+# 10-token line PREPENDED, so a known line repeats across ~1/13 of the
+# corpus in both engines.
+_BOILER = "subscribe to our newsletter click here now ok thanks bye"
+
+_LINES_CTE = f"""
+tok AS (
+    SELECT doc_id, source,
+           string_split(CASE WHEN doc_id % 13 = 0
+                             THEN '{_BOILER} ' || text ELSE text END,
+                        ' ') AS toks
+    FROM documents
+),
+lines AS (
+    SELECT doc_id, source, CAST(u.i AS BIGINT) AS line_idx,
+           array_to_string(list_slice(toks, u.i * {_LINE_TOKS} + 1,
+                                      u.i * {_LINE_TOKS} + {_LINE_TOKS}),
+                           ' ') AS line_text
+    FROM tok,
+         UNNEST(range(0, (len(toks) + {_LINE_TOKS} - 1) // {_LINE_TOKS})) AS u(i)
+)
+"""
+
+
+def _lines_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, source, line_idx, line_text): the Spark twin of the
+    _LINES_CTE fixture — one explode, no shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    planted = F.when(
+        F.col("doc_id") % 13 == 0,
+        F.concat(F.lit(_BOILER + " "), F.col("text")),
+    ).otherwise(F.col("text"))
+    n_lines = F.expr(
+        f"CAST((size(toks) + {_LINE_TOKS} - 1) div {_LINE_TOKS} AS INT)"
+    )
+    return (
+        d.select("doc_id", "source", F.split(planted, " ").alias("toks"))
+        .select(
+            "doc_id",
+            "source",
+            F.explode(F.sequence(F.lit(0), n_lines - 1)).alias("line_idx"),
+            "toks",
+        )
+        .select(
+            "doc_id",
+            "source",
+            F.col("line_idx").cast("bigint").alias("line_idx"),
+            F.array_join(
+                F.slice(F.col("toks"), F.col("line_idx") * _LINE_TOKS + 1, _LINE_TOKS),
+                " ",
+            ).alias("line_text"),
+        )
+    )
+
+
+def _md5_ordered(value_col: str, *order_cols: str) -> F.Column:
+    """Aggregate twin of DuckDB ``md5(string_agg(v, ' ' ORDER BY ...))``:
+    md5 of the group's ``value_col`` strings joined by one space in
+    (order_cols...) order. The order keys must be non-null and unique
+    within the group (struct sort compares them field by field before
+    ever reaching the value)."""
+    sorted_structs = F.array_sort(
+        F.collect_list(F.struct(*order_cols, F.col(value_col).alias("__v")))
+    )
+    return F.md5(
+        F.array_join(
+            F.transform(sorted_structs, lambda x: x["__v"]), " "
+        ).cast("binary")
+    )
+
+
+# --------------------------------------------------------------------------
+# q80 line quality filter — C4's line-level rejection rules with
+# first-fail attribution (the line-granular sibling of the q49 doc
+# funnel). Everything is row-local until the final per-source
+# aggregation: one explode, one shuffle, no joins. At 100 TB the rules
+# run inside the scan stage's codegen.
+
+_Q80_STOP_LEADS = ("the", "a")
+
+ORACLE["q80_line_quality_filter"] = f"""
+WITH {_LINES_CTE},
+judged AS (
+    SELECT source, doc_id, line_idx, line_text,
+           len(string_split(line_text, ' ')) AS ntok,
+           len(list_distinct(string_split(line_text, ' '))) AS ndist,
+           string_split(line_text, ' ')[1] AS lead,
+           contains(line_text, 'dup') AS has_marker
+    FROM lines
+),
+attributed AS (
+    SELECT source, doc_id, line_idx, line_text,
+           CASE WHEN ntok < 5 THEN 'too_short'
+                WHEN has_marker THEN 'boilerplate_marker'
+                WHEN ndist * 10 < ntok * 6 THEN 'low_diversity'
+                WHEN lead IN ('the', 'a') THEN 'stopword_lead'
+                ELSE 'kept' END AS verdict
+    FROM judged
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(CASE WHEN verdict = 'kept' THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN verdict = 'too_short' THEN 1 ELSE 0 END) AS BIGINT) AS n_short,
+       CAST(SUM(CASE WHEN verdict = 'boilerplate_marker' THEN 1 ELSE 0 END) AS BIGINT) AS n_marker,
+       CAST(SUM(CASE WHEN verdict = 'low_diversity' THEN 1 ELSE 0 END) AS BIGINT) AS n_lowdiv,
+       CAST(SUM(CASE WHEN verdict = 'stopword_lead' THEN 1 ELSE 0 END) AS BIGINT) AS n_stoplead,
+       md5(string_agg(CASE WHEN verdict = 'kept' THEN line_text END, ' '
+                      ORDER BY doc_id, line_idx)) AS kept_md5
+FROM attributed GROUP BY source ORDER BY source
+"""
+
+
+@_q("q80_line_quality_filter")
+def q80(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lines = _lines_df(spark, sf_dir)
+    toks = F.split("line_text", " ")
+    judged = lines.select(
+        "source",
+        "doc_id",
+        "line_idx",
+        "line_text",
+        F.size(toks).alias("ntok"),
+        F.size(F.array_distinct(toks)).alias("ndist"),
+        F.element_at(toks, 1).alias("lead"),
+        F.col("line_text").contains("dup").alias("has_marker"),
+    )
+    verdict = (
+        F.when(F.col("ntok") < 5, "too_short")
+        .when(F.col("has_marker"), "boilerplate_marker")
+        .when(F.col("ndist") * 10 < F.col("ntok") * 6, "low_diversity")
+        .when(F.col("lead").isin(*_Q80_STOP_LEADS), "stopword_lead")
+        .otherwise("kept")
+    )
+    att = judged.withColumn("verdict", verdict)
+
+    def _n(v: str, out: str) -> F.Column:
+        return (
+            F.sum((F.col("verdict") == v).cast("bigint")).cast("bigint").alias(out)
+        )
+
+    # the kept_md5 string_agg skips non-kept lines: null out their text
+    # so the Spark collect_list drops them the same way
+    att = att.withColumn(
+        "kept_text", F.when(F.col("verdict") == "kept", F.col("line_text"))
+    )
+    return (
+        att.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            _n("kept", "n_kept"),
+            _n("too_short", "n_short"),
+            _n("boilerplate_marker", "n_marker"),
+            _n("low_diversity", "n_lowdiv"),
+            _n("stopword_lead", "n_stoplead"),
+            _md5_ordered("kept_text", "doc_id", "line_idx").alias("kept_md5"),
+        )
+        .orderBy("source")
+    )
+
+
+# --------------------------------------------------------------------------
+# q81 boilerplate line removal — CCNet/Dolma's corpus-frequency rule:
+# a line occurring in >= 3 DISTINCT documents is boilerplate and every
+# occurrence is dropped (q64 keeps the first copy; navigation chrome
+# must not survive even once). Cost shape: one (line-hash -> distinct
+# doc count) aggregation — linear — and the frequent-line set is tiny
+# by construction (boilerplate means few distinct lines, many
+# occurrences), so the flag join broadcasts at any corpus size.
+
+_Q81_MIN_DOCS = 3
+
+ORACLE["q81_boilerplate_lines"] = f"""
+WITH {_LINES_CTE},
+freq AS (
+    SELECT line_text, COUNT(DISTINCT doc_id) AS ndocs
+    FROM lines GROUP BY 1
+),
+flagged AS (
+    SELECT l.source, l.doc_id, l.line_idx, l.line_text,
+           (f.ndocs >= {_Q81_MIN_DOCS}) AS is_boiler
+    FROM lines l JOIN freq f USING (line_text)
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(CASE WHEN is_boiler THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+       CAST(COUNT(DISTINCT CASE WHEN is_boiler THEN doc_id END) AS BIGINT)
+           AS n_docs_affected,
+       md5(string_agg(CASE WHEN NOT is_boiler THEN line_text END, ' '
+                      ORDER BY doc_id, line_idx)) AS survivors_md5
+FROM flagged GROUP BY source ORDER BY source
+"""
+
+
+@_q("q81_boilerplate_lines")
+def q81(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lines = _lines_df(spark, sf_dir).persist()
+    freq = (
+        lines.groupBy("line_text")
+        .agg(F.countDistinct("doc_id").alias("ndocs"))
+        .select("line_text", (F.col("ndocs") >= _Q81_MIN_DOCS).alias("is_boiler"))
+    )
+    flagged = lines.join(freq, "line_text")
+    out = (
+        flagged.withColumn(
+            "surv_text", F.when(~F.col("is_boiler"), F.col("line_text"))
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.col("is_boiler").cast("bigint")).cast("bigint").alias("n_dropped"),
+            F.countDistinct(
+                F.when(F.col("is_boiler"), F.col("doc_id"))
+            ).cast("bigint").alias("n_docs_affected"),
+            _md5_ordered("surv_text", "doc_id", "line_idx").alias("survivors_md5"),
+        )
+        .orderBy("source")
+    )
+    return out
+
+
+# --------------------------------------------------------------------------
+# q82 domain cap — per-registered-domain keep-best-K over parsed URLs
+# (the crawl-side twin of q72's per-source cap: at web scale the cap
+# key comes out of the URL, not a clean source column). URLs are
+# synthesized deterministically from doc_id in both engines; host
+# parsing is one regexp, the cap is one domain-keyed window.
+
+_Q82_CAP = 5
+
+# ~23 registered domains x 3 TLD variants, www. prefix on 1/4 of URLs,
+# tracker params on 1/5 — enough structure for parsing to matter and
+# caps to bind at every scale factor.
+_URL_SQL = """
+    'https://' || CASE WHEN doc_id % 4 = 0 THEN 'www.' ELSE '' END
+    || 'd' || CAST(doc_id % 23 AS VARCHAR)
+    || '.example' || CAST(doc_id % 3 AS VARCHAR)
+    || CASE doc_id % 3 WHEN 0 THEN '.com' WHEN 1 THEN '.net' ELSE '.xxx' END
+    || '/p/' || CAST(doc_id AS VARCHAR)
+    || CASE WHEN doc_id % 7 = 0 THEN '/f.exe' ELSE '' END
+    || CASE WHEN doc_id % 5 = 0 THEN '?utm_source=x' ELSE '' END
+"""
+
+
+def _url_col() -> F.Column:
+    did = F.col("doc_id")
+    return F.concat(
+        F.lit("https://"),
+        F.when(did % 4 == 0, F.lit("www.")).otherwise(F.lit("")),
+        F.lit("d"),
+        (did % 23).cast("string"),
+        F.lit(".example"),
+        (did % 3).cast("string"),
+        F.when(did % 3 == 0, F.lit(".com"))
+        .when(did % 3 == 1, F.lit(".net"))
+        .otherwise(F.lit(".xxx")),
+        F.lit("/p/"),
+        did.cast("string"),
+        F.when(did % 7 == 0, F.lit("/f.exe")).otherwise(F.lit("")),
+        F.when(did % 5 == 0, F.lit("?utm_source=x")).otherwise(F.lit("")),
+    )
+
+
+_HOST_RE = "^https?://([^/?]+)"
+
+ORACLE["q82_domain_cap"] = f"""
+WITH u AS (
+    SELECT doc_id, n_chars, ({_URL_SQL}) AS url FROM documents
+),
+host AS (
+    SELECT doc_id, n_chars,
+           regexp_replace(regexp_extract(url, '{_HOST_RE}', 1), '^www\\.', '')
+               AS domain
+    FROM u
+),
+r AS (
+    SELECT doc_id, domain,
+           ROW_NUMBER() OVER (PARTITION BY domain
+                              ORDER BY n_chars DESC, doc_id) AS rn
+    FROM host
+)
+SELECT domain,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN rn <= {_Q82_CAP} THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       md5(string_agg(CASE WHEN rn <= {_Q82_CAP} THEN CAST(doc_id AS VARCHAR) END,
+                      ' ' ORDER BY doc_id)) AS kept_md5
+FROM r GROUP BY domain ORDER BY domain
+"""
+
+
+@_q("q82_domain_cap")
+def q82(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    host = d.select(
+        "doc_id",
+        "n_chars",
+        F.regexp_replace(
+            F.regexp_extract(_url_col(), _HOST_RE, 1), r"^www\.", ""
+        ).alias("domain"),
+    )
+    w = Window.partitionBy("domain").orderBy(F.col("n_chars").desc(), "doc_id")
+    r = host.withColumn("rn", F.row_number().over(w))
+    return (
+        r.withColumn(
+            "kept_id",
+            F.when(F.col("rn") <= _Q82_CAP, F.col("doc_id").cast("string")),
+        )
+        .groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("rn") <= _Q82_CAP).cast("bigint"))
+            .cast("bigint")
+            .alias("n_kept"),
+            _md5_ordered("kept_id", "doc_id").alias("kept_md5"),
+        )
+        .orderBy("domain")
+    )
+
+
+# --------------------------------------------------------------------------
+# q83 vocab encode — tokenizer-prep: build a frequency-ranked
+# vocabulary (top V tokens -> ids 1..V, everything else OOV id 0) and
+# encode each document as its id sequence. The vocab is one global
+# aggregation + window over |vocab| rows (tiny), broadcast into the
+# encode join; reassembly is a per-doc ordered fold. At 100 TB the
+# token explode dominates and stays a zero-shuffle scan stage.
+
+_Q83_V = 30
+
+ORACLE["q83_vocab_encode"] = f"""
+WITH t0 AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+tok AS (
+    SELECT doc_id, toks[u.i] AS tok, CAST(u.i AS BIGINT) AS pos
+    FROM t0, UNNEST(range(1, len(toks) + 1)) AS u(i)
+),
+vocab AS (
+    SELECT tok, ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, tok) AS vid
+    FROM tok GROUP BY tok
+    QUALIFY vid <= {_Q83_V}
+),
+enc AS (
+    SELECT t.doc_id, t.pos, COALESCE(v.vid, 0) AS vid
+    FROM tok t LEFT JOIN vocab v USING (tok)
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_toks,
+       CAST(SUM(CASE WHEN vid = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+       array_to_string(list_slice(list(vid ORDER BY pos), 1, 12), ',') AS head_ids,
+       md5(string_agg(CAST(vid AS VARCHAR), ',' ORDER BY pos)) AS ids_md5
+FROM enc GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+@_q("q83_vocab_encode")
+def q83(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos0", "tok")
+    ).select("doc_id", (F.col("pos0") + 1).cast("bigint").alias("pos"), "tok")
+    vocab = (
+        tok.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn(
+            "vid",
+            F.row_number().over(
+                Window.orderBy(F.col("cnt").desc(), F.col("tok"))
+            ),
+        )
+        .filter(F.col("vid") <= _Q83_V)
+        .select("tok", "vid")
+    )
+    enc = tok.join(F.broadcast(vocab), "tok", "left").select(
+        "doc_id", "pos", F.coalesce("vid", F.lit(0)).alias("vid")
+    )
+    ids_sorted = F.transform(
+        F.array_sort(F.collect_list(F.struct("pos", "vid"))),
+        lambda x: x["vid"].cast("string"),
+    )
+    return (
+        enc.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_toks"),
+            F.sum((F.col("vid") == 0).cast("bigint")).cast("bigint").alias("n_oov"),
+            F.array_join(F.slice(ids_sorted, 1, 12), ",").alias("head_ids"),
+            F.md5(F.array_join(ids_sorted, ",").cast("binary")).alias("ids_md5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# q84 DSIR importance weights (Xie et al. 2023, relational skeleton):
+# hash every token into B buckets, estimate target (lang='en') vs raw
+# frequency per bucket, weight each document by the sum of its tokens'
+# integer ratio weights. Exact: the per-bucket weight is one BIGINT
+# integer division, the doc score an exact BIGINT sum. Shapes: two
+# linear (bucket -> count) aggregations; the B-row weight table
+# broadcasts into the scoring join; one per-doc aggregation. No float
+# accumulation anywhere.
+
+_Q84_BUCKETS = 64
+_Q84_SCALE = 1_000_000
+
+# md5-prefix bucket of a token, 0..B-1 — the same engine-portable hash
+# family as curation.md5_bucket100, at feature-hash width.
+_Q84_BUCKET_SQL = (
+    f"CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) % {_Q84_BUCKETS}"
+)
+
+
+def _q84_bucket(tok: F.Column) -> F.Column:
+    return (
+        F.conv(F.substring(F.md5(tok.cast("binary")), 1, 15), 16, 10).cast("bigint")
+        % _Q84_BUCKETS
+    )
+
+
+ORACLE["q84_dsir_importance"] = f"""
+WITH tok AS (
+    SELECT doc_id, lang, u.t AS tok
+    FROM documents, UNNEST(string_split(text, ' ')) AS u(t)
+),
+b AS (SELECT doc_id, lang, {_Q84_BUCKET_SQL} AS bucket FROM tok),
+w AS (
+    SELECT bucket,
+           CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) * {_Q84_SCALE}
+                // COUNT(*) AS BIGINT) AS wgt
+    FROM b GROUP BY bucket
+)
+SELECT b.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_toks,
+       CAST(SUM(w.wgt) AS BIGINT) AS importance
+FROM b JOIN w USING (bucket)
+GROUP BY b.doc_id ORDER BY b.doc_id
+"""
+
+
+@_q("q84_dsir_importance")
+def q84(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    b = d.select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("tok")
+    ).select("doc_id", "lang", _q84_bucket(F.col("tok")).alias("bucket"))
+    b = b.persist()  # feeds the weight fit AND the scoring join
+    w = b.groupBy("bucket").agg(
+        F.expr(
+            f"CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) * {_Q84_SCALE}"
+            " div count(*) AS BIGINT)"
+        ).alias("wgt")
+    )
+    return (
+        b.join(F.broadcast(w), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_toks"),
+            F.sum("wgt").cast("bigint").alias("importance"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# q85 k-means assignment step — one Lloyd iteration's assign phase
+# against fixed seed centroids (the embeddings of vec_id 0..K-1),
+# components quantized to integers so squared L2 distances are exact
+# BIGINTs in both engines (same quantization contract as q23/q48).
+# Shapes: the centroid component relation is K x dim rows — broadcast;
+# per-(vector, centroid) partial sums aggregate map-side; argmin is a
+# per-vector window over K rows. Nothing is all-pairs in the corpus.
+
+_Q85_K = 8
+
+ORACLE["q85_kmeans_assign"] = f"""
+WITH comp AS (
+    SELECT vec_id, i AS pos,
+           CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT) AS qv
+    FROM embeddings, range(1, 65) t(i)
+),
+cent AS (SELECT vec_id AS cid, pos, qv FROM comp WHERE vec_id < {_Q85_K}),
+dist AS (
+    SELECT v.vec_id, c.cid,
+           SUM((v.qv - c.qv) * (v.qv - c.qv)) AS d2
+    FROM comp v JOIN cent c USING (pos)
+    GROUP BY 1, 2
+),
+best AS (
+    SELECT vec_id, cid, d2,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+    FROM dist
+)
+SELECT cid,
+       CAST(COUNT(*) AS BIGINT) AS n_assigned,
+       CAST(SUM(d2) AS BIGINT) AS sum_dist2,
+       md5(string_agg(CAST(vec_id AS VARCHAR), ' ' ORDER BY vec_id)) AS members_md5
+FROM best WHERE rn = 1
+GROUP BY cid ORDER BY cid
+"""
+
+
+@_q("q85_kmeans_assign")
+def q85(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    comp = emb.select(
+        "vec_id", F.posexplode("embedding").alias("pos0", "val")
+    ).select(
+        "vec_id",
+        (F.col("pos0") + 1).alias("pos"),
+        F.floor(F.col("val").cast("double") * 1000).cast("bigint").alias("qv"),
+    )
+    cent = comp.filter(F.col("vec_id") < _Q85_K).select(
+        F.col("vec_id").alias("cid"), "pos", F.col("qv").alias("cq")
+    )
+    dist = (
+        comp.join(F.broadcast(cent), "pos")
+        .groupBy("vec_id", "cid")
+        .agg(
+            F.sum((F.col("qv") - F.col("cq")) * (F.col("qv") - F.col("cq"))).alias(
+                "d2"
+            )
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy("d2", "cid")
+    best = dist.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return (
+        best.withColumn("vid_s", F.col("vec_id").cast("string"))
+        .groupBy("cid")
+        .agg(
+            F.count(F.lit(1)).alias("n_assigned"),
+            F.sum("d2").cast("bigint").alias("sum_dist2"),
+            _md5_ordered("vid_s", "vec_id").alias("members_md5"),
+        )
+        .orderBy("cid")
+    )
+
+
+# --------------------------------------------------------------------------
+# q86 cross-corpus near-dup — dedup a "new crawl" (sources src10+,
+# plus planted truncated copies of old docs) against the "existing
+# corpus" (src0-src9) WITHOUT ever comparing old-vs-old: candidates
+# come only from shingles the two sides share, then exact Jaccard
+# verifies each candidate pair. The planted copies guarantee real
+# overlap at every scale factor. At 100 TB the old side's shingle
+# relation is the persisted index (dedup.lsh_index_of shape); per
+# batch, cost scales with the new side only.
+
+_Q86_N = 5          # shingle width
+_Q86_THRESH = 0.35  # exact-Jaccard keep threshold
+_Q86_PLANT_MOD = 31
+_Q86_PLANT_TOKS = 40
+
+ORACLE["q86_crosscorpus_neardup"] = f"""
+WITH old_docs AS (
+    SELECT doc_id, text FROM documents
+    WHERE CAST(substr(source, 4) AS INT) < 10
+),
+new_real AS (
+    SELECT doc_id, text FROM documents
+    WHERE CAST(substr(source, 4) AS INT) >= 10
+),
+plants AS (
+    SELECT doc_id + 1000000 AS doc_id,
+           array_to_string(list_slice(string_split(text, ' '), 1,
+                                      {_Q86_PLANT_TOKS}), ' ') AS text
+    FROM old_docs WHERE doc_id % {_Q86_PLANT_MOD} = 0
+),
+new_docs AS (SELECT * FROM new_real UNION ALL SELECT * FROM plants),
+osh AS (
+    SELECT DISTINCT doc_id, s FROM
+    (SELECT doc_id, string_split(text, ' ') AS toks FROM old_docs),
+    UNNEST(list_transform(range(1, len(toks) - {_Q86_N} + 2),
+        i -> array_to_string(list_slice(toks, i, i + {_Q86_N} - 1), ' '))) AS u(s)
+    WHERE len(toks) >= {_Q86_N}
+),
+nsh AS (
+    SELECT DISTINCT doc_id, s FROM
+    (SELECT doc_id, string_split(text, ' ') AS toks FROM new_docs),
+    UNNEST(list_transform(range(1, len(toks) - {_Q86_N} + 2),
+        i -> array_to_string(list_slice(toks, i, i + {_Q86_N} - 1), ' '))) AS u(s)
+    WHERE len(toks) >= {_Q86_N}
+),
+osz AS (SELECT doc_id, COUNT(*) AS n FROM osh GROUP BY 1),
+nsz AS (SELECT doc_id, COUNT(*) AS n FROM nsh GROUP BY 1),
+ov AS (
+    SELECT n.doc_id AS new_id, o.doc_id AS old_id, COUNT(*) AS shared
+    FROM nsh n JOIN osh o USING (s)
+    GROUP BY 1, 2
+)
+SELECT new_id, old_id,
+       CAST(shared AS BIGINT) AS n_shared,
+       CAST(shared AS DOUBLE) / (nz.n + oz.n - shared) AS jaccard
+FROM ov
+JOIN nsz nz ON nz.doc_id = new_id
+JOIN osz oz ON oz.doc_id = old_id
+WHERE CAST(shared AS DOUBLE) / (nz.n + oz.n - shared) >= {_Q86_THRESH}
+ORDER BY new_id, old_id
+"""
+
+
+@_q("q86_crosscorpus_neardup")
+def q86(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import doc_shingles
+
+    d = load_table(spark, sf_dir, "documents")
+    srcnum = F.substring("source", 4, 10).cast("int")
+    old_docs = d.filter(srcnum < 10).select("doc_id", "text")
+    new_real = d.filter(srcnum >= 10).select("doc_id", "text")
+    plants = old_docs.filter(F.col("doc_id") % _Q86_PLANT_MOD == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.array_join(
+            F.slice(F.split("text", " "), 1, _Q86_PLANT_TOKS), " "
+        ).alias("text"),
+    )
+    new_docs = new_real.unionByName(plants)
+
+    osh = (
+        doc_shingles(old_docs, "text", "doc_id", _Q86_N)
+        .select(F.col("id").alias("old_id"), F.explode("sh").alias("s"))
+        .persist()
+    )
+    nsh = (
+        doc_shingles(new_docs, "text", "doc_id", _Q86_N)
+        .select(F.col("id").alias("new_id"), F.explode("sh").alias("s"))
+        .persist()
+    )
+    osz = osh.groupBy("old_id").agg(F.count(F.lit(1)).alias("on"))
+    nsz = nsh.groupBy("new_id").agg(F.count(F.lit(1)).alias("nn"))
+    ov = (
+        nsh.join(osh, "s")
+        .groupBy("new_id", "old_id")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    jac = F.col("shared").cast("double") / (
+        F.col("nn") + F.col("on") - F.col("shared")
+    )
+    return (
+        ov.join(nsz, "new_id")
+        .join(osz, "old_id")
+        .select(
+            "new_id",
+            "old_id",
+            F.col("shared").cast("bigint").alias("n_shared"),
+            jac.alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= _Q86_THRESH)
+        .orderBy("new_id", "old_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# q87 length curriculum — decile bucketing by token count (ties broken
+# by doc_id, so NTILE allocation is identical across engines) with
+# per-decile stats and an exact membership fingerprint: the
+# data-ordering prep for curriculum training (short-to-long schedule).
+# Spark side does NOT use a bare Window.orderBy NTILE (that is a
+# single-partition global window — the anti-pattern W1 exists to
+# avoid): the global rank comes from chunking.add_autoid (range
+# partition + broadcast offsets) and the NTILE allocation is computed
+# arithmetically from that rank — bucket i <= n%10 gets n//10+1 rows,
+# the rest n//10, exactly NTILE(10)'s contract in both engines.
+
+ORACLE["q87_length_curriculum"] = """
+WITH t AS (
+    SELECT doc_id, len(string_split(text, ' ')) AS ntok FROM documents
+),
+d AS (
+    SELECT doc_id, ntok,
+           NTILE(10) OVER (ORDER BY ntok, doc_id) AS decile
+    FROM t
+)
+SELECT decile,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MIN(ntok) AS BIGINT) AS min_toks,
+       CAST(MAX(ntok) AS BIGINT) AS max_toks,
+       CAST(SUM(ntok) AS BIGINT) AS sum_toks,
+       md5(string_agg(CAST(doc_id AS VARCHAR), ' ' ORDER BY doc_id)) AS members_md5
+FROM d GROUP BY decile ORDER BY decile
+"""
+
+
+@_q("q87_length_curriculum")
+def q87(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.chunking import add_autoid
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split("text", " ")).cast("bigint").alias("ntok")
+    )
+    n = d.count()  # O(1) from parquet metadata; add_autoid collects O(P) anyway
+    b, r = divmod(n, 10)
+    ranked = add_autoid(d, ["ntok", "doc_id"])
+    # NTILE(10) arithmetic on the scalable global rank: first r buckets
+    # hold b+1 rows, the rest b (div-by-zero guard never taken: when
+    # b == 0 every rank falls in the first branch)
+    dec = ranked.withColumn(
+        "decile",
+        F.expr(
+            f"CAST(CASE WHEN autoid <= {r * (b + 1)}"
+            f" THEN (autoid - 1) div {b + 1} + 1"
+            f" ELSE {r} + (autoid - 1 - {r * (b + 1)}) div {max(b, 1)} + 1"
+            " END AS INT)"
+        ),
+    )
+    return (
+        dec.withColumn("did_s", F.col("doc_id").cast("string"))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("ntok").cast("bigint").alias("min_toks"),
+            F.max("ntok").cast("bigint").alias("max_toks"),
+            F.sum("ntok").cast("bigint").alias("sum_toks"),
+            _md5_ordered("did_s", "doc_id").alias("members_md5"),
+        )
+        .orderBy("decile")
+    )
+
+
+# --------------------------------------------------------------------------
+# q88 pack index — per-document global token offsets [start, end) from
+# the running token total, plus which fixed-size context bins the doc
+# spans: the doc->offset index a sequence-packing writer emits (q46 is
+# the per-bin aggregate view of the same prefix sum). Built on
+# sources/chunking.add_prefix_sum — two-pass range-partitioned prefix
+# sum, NO single-partition global window (plan-asserted there).
+
+_Q88_CTX = 512
+
+
+ORACLE["q88_pack_index"] = f"""
+WITH t AS (
+    SELECT doc_id, len(string_split(text, ' ')) AS ntok FROM documents
+),
+c AS (
+    SELECT doc_id, ntok,
+           SUM(ntok) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+    FROM t
+)
+SELECT doc_id,
+       CAST(ntok AS BIGINT) AS n_toks,
+       CAST(cum - ntok AS BIGINT) AS start_tok,
+       CAST(cum AS BIGINT) AS end_tok,
+       CAST((cum - ntok) // {_Q88_CTX} AS BIGINT) AS bin_first,
+       CAST((cum - 1) // {_Q88_CTX} AS BIGINT) AS bin_last,
+       CAST((cum - 1) // {_Q88_CTX} - (cum - ntok) // {_Q88_CTX} + 1 AS BIGINT)
+           AS n_bins
+FROM c ORDER BY doc_id
+"""
+
+
+@_q("q88_pack_index")
+def q88(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.chunking import add_prefix_sum
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split("text", " ")).cast("bigint").alias("ntok")
+    )
+    c = add_prefix_sum(d, ["doc_id"], "ntok", out_col="cum")
+    start = F.col("cum") - F.col("ntok")
+    bin_first = F.expr(f"(cum - ntok) div {_Q88_CTX}")
+    bin_last = F.expr(f"(cum - 1) div {_Q88_CTX}")
+    return c.select(
+        "doc_id",
+        F.col("ntok").cast("bigint").alias("n_toks"),
+        start.cast("bigint").alias("start_tok"),
+        F.col("cum").cast("bigint").alias("end_tok"),
+        bin_first.cast("bigint").alias("bin_first"),
+        bin_last.cast("bigint").alias("bin_last"),
+        (bin_last - bin_first + 1).cast("bigint").alias("n_bins"),
+    ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# q89 MinHash Jaccard estimate vs exact — both engines compute the
+# SAME md5-derived K-function hash family over 3-gram shingles for
+# planted (doc, truncated-variant) pairs, count signature agreements,
+# and compare the estimate against exact Jaccard. This is the
+# estimator inside q25's LSH dedup validated end-to-end as a hash
+# contract (not just recall-gated). Cost: pairs are 1/29 of the
+# corpus; per pair O(shingles x K) rows, aggregated map-side.
+
+_Q89_K = 16
+_Q89_MOD = 29
+
+ORACLE["q89_minhash_jaccard_est"] = f"""
+WITH src AS (
+    SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    WHERE doc_id % {_Q89_MOD} = 0
+),
+sides AS (
+    SELECT doc_id, 0 AS side, toks FROM src
+    UNION ALL
+    SELECT doc_id, 1 AS side,
+           list_slice(toks, 1, greatest(3, len(toks) * 6 // 10)) AS toks
+    FROM src
+),
+sh AS (
+    SELECT DISTINCT doc_id, side,
+           toks[u.i] || ' ' || toks[u.i+1] || ' ' || toks[u.i+2] AS s
+    FROM sides, UNNEST(range(1, len(toks) - 1)) AS u(i)
+),
+h AS (
+    SELECT doc_id, side, CAST(j.j AS INT) AS j,
+           CAST('0x' || substr(md5(CAST(j.j AS VARCHAR) || ':' || s), 1, 15)
+                AS BIGINT) AS hv
+    FROM sh, UNNEST(range(1, {_Q89_K} + 1)) AS j(j)
+),
+sig AS (SELECT doc_id, side, j, MIN(hv) AS m FROM h GROUP BY 1, 2, 3),
+agree AS (
+    SELECT a.doc_id, COUNT(*) FILTER (WHERE a.m = b.m) AS n_match
+    FROM sig a JOIN sig b ON a.doc_id = b.doc_id AND a.j = b.j
+    WHERE a.side = 0 AND b.side = 1
+    GROUP BY 1
+),
+sz AS (
+    SELECT doc_id,
+           COUNT(*) FILTER (WHERE has_a) AS na,
+           COUNT(*) FILTER (WHERE has_b) AS nb,
+           COUNT(*) FILTER (WHERE has_a AND has_b) AS shared
+    FROM (SELECT doc_id, s,
+                 BOOL_OR(side = 0) AS has_a, BOOL_OR(side = 1) AS has_b
+          FROM sh GROUP BY doc_id, s)
+    GROUP BY 1
+)
+SELECT a.doc_id,
+       CAST(a.n_match AS BIGINT) AS n_match,
+       CAST(a.n_match AS DOUBLE) / {_Q89_K} AS est_jaccard,
+       CAST(z.shared AS DOUBLE) / (z.na + z.nb - z.shared) AS exact_jaccard
+FROM agree a JOIN sz z USING (doc_id)
+ORDER BY a.doc_id
+"""
+
+
+@_q("q89_minhash_jaccard_est")
+def q89(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % _Q89_MOD == 0
+    )
+    toks = F.split("text", " ")
+    src = d.select("doc_id", toks.alias("toks"))
+    sides = src.select("doc_id", F.lit(0).alias("side"), "toks").unionByName(
+        src.select(
+            "doc_id",
+            F.lit(1).alias("side"),
+            F.slice(
+                "toks",
+                 1,
+                F.greatest(F.lit(3), F.expr("size(toks) * 6 div 10")).cast("int"),
+            ).alias("toks"),
+        )
+    )
+    gen = (
+        "array_distinct(transform(sequence(0, size(toks) - 3), "
+        "i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))"
+    )
+    sh = sides.select(
+        "doc_id", "side", F.explode(F.expr(gen)).alias("s")
+    ).persist()
+    h = sh.select(
+        "doc_id",
+        "side",
+        F.explode(F.sequence(F.lit(1), F.lit(_Q89_K))).alias("j"),
+        "s",
+    ).select(
+        "doc_id",
+        "side",
+        F.col("j").cast("int").alias("j"),
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("j").cast("string"), F.lit(":"), F.col("s")
+                    ).cast("binary")
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        )
+        .cast("bigint")
+        .alias("hv"),
+    )
+    sig = h.groupBy("doc_id", "side", "j").agg(F.min("hv").alias("m"))
+    a = sig.filter(F.col("side") == 0).select("doc_id", "j", F.col("m").alias("ma"))
+    b = sig.filter(F.col("side") == 1).select("doc_id", "j", F.col("m").alias("mb"))
+    agree = (
+        a.join(b, ["doc_id", "j"])
+        .groupBy("doc_id")
+        .agg(F.sum((F.col("ma") == F.col("mb")).cast("bigint")).alias("n_match"))
+    )
+    sz = (
+        sh.groupBy("doc_id", "s")
+        .agg(
+            F.max((F.col("side") == 0).cast("int")).alias("has_a"),
+            F.max((F.col("side") == 1).cast("int")).alias("has_b"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.sum("has_a").alias("na"),
+            F.sum("has_b").alias("nb"),
+            F.sum(F.col("has_a") * F.col("has_b")).alias("shared"),
+        )
+    )
+    return (
+        agree.join(sz, "doc_id")
+        .select(
+            "doc_id",
+            F.col("n_match").cast("bigint").alias("n_match"),
+            (F.col("n_match").cast("double") / _Q89_K).alias("est_jaccard"),
+            (
+                F.col("shared").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("shared"))
+            ).alias("exact_jaccard"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# q90 URL filter — RefinedWeb-style URL hygiene over the same
+# synthesized URLs as q82: blocklisted TLD, executable path extension
+# (first-fail attribution), and tracker-parameter stripping on the
+# kept set (canonical URL fingerprint). Pure row-local projection +
+# one verdict-keyed aggregation — scan-stage work at any scale.
+
+ORACLE["q90_url_filter"] = f"""
+WITH u AS (
+    SELECT doc_id, ({_URL_SQL}) AS url FROM documents
+),
+parsed AS (
+    SELECT doc_id, url,
+           regexp_replace(regexp_extract(url, '{_HOST_RE}', 1), '^www\\.', '')
+               AS domain,
+           string_split(url, '?')[1] AS canon
+    FROM u
+),
+judged AS (
+    SELECT doc_id, domain, canon,
+           CASE WHEN domain LIKE '%.xxx' THEN 'bad_tld'
+                WHEN canon LIKE '%.exe' THEN 'bad_extension'
+                ELSE 'kept' END AS verdict
+    FROM parsed
+)
+SELECT verdict,
+       CAST(COUNT(*) AS BIGINT) AS n_urls,
+       CAST(COUNT(DISTINCT domain) AS BIGINT) AS n_domains,
+       md5(string_agg(canon, ' ' ORDER BY doc_id)) AS canon_md5
+FROM judged GROUP BY verdict ORDER BY verdict
+"""
+
+
+@_q("q90_url_filter")
+def q90(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    parsed = d.select(
+        "doc_id",
+        F.regexp_replace(
+            F.regexp_extract(_url_col(), _HOST_RE, 1), r"^www\.", ""
+        ).alias("domain"),
+        F.element_at(F.split(_url_col(), r"\?"), 1).alias("canon"),
+    )
+    verdict = (
+        F.when(F.col("domain").endswith(".xxx"), "bad_tld")
+        .when(F.col("canon").endswith(".exe"), "bad_extension")
+        .otherwise("kept")
+    )
+    return (
+        parsed.withColumn("verdict", verdict)
+        .groupBy("verdict")
+        .agg(
+            F.count(F.lit(1)).alias("n_urls"),
+            F.countDistinct("domain").cast("bigint").alias("n_domains"),
+            _md5_ordered("canon", "doc_id").alias("canon_md5"),
+        )
+        .orderBy("verdict")
+    )
+
+
+# --------------------------------------------------------------------------
+# q91 PII density histogram — the per-document distribution behind
+# q56's per-source totals: how MANY documents carry how MUCH PII
+# (capped count bucket), per source. Reuses q56's planted fixture and
+# the same scrub_pii operator; one extra integer bucketing, one
+# (source, bucket) aggregation.
+
+_Q91_CAP = 3  # bucket = LEAST(n_pii, cap): 0, 1, 2, 3+
+
+
+ORACLE["q91_pii_density_hist"] = f"""
+WITH aug AS (SELECT doc_id, source, ({{aug}}) AS text FROM documents),
+scrubbed AS (
+    SELECT doc_id, source,
+           len(regexp_extract_all(text, '{{email}}'))
+           + len(regexp_extract_all(
+                 regexp_replace(text, '{{email}}', '<EMAIL>', 'g'), '{{phone}}'))
+           + len(regexp_extract_all(
+                 regexp_replace(regexp_replace(text, '{{email}}', '<EMAIL>', 'g'),
+                                '{{phone}}', '<PHONE>', 'g'), '{{ip}}'))
+               AS n_pii,
+           len(string_split(text, ' ')) AS n_toks
+    FROM aug
+)
+SELECT source,
+       CAST(LEAST(n_pii, {_Q91_CAP}) AS BIGINT) AS pii_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_toks) AS BIGINT) AS sum_toks
+FROM scrubbed GROUP BY source, pii_bucket ORDER BY source, pii_bucket
+"""
+
+
+def _q91_fill_oracle() -> None:
+    from ..operators import text as text_ops
+    from .cleaning import _PII_AUG_SQL
+
+    ORACLE["q91_pii_density_hist"] = ORACLE["q91_pii_density_hist"].format(
+        aug=_PII_AUG_SQL,
+        email=text_ops.PII_EMAIL_RE,
+        phone=text_ops.PII_PHONE_RE,
+        ip=text_ops.PII_IP_RE,
+    )
+
+
+_q91_fill_oracle()
+
+
+@_q("q91_pii_density_hist")
+def q91(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import text as text_ops
+    from .cleaning import pii_augmented
+
+    aug = pii_augmented(load_table(spark, sf_dir, "documents"))
+    scrubbed = text_ops.scrub_pii(aug).select(
+        "source",
+        F.least(
+            F.col("n_emails") + F.col("n_phones") + F.col("n_ips"),
+            F.lit(_Q91_CAP),
+        )
+        .cast("bigint")
+        .alias("pii_bucket"),
+        F.size(F.split("text", " ")).cast("bigint").alias("n_toks"),
+    )
+    return (
+        scrubbed.groupBy("source", "pii_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_toks").cast("bigint").alias("sum_toks"),
+        )
+        .orderBy("source", "pii_bucket")
+    )
