@@ -605,11 +605,24 @@ def q85(spark: SparkSession, sf_dir: str) -> DataFrame:
 # overlap at every scale factor. At 100 TB the old side's shingle
 # relation is the persisted index (dedup.lsh_index_of shape); per
 # batch, cost scales with the new side only.
+#
+# Boilerplate defense (round-4 scale smoke finding): a shingle shared
+# by half the corpus (navigation chrome, license footers) turns the
+# naive shared-shingle join quadratic — 25k x 25k candidate pairs
+# through ONE hot shingle on the 100k boilerplate-heavy smoke. So
+# candidate GENERATION uses only informative shingles (document
+# frequency <= _Q86_DF_CAP across both sides — the "stop shingle"
+# rule, same idea as the LSH bucket cap in dedup._cap_buckets), while
+# the Jaccard VERIFY still counts every shared shingle, restricted to
+# candidate pairs. A pair sharing ONLY ubiquitous shingles is not
+# reported — that is the operator's documented semantic, identical in
+# both engines (the oracle applies the same cap).
 
 _Q86_N = 5          # shingle width
 _Q86_THRESH = 0.35  # exact-Jaccard keep threshold
 _Q86_PLANT_MOD = 31
 _Q86_PLANT_TOKS = 40
+_Q86_DF_CAP = 64    # max doc-frequency for a candidate-generating shingle
 
 ORACLE["q86_crosscorpus_neardup"] = f"""
 WITH old_docs AS (
@@ -641,11 +654,23 @@ nsh AS (
         i -> array_to_string(list_slice(toks, i, i + {_Q86_N} - 1), ' '))) AS u(s)
     WHERE len(toks) >= {_Q86_N}
 ),
+rare AS (
+    SELECT s FROM (
+        SELECT s, COUNT(*) AS dfreq FROM
+        (SELECT s FROM nsh UNION ALL SELECT s FROM osh) GROUP BY s
+    ) WHERE dfreq <= {_Q86_DF_CAP}
+),
+cand AS (
+    SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS old_id
+    FROM nsh n JOIN rare USING (s) JOIN osh o USING (s)
+),
 osz AS (SELECT doc_id, COUNT(*) AS n FROM osh GROUP BY 1),
 nsz AS (SELECT doc_id, COUNT(*) AS n FROM nsh GROUP BY 1),
 ov AS (
-    SELECT n.doc_id AS new_id, o.doc_id AS old_id, COUNT(*) AS shared
-    FROM nsh n JOIN osh o USING (s)
+    SELECT c.new_id, c.old_id, COUNT(*) AS shared
+    FROM cand c
+    JOIN nsh n ON n.doc_id = c.new_id
+    JOIN osh o ON o.doc_id = c.old_id AND o.s = n.s
     GROUP BY 1, 2
 )
 SELECT new_id, old_id,
@@ -687,8 +712,22 @@ def q86(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     osz = osh.groupBy("old_id").agg(F.count(F.lit(1)).alias("on"))
     nsz = nsh.groupBy("new_id").agg(F.count(F.lit(1)).alias("nn"))
+    # stop-shingle cap: only informative shingles generate candidates
+    rare = (
+        nsh.select("s")
+        .unionByName(osh.select("s"))
+        .groupBy("s")
+        .agg(F.count(F.lit(1)).alias("dfreq"))
+        .filter(F.col("dfreq") <= _Q86_DF_CAP)
+        .select("s")
+    )
+    cand = (
+        nsh.join(rare, "s").join(osh, "s").select("new_id", "old_id").distinct()
+    )
+    # exact verify: every shared shingle counts, but only for candidates
     ov = (
-        nsh.join(osh, "s")
+        cand.join(nsh, "new_id")
+        .join(osh, ["old_id", "s"])
         .groupBy("new_id", "old_id")
         .agg(F.count(F.lit(1)).alias("shared"))
     )
