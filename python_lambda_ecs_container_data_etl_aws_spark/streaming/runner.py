@@ -879,3 +879,141 @@ def stateful_funnel(events: DataFrame, gap_us: int = 30 * 60 * 1_000_000) -> Dat
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def boilerplate_lines_ingest_stream(
+    spark: SparkSession,
+    landing_dir: str,
+    schema: StructType,
+    corpus_dir: str,
+    checkpoint_dir: str,
+    fmt: str = "parquet",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    line_tokens: int = 10,
+    min_docs: int = 3,
+) -> None:
+    """Continuous boilerplate-line removal (the q81 CCNet rule as a
+    stream): split each arriving doc into fixed ``line_tokens``-token
+    lines, and drop every line whose document frequency — across ALL
+    batches seen so far plus this one — has reached ``min_docs``. The
+    per-batch line-df index (line_md5 → distinct-doc count) persists
+    next to the corpus; cumulative df is the sum over batch dirs.
+
+    Streaming semantic (documented, arrival-time): a line that only
+    LATER becomes frequent stays in the docs that arrived before the
+    threshold was crossed — the batch query (q81) is the compaction
+    pass that retro-cleans history; this tier is the cheap front door
+    that stops known chrome at ingest.
+
+    Exactly-once: per-batch ``batch=<id>`` overwrite for both corpus
+    and index; the df probe excludes this batch's own index dir, so a
+    crash-after-index-write replay re-derives the same output (same
+    idempotence contract as the exact-dedup tier)."""
+    import os
+    import shutil
+
+    from pyspark.sql import Window  # noqa: F401  (parity with sibling tiers)
+
+    index_dir = corpus_dir.rstrip("/") + "__linedf"
+    src = file_stream(spark, landing_dir, schema, fmt)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        toks = F.split(F.col(text_col), " ")
+        n_lines = F.expr(
+            f"CAST((size(__toks) + {line_tokens} - 1) div {line_tokens} AS INT)"
+        )
+        lines = (
+            batch_df.withColumn("__toks", toks)
+            .withColumn("__li", F.explode(F.sequence(F.lit(0), n_lines - 1)))
+            .withColumn(
+                "__line",
+                F.array_join(
+                    F.slice(
+                        F.col("__toks"),
+                        F.col("__li") * line_tokens + 1,
+                        line_tokens,
+                    ),
+                    " ",
+                ),
+            )
+            .withColumn("__lmd5", F.md5(F.col("__line").cast("binary")))
+            .drop("__toks")
+            .persist()
+        )
+        # this batch's per-line distinct-doc counts
+        batch_df_counts = lines.groupBy("__lmd5").agg(
+            F.countDistinct(id_col).cast("bigint").alias("ndocs")
+        )
+        # cumulative history EXCLUDING this batch's own dir (replay safety)
+        others = (
+            [
+                os.path.join(index_dir, e)
+                for e in os.listdir(index_dir)
+                if e.startswith("batch=") and e != f"batch={batch_id}"
+            ]
+            if os.path.isdir(index_dir)
+            else []
+        )
+        if others:
+            hist = (
+                spark.read.parquet(*others)
+                .groupBy("__lmd5")
+                .agg(F.sum("ndocs").cast("bigint").alias("hdocs"))
+            )
+            cum = batch_df_counts.join(hist, "__lmd5", "left").select(
+                "__lmd5",
+                (
+                    F.col("ndocs") + F.coalesce(F.col("hdocs"), F.lit(0))
+                ).alias("cdocs"),
+            )
+        else:
+            cum = batch_df_counts.select(
+                "__lmd5", F.col("ndocs").alias("cdocs")
+            )
+        boiler = cum.filter(F.col("cdocs") >= min_docs).select("__lmd5")
+        keep = lines.join(boiler.withColumn("__b", F.lit(1)), "__lmd5", "left")
+        # rebuild each doc from its surviving lines in order (explicit
+        # sorted-struct fold — collect_list order is never relied on)
+        rebuilt = (
+            keep.filter(F.col("__b").isNull())
+            .groupBy(id_col)
+            .agg(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("__li", F.col("__line").alias("v")))
+                        ),
+                        lambda x: x["v"],
+                    ),
+                    " ",
+                ).alias("__clean")
+            )
+        )
+        out_cols = [c for c in batch_df.columns]
+        out = (
+            batch_df.join(rebuilt, id_col, "left")
+            .withColumn(
+                text_col, F.coalesce(F.col("__clean"), F.lit(""))
+            )
+            .select(*out_cols)
+        )
+        out.write.mode("overwrite").parquet(
+            os.path.join(corpus_dir, f"batch={batch_id}")
+        )
+        idx_path = os.path.join(index_dir, f"batch={batch_id}")
+        if batch_df_counts.isEmpty():
+            shutil.rmtree(idx_path, ignore_errors=True)
+        else:
+            batch_df_counts.write.mode("overwrite").parquet(idx_path)
+        lines.unpersist()
+
+    q = (
+        src.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -771,3 +771,71 @@ def test_source_cap_stream_recovers_on_restart_without_new_data(spark, tmp_path)
     # restart, nothing new: zero batches fire, recovery must run anyway
     runner.source_cap_stream(spark, landing, doc_schema, kept_dir, ck, cap=2)
     assert spark.read.parquet(kept_dir).count() == 2
+
+
+def test_boilerplate_lines_stream_arrival_time_df(spark, tmp_path):
+    """Streaming CCNet boilerplate removal (q81's front-door twin):
+    a line reaching min_docs distinct docs — within one batch or
+    across batches via the persisted df index — is dropped from docs
+    at arrival time; earlier docs keep it (the batch query is the
+    retro-cleaning compaction); replay is a no-op."""
+    from pyspark.sql.types import LongType, StringType
+
+    doc_schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+    landing = str(tmp_path / "bl_landing")
+    corpus = str(tmp_path / "bl_corpus")
+    ck = str(tmp_path / "ck_bl")
+
+    BOIL = "subscribe now click here buy this one two three four"  # 10 toks
+    assert len(BOIL.split()) == 10
+
+    def body(tag):
+        return " ".join(f"{tag}{i}" for i in range(10))
+
+    def arrive(rows):
+        spark.createDataFrame(rows, doc_schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(landing)
+
+    def drain():
+        runner.boilerplate_lines_ingest_stream(
+            spark, landing, doc_schema, corpus, ck, min_docs=3
+        )
+        return {
+            r.doc_id: r.text for r in spark.read.parquet(corpus).collect()
+        }
+
+    # batch 0: BOIL appears in 3 docs -> dropped from all three at
+    # arrival; doc 4's unique lines untouched
+    arrive(
+        [
+            (1, f"{BOIL} {body('a')}"),
+            (2, f"{BOIL} {body('b')}"),
+            (3, f"{BOIL} {body('c')}"),
+            (4, body("d")),
+        ]
+    )
+    got = drain()
+    assert got == {1: body("a"), 2: body("b"), 3: body("c"), 4: body("d")}
+
+    # batch 1: BOIL already at df=3 in the index -> dropped from the
+    # new doc; a line at df=2 TOTAL (1 here + 1 history) survives
+    two = body("a")  # same line as doc 1's body: df history=1, now 2
+    arrive([(11, f"{BOIL} {body('e')}"), (12, f"{two} {body('f')}")])
+    got = drain()
+    assert got[11] == body("e")
+    assert got[12] == f"{two} {body('f')}"
+    # arrival-time semantic: doc 1 (history) still holds its body line
+    assert got[1] == body("a")
+
+    # batch 2: that shared line crosses min_docs (df 3) -> dropped from
+    # the newcomer only
+    arrive([(21, f"{two} {body('g')}")])
+    got = drain()
+    assert got[21] == body("g")
+    assert got[1] == body("a") and got[12] == f"{two} {body('f')}"
+
+    # restart with nothing new: unchanged (replay-safe)
+    assert drain() == got
