@@ -390,3 +390,66 @@ def test_q73_survives_single_token_docs(spark):
         docs.write.parquet(os.path.join(d, "documents.parquet"))
         out = {r.doc_id: r.n_pairs for r in q73(spark, d).collect()}
         assert out == {3: 2}  # short docs absent, multi-token doc scored
+
+
+# ---- round-4 corpus-preparation family (q80-q91) ----------------------
+
+
+def test_q80_line_filter_is_zero_join_scan_stage(spark):
+    # per-line rules are row-local: one Generate (line explode), one
+    # aggregation, no joins of any kind, no Python
+    plan = _plan(spark, "q80_line_quality_filter")
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Generate" in plan
+
+
+def test_q83_vocab_join_broadcasts(spark):
+    # the top-V vocab relation must broadcast into the encode join —
+    # a sort-merge join on the raw token stream would shuffle the whole
+    # corpus by token text
+    plan = _plan(spark, "q83_vocab_encode")
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q84_weight_join_broadcasts(spark):
+    # the 64-row bucket-weight relation broadcasts into the scoring
+    # join; the token stream itself is never SMJ-shuffled by bucket
+    plan = _plan(spark, "q84_dsir_importance")
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q85_centroids_broadcast_no_cartesian(spark):
+    # K x dim centroid components broadcast; assignment is a hash join
+    # on pos + map-side partial aggregation, never a cartesian
+    plan = _plan(spark, "q85_kmeans_assign")
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q87_curriculum_has_no_global_window(spark):
+    # the NTILE allocation must come from add_autoid's two-pass rank,
+    # never a single-partition Window.orderBy (the W1 anti-pattern)
+    plan = _plan(spark, "q87_length_curriculum")
+    assert "SinglePartition" not in plan, plan
+
+
+def test_q88_pack_index_no_global_window(spark):
+    # same contract as q46: the prefix sum is range-partitioned
+    plan = _plan(spark, "q88_pack_index")
+    assert "SinglePartition" not in plan, plan
+
+
+def test_q90_url_filter_is_pure_projection(spark):
+    plan = _plan(spark, "q90_url_filter")
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_q91_pii_density_stays_in_codegen(spark):
+    # regex counting is JVM expressions, never a Python stage
+    plan = _plan(spark, "q91_pii_density_hist")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Join" not in plan
