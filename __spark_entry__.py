@@ -46,7 +46,7 @@ _NEVER_DRIVER_VERIFIED = [
     "q83_vocab_encode", "q84_dsir_importance",
     "q85_kmeans_assign", "q86_crosscorpus_neardup", "q87_length_curriculum",
     "q88_pack_index", "q89_minhash_jaccard_est",
-    "q90_url_filter", "q91_pii_density_hist",
+    "q90_url_filter", "q91_pii_density_hist", "q92_incremental_boilerplate",
 ]
 _SINGLE_GREEN = [
     # green in exactly one driver round so far; oldest single-green first

@@ -37,6 +37,9 @@ validation.
   first-fail attribution plus tracker-param canonicalization.
 - q91 PII density histogram: the per-document distribution behind
   q56's per-source totals.
+- q92 incremental boilerplate removal: the batch-vs-index shape of
+  q81 with EXACTLY the streaming tier's cumulative-df semantic — the
+  stream≡batch equivalence test pins the two together.
 
 The reference pipeline (CSV -> MySQL/DynamoDB loads) has no crawl
 curation; these extend the Tier-C LLM-operator suite with
@@ -1146,4 +1149,89 @@ def q91(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_toks").cast("bigint").alias("sum_toks"),
         )
         .orderBy("source", "pii_bucket")
+    )
+
+
+# --------------------------------------------------------------------------
+# q92 incremental boilerplate removal — the batch-vs-index shape of
+# q81 (and the EXACT semantic of streaming.boilerplate_lines_ingest_
+# stream's per-batch step): a new batch of docs (doc_id % 10 >= 8) is
+# cleaned against the existing corpus's line-frequency index
+# (doc_id % 10 < 8) PLUS the batch's own counts — a line whose
+# cumulative distinct-doc frequency reaches the threshold is dropped
+# from the batch docs; the old corpus is never re-cleaned (q81 is the
+# full compaction). At scale the old side is the persisted __linedf
+# index: per batch, cost scales with the batch.
+
+_Q92_MIN_DOCS = 3
+
+ORACLE["q92_incremental_boilerplate"] = f"""
+WITH {_LINES_CTE},
+old_df AS (
+    SELECT line_text, COUNT(DISTINCT doc_id) AS odocs
+    FROM lines WHERE doc_id % 10 < 8 GROUP BY 1
+),
+batch AS (SELECT * FROM lines WHERE doc_id % 10 >= 8),
+batch_df AS (
+    SELECT line_text, COUNT(DISTINCT doc_id) AS bdocs
+    FROM batch GROUP BY 1
+),
+judged AS (
+    SELECT b.source, b.doc_id, b.line_idx, b.line_text,
+           (COALESCE(o.odocs, 0) + d.bdocs >= {_Q92_MIN_DOCS}) AS is_boiler
+    FROM batch b
+    JOIN batch_df d USING (line_text)
+    LEFT JOIN old_df o USING (line_text)
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(CASE WHEN is_boiler THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+       md5(COALESCE(string_agg(CASE WHEN NOT is_boiler THEN line_text END, ' '
+                               ORDER BY line_idx), '')) AS clean_md5
+FROM judged GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+@_q("q92_incremental_boilerplate")
+def q92(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lines = _lines_df(spark, sf_dir)
+    old_df = (
+        lines.filter(F.col("doc_id") % 10 < 8)
+        .groupBy("line_text")
+        .agg(F.countDistinct("doc_id").alias("odocs"))
+    )
+    batch = lines.filter(F.col("doc_id") % 10 >= 8).persist()
+    batch_df = batch.groupBy("line_text").agg(
+        F.countDistinct("doc_id").alias("bdocs")
+    )
+    judged = (
+        batch.join(batch_df, "line_text")
+        .join(old_df, "line_text", "left")
+        .withColumn(
+            "is_boiler",
+            (F.coalesce("odocs", F.lit(0)) + F.col("bdocs")) >= _Q92_MIN_DOCS,
+        )
+    )
+    surv = F.when(~F.col("is_boiler"), F.col("line_text"))
+    return (
+        judged.withColumn("surv", surv)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.col("is_boiler").cast("bigint")).cast("bigint").alias("n_dropped"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.struct("line_idx", F.col("surv").alias("__v"))
+                            )
+                        ),
+                        lambda x: x["__v"],
+                    ),
+                    " ",
+                ).cast("binary")
+            ).alias("clean_md5"),
+        )
+        .orderBy("doc_id")
     )

@@ -839,3 +839,66 @@ def test_boilerplate_lines_stream_arrival_time_df(spark, tmp_path):
 
     # restart with nothing new: unchanged (replay-safe)
     assert drain() == got
+
+
+def test_boilerplate_stream_equals_q92_batch_twin(spark, tmp_path):
+    """Stream ≡ batch: feeding the q92 fixture's 'old corpus' as batch
+    0 and its 'new batch' as batch 1 through the streaming tier must
+    produce, for every new doc, exactly the surviving text the q92
+    batch query fingerprints (same line unit, same cumulative-df
+    threshold, same keep order)."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, StringType
+
+    from python_lambda_ecs_container_data_etl_aws_spark.plans import QUERIES
+    from python_lambda_ecs_container_data_etl_aws_spark.plans.corpus import (
+        _BOILER,
+    )
+    from tests.conftest import SF_DIR
+
+    doc_schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+    landing = str(tmp_path / "eq_landing")
+    corpus = str(tmp_path / "eq_corpus")
+    ck = str(tmp_path / "ck_eq")
+
+    planted = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 13 == 0,
+                F.concat(F.lit(_BOILER + " "), F.col("text")),
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+        .persist()
+    )
+    old = planted.filter(F.col("doc_id") % 10 < 8)
+    new = planted.filter(F.col("doc_id") % 10 >= 8)
+
+    old.coalesce(1).write.mode("append").parquet(landing)
+    runner.boilerplate_lines_ingest_stream(
+        spark, landing, doc_schema, corpus, ck, min_docs=3
+    )
+    new.coalesce(1).write.mode("append").parquet(landing)
+    runner.boilerplate_lines_ingest_stream(
+        spark, landing, doc_schema, corpus, ck, min_docs=3
+    )
+
+    stream_text = {
+        r.doc_id: r.text
+        for r in spark.read.parquet(corpus).collect()
+        if r.doc_id % 10 >= 8
+    }
+    batch = {
+        r.doc_id: r.clean_md5
+        for r in QUERIES["q92_incremental_boilerplate"](spark, SF_DIR).collect()
+    }
+    assert set(stream_text) == set(batch)
+    for did, txt in stream_text.items():
+        assert hashlib.md5(txt.encode()).hexdigest() == batch[did], did
