@@ -158,3 +158,53 @@ def test_normalize_text_idempotent_and_variant_stable(texts, spark):
         # normalized form contains only [a-z0-9 ] with single spaces
         assert "  " not in r.n1 and r.n1 == r.n1.strip()
         assert all(c.islower() or c.isdigit() or c == " " for c in r.n1)
+
+
+def test_q87_ntile_arithmetic_equals_builtin(spark):
+    """The scalable NTILE(10) arithmetic (autoid rank + allocation
+    formula) must agree with Spark's built-in ntile window for every
+    corpus size shape: n < 10, n % 10 == 0, and ragged remainders."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    for n in (1, 7, 10, 23, 100, 101, 109):
+        d = spark.range(n).select(
+            F.col("id").alias("doc_id"), (F.col("id") * 37 % 91).alias("ntok")
+        )
+        b, r = divmod(n, 10)
+        ranked = d.withColumn(
+            "autoid",
+            F.row_number().over(Window.orderBy("ntok", "doc_id")),
+        )
+        dec = ranked.withColumn(
+            "decile",
+            F.expr(
+                f"CAST(CASE WHEN autoid <= {r * (b + 1)}"
+                f" THEN (autoid - 1) div {b + 1} + 1"
+                f" ELSE {r} + (autoid - 1 - {r * (b + 1)}) div {max(b, 1)} + 1"
+                " END AS INT)"
+            ),
+        ).withColumn("builtin", F.ntile(10).over(Window.orderBy("ntok", "doc_id")))
+        bad = dec.filter(F.col("decile") != F.col("builtin")).count()
+        assert bad == 0, f"n={n}: arithmetic diverges from ntile"
+
+
+def test_md5_ordered_matches_python_reference(spark):
+    """_md5_ordered (the Spark twin of DuckDB's ordered string_agg md5)
+    must fingerprint exactly the order-key-sorted value join."""
+    import hashlib
+
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from python_lambda_ecs_container_data_etl_aws_spark.plans.corpus import (
+        _md5_ordered,
+    )
+
+    rows = [(1, 3, "c"), (1, 1, "a"), (1, 2, "b"), (2, 1, "x")]
+    d = spark.createDataFrame(rows, "g INT, k INT, v STRING")
+    got = {
+        r.g: r.h
+        for r in d.groupBy("g").agg(_md5_ordered("v", "k").alias("h")).collect()
+    }
+    assert got[1] == hashlib.md5("a b c".encode()).hexdigest()
+    assert got[2] == hashlib.md5("x".encode()).hexdigest()
