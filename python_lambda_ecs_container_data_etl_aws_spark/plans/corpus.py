@@ -423,16 +423,22 @@ def q83(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = d.select(
         "doc_id", F.posexplode(F.split("text", " ")).alias("pos0", "tok")
     ).select("doc_id", (F.col("pos0") + 1).cast("bigint").alias("pos"), "tok")
+    # top-V FIRST (TakeOrderedAndProject — distributed partial top-V per
+    # partition, no full-vocab exchange), THEN the id-assigning window
+    # over just V rows. Ranking before limiting would put the entire
+    # distinct-token relation — billions of rows on web text — through
+    # one single-partition window.
     vocab = (
         tok.groupBy("tok")
         .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("tok"))
+        .limit(_Q83_V)
         .withColumn(
             "vid",
             F.row_number().over(
                 Window.orderBy(F.col("cnt").desc(), F.col("tok"))
             ),
         )
-        .filter(F.col("vid") <= _Q83_V)
         .select("tok", "vid")
     )
     enc = tok.join(F.broadcast(vocab), "tok", "left").select(

@@ -411,6 +411,10 @@ def test_q83_vocab_join_broadcasts(spark):
     plan = _plan(spark, "q83_vocab_encode")
     assert "SortMergeJoin" not in plan
     assert "BroadcastHashJoin" in plan
+    # top-V selection is a distributed TakeOrderedAndProject; the
+    # id-assigning window runs AFTER the limit (over V rows), never
+    # over the full distinct-token relation (billions on web text)
+    assert "TakeOrderedAndProject" in plan
 
 
 def test_q84_weight_join_broadcasts(spark):
