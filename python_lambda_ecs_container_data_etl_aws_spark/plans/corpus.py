@@ -40,6 +40,9 @@ validation.
 - q92 incremental boilerplate removal: the batch-vs-index shape of
   q81 with EXACTLY the streaming tier's cumulative-df semantic — the
   stream≡batch equivalence test pins the two together.
+- q93 time-series resample + gap-fill + LOCF: dense hourly grid,
+  zero-filled counts, last-observation-carried-forward via the
+  portable gaps-and-islands form (no vendor IGNORE NULLS).
 
 The reference pipeline (CSV -> MySQL/DynamoDB loads) has no crawl
 curation; these extend the Tier-C LLM-operator suite with
@@ -1241,3 +1244,108 @@ def q92(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# q93 time-series resample + gap-fill + LOCF — the temporal feature
+# prep a training pipeline runs over event logs: a dense per-type
+# hourly grid from the global time span, zero-filled counts, and
+# last-observation-carried-forward of the (quantized, exact-integer)
+# bucket value sum. LOCF is the portable gaps-and-islands form — a
+# running count of observed buckets partitions the grid into islands,
+# each island's head supplies the carried value — NOT a vendor
+# IGNORE NULLS window. Scale: the grid is bounded by time span x
+# types (not by event rows); per-type windows partition cleanly.
+
+_Q93_BUCKET_US = 3_600_000_000  # 1 hour
+
+
+ORACLE["q93_gapfill_locf"] = f"""
+WITH e AS (
+    SELECT event_type, epoch_us(ts) AS ts_us,
+           CAST(floor(value * 100) AS BIGINT) AS qv
+    FROM events
+),
+span AS (
+    SELECT MIN(ts_us // {_Q93_BUCKET_US}) AS b0,
+           MAX(ts_us // {_Q93_BUCKET_US}) AS b1
+    FROM e
+),
+grid AS (
+    SELECT t.event_type, CAST(u.b AS BIGINT) AS bucket
+    FROM (SELECT DISTINCT event_type FROM e) t,
+         span, UNNEST(range(b0, b1 + 1)) AS u(b)
+),
+agg AS (
+    SELECT event_type, CAST(ts_us // {_Q93_BUCKET_US} AS BIGINT) AS bucket,
+           COUNT(*) AS n_events, CAST(SUM(qv) AS BIGINT) AS qsum
+    FROM e GROUP BY 1, 2
+),
+joined AS (
+    SELECT g.event_type, g.bucket,
+           COALESCE(a.n_events, 0) AS n_events,
+           a.qsum,
+           SUM(CASE WHEN a.qsum IS NOT NULL THEN 1 ELSE 0 END)
+               OVER (PARTITION BY g.event_type ORDER BY g.bucket
+                     ROWS UNBOUNDED PRECEDING) AS grp
+    FROM grid g LEFT JOIN agg a USING (event_type, bucket)
+)
+SELECT event_type,
+       CAST(bucket * {_Q93_BUCKET_US // 1_000_000} AS BIGINT) AS bucket_sec,
+       CAST(n_events AS BIGINT) AS n_events,
+       CAST(n_events = 0 AS INT) AS is_gap,
+       CAST(MAX(qsum) OVER (PARTITION BY event_type, grp) AS BIGINT) AS locf_qsum
+FROM joined ORDER BY event_type, bucket_sec
+"""
+
+
+@_q("q93_gapfill_locf")
+def q93(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr(f"ts_us div {_Q93_BUCKET_US}").cast("bigint").alias("bucket"),
+        F.floor(F.col("value") * 100).cast("bigint").alias("qv"),
+    )
+    span = e.agg(
+        F.min("bucket").alias("b0"), F.max("bucket").alias("b1")
+    )
+    types = e.select("event_type").distinct()
+    grid = (
+        types.crossJoin(F.broadcast(span))
+        .select(
+            "event_type",
+            F.explode(F.sequence(F.col("b0"), F.col("b1"))).alias("bucket"),
+        )
+    )
+    agg = e.groupBy("event_type", "bucket").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("qv").cast("bigint").alias("qsum"),
+    )
+    w_grp = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    joined = (
+        grid.join(agg, ["event_type", "bucket"], "left")
+        .select(
+            "event_type",
+            "bucket",
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            "qsum",
+        )
+        .withColumn(
+            "grp",
+            F.sum(F.col("qsum").isNotNull().cast("int")).over(w_grp),
+        )
+    )
+    w_island = Window.partitionBy("event_type", "grp")
+    return joined.select(
+        "event_type",
+        (F.col("bucket") * (_Q93_BUCKET_US // 1_000_000))
+        .cast("bigint")
+        .alias("bucket_sec"),
+        F.col("n_events").cast("bigint").alias("n_events"),
+        (F.col("n_events") == 0).cast("int").alias("is_gap"),
+        F.max("qsum").over(w_island).cast("bigint").alias("locf_qsum"),
+    ).orderBy("event_type", "bucket_sec")

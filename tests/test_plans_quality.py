@@ -457,3 +457,16 @@ def test_q91_pii_density_stays_in_codegen(spark):
     plan = _plan(spark, "q91_pii_density_hist")
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "Join" not in plan
+
+
+def test_q93_gapfill_windows_partition_by_type(spark):
+    # the grid is bounded by span x types; LOCF windows partition by
+    # event_type (never a single-partition global window) and stay in
+    # JVM expressions
+    plan = _plan(spark, "q93_gapfill_locf")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    import re as _re
+
+    # every window exchange is keyed by event_type
+    wins = _re.findall(r"Arguments: \[[^\]]*windowspecdefinition\(([^,]+),", plan)
+    assert wins and all("event_type" in w for w in wins), wins
