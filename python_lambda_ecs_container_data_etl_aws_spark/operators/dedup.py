@@ -764,3 +764,76 @@ def containment_pairs(
     return out.filter(
         (F.col("c_ab") >= threshold) | (F.col("c_ba") >= threshold)
     )
+
+
+def crosscorpus_neardup_pairs(
+    old_docs: DataFrame,
+    new_docs: DataFrame,
+    n: int = 5,
+    threshold: float = 0.35,
+    df_cap: int | None = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact-Jaccard near-dup pairs BETWEEN two corpora (never within
+    either): dedup a new crawl batch against an existing corpus.
+    Returns (new_id, old_id, n_shared, jaccard) for pairs at or above
+    ``threshold``.
+
+    Candidates come from shared shingles; with ``df_cap`` set, only
+    informative shingles — document frequency <= cap across BOTH
+    corpora — generate candidates (the stop-shingle rule: a
+    navigation-chrome shingle shared by half the corpus would
+    otherwise make the candidate join quadratic through that one hot
+    key — observed as a >300 s hang on the 100k boilerplate-heavy
+    smoke). The Jaccard VERIFY still counts every shared shingle,
+    restricted to candidate pairs, so scores are exact; only pairs
+    sharing NOTHING BUT ubiquitous shingles are not reported. At scale
+    the old side's shingle relation is the persisted index
+    (lsh_index_of shape): per batch, cost scales with the new side.
+    Backs q86 (plans/corpus.py), whose DuckDB oracle applies the
+    identical cap."""
+    osh = (
+        doc_shingles(old_docs, text_col, id_col, n)
+        .select(F.col("id").alias("old_id"), F.explode("sh").alias("s"))
+        .persist()
+    )
+    nsh = (
+        doc_shingles(new_docs, text_col, id_col, n)
+        .select(F.col("id").alias("new_id"), F.explode("sh").alias("s"))
+        .persist()
+    )
+    osz = osh.groupBy("old_id").agg(F.count(F.lit(1)).alias("on"))
+    nsz = nsh.groupBy("new_id").agg(F.count(F.lit(1)).alias("nn"))
+    gen_n, gen_o = nsh, osh
+    if df_cap is not None:
+        rare = (
+            nsh.select("s")
+            .unionByName(osh.select("s"))
+            .groupBy("s")
+            .agg(F.count(F.lit(1)).alias("dfreq"))
+            .filter(F.col("dfreq") <= df_cap)
+            .select("s")
+        )
+        gen_n = nsh.join(rare, "s")
+    cand = gen_n.join(gen_o, "s").select("new_id", "old_id").distinct()
+    ov = (
+        cand.join(nsh, "new_id")
+        .join(osh, ["old_id", "s"])
+        .groupBy("new_id", "old_id")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    jac = F.col("shared").cast("double") / (
+        F.col("nn") + F.col("on") - F.col("shared")
+    )
+    return (
+        ov.join(nsz, "new_id")
+        .join(osz, "old_id")
+        .select(
+            "new_id",
+            "old_id",
+            F.col("shared").cast("bigint").alias("n_shared"),
+            jac.alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )

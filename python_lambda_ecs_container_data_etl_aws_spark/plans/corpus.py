@@ -698,7 +698,7 @@ ORDER BY new_id, old_id
 
 @_q("q86_crosscorpus_neardup")
 def q86(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.dedup import doc_shingles
+    from ..operators.dedup import crosscorpus_neardup_pairs
 
     d = load_table(spark, sf_dir, "documents")
     srcnum = F.substring("source", 4, 10).cast("int")
@@ -711,53 +711,13 @@ def q86(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("text"),
     )
     new_docs = new_real.unionByName(plants)
-
-    osh = (
-        doc_shingles(old_docs, "text", "doc_id", _Q86_N)
-        .select(F.col("id").alias("old_id"), F.explode("sh").alias("s"))
-        .persist()
-    )
-    nsh = (
-        doc_shingles(new_docs, "text", "doc_id", _Q86_N)
-        .select(F.col("id").alias("new_id"), F.explode("sh").alias("s"))
-        .persist()
-    )
-    osz = osh.groupBy("old_id").agg(F.count(F.lit(1)).alias("on"))
-    nsz = nsh.groupBy("new_id").agg(F.count(F.lit(1)).alias("nn"))
-    # stop-shingle cap: only informative shingles generate candidates
-    rare = (
-        nsh.select("s")
-        .unionByName(osh.select("s"))
-        .groupBy("s")
-        .agg(F.count(F.lit(1)).alias("dfreq"))
-        .filter(F.col("dfreq") <= _Q86_DF_CAP)
-        .select("s")
-    )
-    cand = (
-        nsh.join(rare, "s").join(osh, "s").select("new_id", "old_id").distinct()
-    )
-    # exact verify: every shared shingle counts, but only for candidates
-    ov = (
-        cand.join(nsh, "new_id")
-        .join(osh, ["old_id", "s"])
-        .groupBy("new_id", "old_id")
-        .agg(F.count(F.lit(1)).alias("shared"))
-    )
-    jac = F.col("shared").cast("double") / (
-        F.col("nn") + F.col("on") - F.col("shared")
-    )
-    return (
-        ov.join(nsz, "new_id")
-        .join(osz, "old_id")
-        .select(
-            "new_id",
-            "old_id",
-            F.col("shared").cast("bigint").alias("n_shared"),
-            jac.alias("jaccard"),
-        )
-        .filter(F.col("jaccard") >= _Q86_THRESH)
-        .orderBy("new_id", "old_id")
-    )
+    return crosscorpus_neardup_pairs(
+        old_docs,
+        new_docs,
+        n=_Q86_N,
+        threshold=_Q86_THRESH,
+        df_cap=_Q86_DF_CAP,
+    ).orderBy("new_id", "old_id")
 
 
 # --------------------------------------------------------------------------

@@ -1188,3 +1188,46 @@ def test_curate_corpus_quality_cols_rank_survivors(spark):
         cap_per_source=2,
     )
     assert {r.doc_id for r in capped.collect()} == {2, 4}
+
+
+def test_crosscorpus_neardup_stop_shingle_semantics(spark):
+    """The df_cap contract: a pair sharing ONLY a hot (over-cap)
+    shingle is not reported; a pair sharing rare shingles is, and its
+    Jaccard still counts EVERY shared shingle — including hot ones."""
+    hot = "one two three four five"  # the 5-gram every doc contains
+    old = spark.createDataFrame(
+        [
+            (1, f"{hot} oa ob oc od oe"),          # shares only `hot` with new 11
+            (2, f"{hot} ra rb rc rd re rf rg"),    # shares rare grams with new 12
+        ],
+        "doc_id BIGINT, text STRING",
+    )
+    new = spark.createDataFrame(
+        [
+            (11, f"{hot} na nb nc nd ne"),
+            (12, f"{hot} ra rb rc rd re rf rg zz"),
+        ],
+        "doc_id BIGINT, text STRING",
+    )
+    # df of `hot`-derived shingles across the 4 docs exceeds cap=3
+    pairs = {
+        (r.new_id, r.old_id): (r.n_shared, r.jaccard)
+        for r in dedup.crosscorpus_neardup_pairs(
+            old, new, n=5, threshold=0.05, df_cap=3
+        ).collect()
+    }
+    assert (11, 1) not in pairs  # only-hot pair suppressed
+    assert (12, 2) in pairs
+    n_shared, jacc = pairs[(12, 2)]
+    # verify counted the hot shingle too: doc2/doc12 share every
+    # 5-gram of "hot ra..rg" window chain except the tail introduced
+    # by zz — shared count must exceed the rare-only count of 1
+    assert n_shared > 1
+    # uncapped run reports the only-hot pair as well
+    un = {
+        (r.new_id, r.old_id)
+        for r in dedup.crosscorpus_neardup_pairs(
+            old, new, n=5, threshold=0.05, df_cap=None
+        ).collect()
+    }
+    assert (11, 1) in un and (12, 2) in un
