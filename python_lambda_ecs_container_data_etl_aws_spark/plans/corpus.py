@@ -43,6 +43,8 @@ validation.
 - q93 time-series resample + gap-fill + LOCF: dense hourly grid,
   zero-filled counts, last-observation-carried-forward via the
   portable gaps-and-islands form (no vendor IGNORE NULLS).
+- q94 repeated-span detection (ExactSubstr-dedup measure): stride-1
+  windows -> corpus frequency -> per-doc maximal-span interval merge.
 
 The reference pipeline (CSV -> MySQL/DynamoDB loads) has no crawl
 curation; these extend the Tier-C LLM-operator suite with
@@ -1309,3 +1311,142 @@ def q93(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_events") == 0).cast("int").alias("is_gap"),
         F.max("qsum").over(w_island).cast("bigint").alias("locf_qsum"),
     ).orderBy("event_type", "bucket_sec")
+
+
+# --------------------------------------------------------------------------
+# q94 repeated-span detection (ExactSubstr-dedup measure, Lee et al.
+# 2022, relational skeleton): stride-1 W-token windows, corpus
+# frequency per window text, then per-doc merging of overlapping
+# repeated windows into maximal spans (gaps-and-islands interval
+# merge) — reporting how many of each doc's tokens sit inside a span
+# that also occurs elsewhere. A 25-token plant on 1/13 of docs
+# guarantees true repeated spans at every scale factor. Cost: the
+# stride-1 explode is O(tokens); frequency is one linear agg; the
+# interval merge is a per-doc window over that doc's repeated
+# windows only.
+
+_Q94_W = 20
+_Q94_PLANT = (
+    "alpha bravo charlie delta echo foxtrot golf hotel india juliet "
+    "kilo lima mike november oscar papa quebec romeo sierra tango "
+    "uniform victor whiskey xray yankee"
+)
+
+ORACLE["q94_repeated_spans"] = f"""
+WITH tok AS (
+    SELECT doc_id,
+           string_split(CASE WHEN doc_id % 13 = 0
+                             THEN '{_Q94_PLANT} ' || text ELSE text END,
+                        ' ') AS toks
+    FROM documents
+),
+win AS (
+    SELECT doc_id, CAST(u.p AS BIGINT) AS p,
+           array_to_string(list_slice(toks, u.p, u.p + {_Q94_W} - 1), ' ') AS w
+    FROM tok, UNNEST(range(1, len(toks) - {_Q94_W} + 2)) AS u(p)
+    WHERE len(toks) >= {_Q94_W}
+),
+rep AS (
+    SELECT w FROM win GROUP BY w HAVING COUNT(DISTINCT doc_id) >= 2
+),
+rw AS (SELECT win.doc_id, win.p FROM win JOIN rep USING (w)),
+isl AS (
+    SELECT doc_id, p,
+           CASE WHEN p > COALESCE(MAX(p + {_Q94_W} - 1) OVER (
+                    PARTITION BY doc_id ORDER BY p
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                THEN 1 ELSE 0 END AS new_island
+    FROM rw
+),
+grp AS (
+    SELECT doc_id, p,
+           SUM(new_island) OVER (PARTITION BY doc_id ORDER BY p
+                                 ROWS UNBOUNDED PRECEDING) AS island
+    FROM isl
+),
+spans AS (
+    SELECT doc_id, island, MIN(p) AS s, MAX(p) + {_Q94_W} - 1 AS e
+    FROM grp GROUP BY doc_id, island
+),
+per_doc AS (
+    SELECT doc_id,
+           COUNT(*) AS n_spans,
+           CAST(SUM(e - s + 1) AS BIGINT) AS dup_tokens
+    FROM spans GROUP BY doc_id
+)
+SELECT t.doc_id,
+       CAST(len(toks) AS BIGINT) AS n_toks,
+       CAST(COALESCE(p.n_spans, 0) AS BIGINT) AS n_spans,
+       CAST(COALESCE(p.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+       CAST(COALESCE(p.dup_tokens, 0) AS DOUBLE) / len(toks) AS dup_frac
+FROM tok t LEFT JOIN per_doc p USING (doc_id)
+ORDER BY t.doc_id
+"""
+
+
+@_q("q94_repeated_spans")
+def q94(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    planted = F.when(
+        F.col("doc_id") % 13 == 0,
+        F.concat(F.lit(_Q94_PLANT + " "), F.col("text")),
+    ).otherwise(F.col("text"))
+    tok = d.select("doc_id", F.split(planted, " ").alias("toks")).persist()
+    gen = (
+        f"transform(sequence(1, size(toks) - {_Q94_W} + 1), "
+        f"p -> struct(p AS p, concat_ws(' ', slice(toks, p, {_Q94_W})) AS w))"
+    )
+    win = (
+        tok.filter(F.size("toks") >= _Q94_W)
+        .select("doc_id", F.explode(F.expr(gen)).alias("pw"))
+        .select("doc_id", F.col("pw.p").cast("bigint").alias("p"), F.col("pw.w").alias("w"))
+        .persist()
+    )
+    rep = (
+        win.groupBy("w")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("w")
+    )
+    rw = win.join(rep, "w").select("doc_id", "p")
+    w_prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("p")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("doc_id")
+        .orderBy("p")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    isl = rw.withColumn(
+        "new_island",
+        (
+            F.col("p")
+            > F.coalesce(
+                F.max(F.col("p") + _Q94_W - 1).over(w_prev), F.lit(-1)
+            )
+        ).cast("int"),
+    )
+    grp = isl.withColumn("island", F.sum("new_island").over(w_run))
+    spans = grp.groupBy("doc_id", "island").agg(
+        F.min("p").alias("s"), (F.max("p") + _Q94_W - 1).alias("e")
+    )
+    per_doc = spans.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum(F.col("e") - F.col("s") + 1).cast("bigint").alias("dup_tokens"),
+    )
+    return (
+        tok.join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.size("toks").cast("bigint").alias("n_toks"),
+            F.coalesce("n_spans", F.lit(0)).cast("bigint").alias("n_spans"),
+            F.coalesce("dup_tokens", F.lit(0)).cast("bigint").alias("dup_tokens"),
+            (
+                F.coalesce("dup_tokens", F.lit(0)).cast("double")
+                / F.size("toks")
+            ).alias("dup_frac"),
+        )
+        .orderBy("doc_id")
+    )
