@@ -1181,3 +1181,31 @@ def test_readers_surface_stranded_asides(spark, tmp_path):
     os.makedirs(os.path.join(log_dir, ".log_date=2001-01-01__old"))
     with _pt.warns(UserWarning, match="stranded"):
         assert load_ingest_log(spark, log_dir).count() == 1
+
+
+def test_whole_table_stranded_aside_detected(spark, tmp_path):
+    """The sibling .<table>__old dir (crashed whole-table swap of an
+    unbucketed compaction) is detected by stranded_asides and warned
+    on read, same as per-bucket asides."""
+    import warnings as _w
+
+    import pytest as _pt
+
+    from python_lambda_ecs_container_data_etl_aws_spark.sources.pipeline import (
+        stranded_asides,
+    )
+
+    land = tmp_path / "landing"
+    land.mkdir()
+    wh = str(tmp_path / "wh")
+    f = land / "PriceIndex_y.csv"
+    f.write_text("\n".join([HEADER] + [_row(f"D{i}", "1.0") for i in range(4)]) + "\n")
+    ingest_file(spark, str(f), wh, keys=["DGUID"])
+    table_dir = os.path.join(wh, "priceindex")
+
+    aside = os.path.join(wh, ".priceindex__old")
+    os.makedirs(aside)
+    assert stranded_asides(table_dir) == [aside]
+    with _pt.warns(UserWarning, match="stranded swap aside"):
+        read_permanent(spark, wh, "priceindex")
+    assert os.path.isdir(aside)
