@@ -1392,23 +1392,31 @@ def q94(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit(_Q94_PLANT + " "), F.col("text")),
     ).otherwise(F.col("text"))
     tok = d.select("doc_id", F.split(planted, " ").alias("toks")).persist()
+    # hash each window INSIDE the generator: the shuffled/persisted
+    # relation carries (doc_id, p, 64-bit hash), never the ~20-token
+    # window strings themselves — at 100 TB the frequency shuffle moves
+    # 8-byte keys instead of ~100-byte texts. (The oracle groups by the
+    # string; a 64-bit collision would surface as a deterministic
+    # parity mismatch — negligible odds, loud failure.)
     gen = (
         f"transform(sequence(1, size(toks) - {_Q94_W} + 1), "
-        f"p -> struct(p AS p, concat_ws(' ', slice(toks, p, {_Q94_W})) AS w))"
+        f"p -> struct(p AS p, xxhash64(concat_ws(' ', slice(toks, p, {_Q94_W}))) AS wh))"
     )
     win = (
         tok.filter(F.size("toks") >= _Q94_W)
         .select("doc_id", F.explode(F.expr(gen)).alias("pw"))
-        .select("doc_id", F.col("pw.p").cast("bigint").alias("p"), F.col("pw.w").alias("w"))
+        .select(
+            "doc_id", F.col("pw.p").cast("bigint").alias("p"), F.col("pw.wh").alias("wh")
+        )
         .persist()
     )
     rep = (
-        win.groupBy("w")
+        win.groupBy("wh")
         .agg(F.countDistinct("doc_id").alias("nd"))
         .filter(F.col("nd") >= 2)
-        .select("w")
+        .select("wh")
     )
-    rw = win.join(rep, "w").select("doc_id", "p")
+    rw = win.join(rep, "wh").select("doc_id", "p")
     w_prev = (
         Window.partitionBy("doc_id")
         .orderBy("p")
