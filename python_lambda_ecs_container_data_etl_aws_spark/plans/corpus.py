@@ -265,13 +265,26 @@ FROM flagged GROUP BY source ORDER BY source
 
 @_q("q81_boilerplate_lines")
 def q81(spark: SparkSession, sf_dir: str) -> DataFrame:
-    lines = _lines_df(spark, sf_dir).persist()
-    freq = (
-        lines.groupBy("line_text")
+    # hash lines to 64-bit keys for the frequency shuffle and flag
+    # join (the oracle groups by the string — a collision would fail
+    # parity loudly), and join only the BOILERPLATE set back, not the
+    # full distinct-line relation: the boiler set is tiny by
+    # construction (few distinct lines, many occurrences), so AQE
+    # broadcasts the flag join at any corpus size (no forced hint — a
+    # pathological boiler set should degrade to a hash join, not OOM
+    # the driver).
+    lines = _lines_df(spark, sf_dir).withColumn(
+        "wh", F.xxhash64("line_text")
+    ).persist()
+    boiler = (
+        lines.groupBy("wh")
         .agg(F.countDistinct("doc_id").alias("ndocs"))
-        .select("line_text", (F.col("ndocs") >= _Q81_MIN_DOCS).alias("is_boiler"))
+        .filter(F.col("ndocs") >= _Q81_MIN_DOCS)
+        .select("wh", F.lit(True).alias("is_boiler"))
     )
-    flagged = lines.join(freq, "line_text")
+    flagged = lines.join(boiler, "wh", "left").withColumn(
+        "is_boiler", F.coalesce("is_boiler", F.lit(False))
+    )
     out = (
         flagged.withColumn(
             "surv_text", F.when(~F.col("is_boiler"), F.col("line_text"))
@@ -1165,19 +1178,22 @@ FROM judged GROUP BY doc_id ORDER BY doc_id
 
 @_q("q92_incremental_boilerplate")
 def q92(spark: SparkSession, sf_dir: str) -> DataFrame:
-    lines = _lines_df(spark, sf_dir)
+    # all df-count joins keyed by the 64-bit line hash — the shuffles
+    # carry 8-byte keys, never the line strings (same trick as q81/q94;
+    # the persisted streaming index stores md5 keys for the same reason)
+    lines = _lines_df(spark, sf_dir).withColumn("wh", F.xxhash64("line_text"))
     old_df = (
         lines.filter(F.col("doc_id") % 10 < 8)
-        .groupBy("line_text")
+        .groupBy("wh")
         .agg(F.countDistinct("doc_id").alias("odocs"))
     )
     batch = lines.filter(F.col("doc_id") % 10 >= 8).persist()
-    batch_df = batch.groupBy("line_text").agg(
+    batch_df = batch.groupBy("wh").agg(
         F.countDistinct("doc_id").alias("bdocs")
     )
     judged = (
-        batch.join(batch_df, "line_text")
-        .join(old_df, "line_text", "left")
+        batch.join(batch_df, "wh")
+        .join(old_df, "wh", "left")
         .withColumn(
             "is_boiler",
             (F.coalesce("odocs", F.lit(0)) + F.col("bdocs")) >= _Q92_MIN_DOCS,
