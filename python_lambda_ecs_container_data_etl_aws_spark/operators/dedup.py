@@ -792,15 +792,20 @@ def crosscorpus_neardup_pairs(
     the old side's shingle relation is the persisted index
     (lsh_index_of shape): per batch, cost scales with the new side.
     Backs q86 (plans/corpus.py), whose DuckDB oracle applies the
-    identical cap."""
+    identical cap. Shingles are hashed to 64-bit keys right after the
+    explode, so every shuffle/join carries 8-byte keys instead of the
+    n-token shingle strings (a collision would surface as a loud
+    deterministic parity mismatch, not a silent drift)."""
     osh = (
         doc_shingles(old_docs, text_col, id_col, n)
-        .select(F.col("id").alias("old_id"), F.explode("sh").alias("s"))
+        .select(F.col("id").alias("old_id"), F.explode("sh").alias("s0"))
+        .select("old_id", F.xxhash64("s0").alias("s"))
         .persist()
     )
     nsh = (
         doc_shingles(new_docs, text_col, id_col, n)
-        .select(F.col("id").alias("new_id"), F.explode("sh").alias("s"))
+        .select(F.col("id").alias("new_id"), F.explode("sh").alias("s0"))
+        .select("new_id", F.xxhash64("s0").alias("s"))
         .persist()
     )
     osz = osh.groupBy("old_id").agg(F.count(F.lit(1)).alias("on"))
