@@ -47,7 +47,8 @@ _NEVER_DRIVER_VERIFIED = [
     "q85_kmeans_assign", "q86_crosscorpus_neardup", "q87_length_curriculum",
     "q88_pack_index", "q89_minhash_jaccard_est",
     "q90_url_filter", "q91_pii_density_hist", "q92_incremental_boilerplate",
-    "q93_gapfill_locf", "q94_repeated_spans",
+    "q93_gapfill_locf", "q94_repeated_spans", "q95_entity_blocking",
+    "q96_cdc_apply",
 ]
 _SINGLE_GREEN = [
     # green in exactly one driver round so far; oldest single-green first

@@ -45,6 +45,11 @@ validation.
   portable gaps-and-islands form (no vendor IGNORE NULLS).
 - q94 repeated-span detection (ExactSubstr-dedup measure): stride-1
   windows -> corpus frequency -> per-doc maximal-span interval merge.
+- q95 entity-resolution blocking: blocking keys bound candidate
+  generation, levenshtein verifies inside blocks only.
+- q96 CDC apply with deletes: Debezium-shaped change log (I/U/D,
+  latest sequence wins, deterministic tiebreak) folded onto a base
+  snapshot — the delete semantics q08's upsert doesn't cover.
 
 The reference pipeline (CSV -> MySQL/DynamoDB loads) has no crawl
 curation; these extend the Tier-C LLM-operator suite with
@@ -1474,3 +1479,154 @@ def q94(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# q95 entity-resolution blocking — the classic ER shape: cheap
+# BLOCKING keys make candidate generation linear (never an all-pairs
+# name cross-join), then an edit-distance VERIFY runs only inside
+# blocks. Here: customer x supplier blocked on (nationkey, last two
+# digits of the entity number), verified with levenshtein <= 6 — both
+# engines implement the same integer DP, so distances are exact.
+# Block sizes are bounded by construction (the blocking-key histogram
+# IS the skew diagnostic a real ER pipeline watches).
+
+_Q95_MAX_DIST = 6
+
+ORACLE["q95_entity_blocking"] = f"""
+WITH c AS (
+    SELECT c_custkey AS ck, c_name AS cn, c_nationkey AS nk,
+           substr(c_name, length(c_name) - 1, 2) AS blk
+    FROM customer
+),
+s AS (
+    SELECT s_suppkey AS sk, s_name AS sn, s_nationkey AS nk,
+           substr(s_name, length(s_name) - 1, 2) AS blk
+    FROM supplier
+),
+cand AS (
+    SELECT c.ck, s.sk, c.nk, levenshtein(c.cn, s.sn) AS dist
+    FROM c JOIN s ON c.nk = s.nk AND c.blk = s.blk
+)
+SELECT nk,
+       CAST(COUNT(*) AS BIGINT) AS n_matches,
+       CAST(MIN(dist) AS BIGINT) AS min_dist,
+       CAST(MAX(dist) AS BIGINT) AS max_dist,
+       md5(string_agg(CAST(ck AS VARCHAR) || ':' || CAST(sk AS VARCHAR), ' '
+                      ORDER BY ck, sk)) AS pairs_md5
+FROM cand WHERE dist <= {_Q95_MAX_DIST}
+GROUP BY nk ORDER BY nk
+"""
+
+
+@_q("q95_entity_blocking")
+def q95(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("ck"),
+        F.col("c_name").alias("cn"),
+        F.col("c_nationkey").alias("nk"),
+        F.expr("substr(c_name, length(c_name) - 1, 2)").alias("blk"),
+    )
+    sup = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("sk"),
+        F.col("s_name").alias("sn"),
+        F.col("s_nationkey").alias("nk"),
+        F.expr("substr(s_name, length(s_name) - 1, 2)").alias("blk"),
+    )
+    cand = cust.join(sup, ["nk", "blk"]).select(
+        "nk", "ck", "sk", F.levenshtein("cn", "sn").alias("dist")
+    )
+    pair = F.concat(
+        F.col("ck").cast("string"), F.lit(":"), F.col("sk").cast("string")
+    )
+    return (
+        cand.filter(F.col("dist") <= _Q95_MAX_DIST)
+        .withColumn("pair", pair)
+        .groupBy("nk")
+        .agg(
+            F.count(F.lit(1)).alias("n_matches"),
+            F.min("dist").cast("bigint").alias("min_dist"),
+            F.max("dist").cast("bigint").alias("max_dist"),
+            _md5_ordered("pair", "ck", "sk").alias("pairs_md5"),
+        )
+        .orderBy("nk")
+    )
+
+
+# --------------------------------------------------------------------------
+# q96 CDC apply with deletes — the Debezium-shaped change-stream
+# apply the upsert merge (q08) doesn't cover: inserts, updates, AND
+# tombstones folded onto a base snapshot, latest sequence number per
+# key wins. The change relation is synthesized deterministically from
+# orders in both engines. Shape: one union + one per-key window —
+# the bucket-scoped merge (sources/merge.py) is the write path; this
+# is the declarative semantics contract.
+
+ORACLE["q96_cdc_apply"] = """
+WITH base AS (
+    SELECT o_orderkey AS k,
+           CAST(floor(o_totalprice * 100) AS BIGINT) AS qp,
+           0 AS seq, 'I' AS op
+    FROM orders WHERE o_orderkey % 5 <> 4
+),
+cdc AS (
+    SELECT o_orderkey AS k, CAST(floor(o_totalprice * 100) * 2 AS BIGINT) AS qp,
+           1 AS seq, 'U' AS op
+    FROM orders WHERE o_orderkey % 3 = 0
+    UNION ALL
+    SELECT o_orderkey AS k, CAST(floor(o_totalprice * 100) AS BIGINT) AS qp,
+           1 AS seq, 'I' AS op
+    FROM orders WHERE o_orderkey % 5 = 4
+    UNION ALL
+    SELECT o_orderkey AS k, CAST(0 AS BIGINT) AS qp, 2 AS seq, 'D' AS op
+    FROM orders WHERE o_orderkey % 7 = 0
+),
+log AS (SELECT * FROM base UNION ALL SELECT * FROM cdc),
+latest AS (
+    -- a key can carry two seq-1 changes (the U and I rules overlap on
+    -- k % 15 = 9): the op tiebreak makes "latest" deterministic in
+    -- both engines
+    SELECT k, qp, op,
+           ROW_NUMBER() OVER (PARTITION BY k ORDER BY seq DESC, op) AS rn
+    FROM log
+),
+final AS (SELECT k, qp FROM latest WHERE rn = 1 AND op <> 'D')
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(qp) AS BIGINT) AS sum_qprice,
+       md5(string_agg(CAST(k AS VARCHAR), ' ' ORDER BY k)) AS keys_md5
+FROM final
+"""
+
+
+@_q("q96_cdc_apply")
+def q96(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.floor(F.col("o_totalprice") * 100).cast("bigint").alias("qp0"),
+    ).persist()
+    base = o.filter(F.col("k") % 5 != 4).select(
+        "k", F.col("qp0").alias("qp"), F.lit(0).alias("seq"), F.lit("I").alias("op")
+    )
+    upd = o.filter(F.col("k") % 3 == 0).select(
+        "k", (F.col("qp0") * 2).alias("qp"), F.lit(1).alias("seq"), F.lit("U").alias("op")
+    )
+    ins = o.filter(F.col("k") % 5 == 4).select(
+        "k", F.col("qp0").alias("qp"), F.lit(1).alias("seq"), F.lit("I").alias("op")
+    )
+    dele = o.filter(F.col("k") % 7 == 0).select(
+        "k", F.lit(0).cast("bigint").alias("qp"), F.lit(2).alias("seq"),
+        F.lit("D").alias("op"),
+    )
+    log = base.unionByName(upd).unionByName(ins).unionByName(dele)
+    # op tiebreak: the U and I rules overlap on k % 15 = 9 at seq 1
+    w = Window.partitionBy("k").orderBy(F.col("seq").desc(), "op")
+    final = (
+        log.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("op") != "D"))
+        .withColumn("ks", F.col("k").cast("string"))
+    )
+    return final.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("qp").cast("bigint").alias("sum_qprice"),
+        _md5_ordered("ks", "k").alias("keys_md5"),
+    ).select("n_rows", "sum_qprice", "keys_md5")
