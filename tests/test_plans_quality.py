@@ -470,3 +470,19 @@ def test_q93_gapfill_windows_partition_by_type(spark):
     # every window exchange is keyed by event_type
     wins = _re.findall(r"Arguments: \[[^\]]*windowspecdefinition\(([^,]+),", plan)
     assert wins and all("event_type" in w for w in wins), wins
+
+
+def test_q95_blocking_join_no_cartesian(spark):
+    # ER candidates must come from the blocking-key equi-join —
+    # never an all-pairs name cross-join
+    plan = _plan(spark, "q95_entity_blocking")
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+    assert "Join" in plan
+
+
+def test_q96_cdc_apply_is_one_key_window(spark):
+    # latest-seq-wins is one per-key window over the unioned log;
+    # no joins at all
+    plan = _plan(spark, "q96_cdc_apply")
+    assert "Join" not in plan
+    assert "Window" in plan and "Union" in plan
