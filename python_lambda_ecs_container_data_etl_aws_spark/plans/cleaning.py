@@ -542,5 +542,8 @@ def q71(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import dedup
 
     d = load_table(spark, sf_dir, "documents")
-    sh = dedup.shingles(d)
+    # the operator only needs shingle EQUALITY: hash to 64-bit keys so
+    # the intersection self-join shuffles 8-byte keys, not 3-gram
+    # strings (a collision would fail the oracle comparison loudly)
+    sh = dedup.shingles(d).select("id", F.xxhash64("shingle").alias("shingle"))
     return dedup.containment_pairs(sh, _CONT_THRESH).orderBy("a_id", "b_id")

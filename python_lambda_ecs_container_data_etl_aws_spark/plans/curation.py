@@ -102,16 +102,21 @@ def q44(spark: SparkSession, sf_dir: str) -> DataFrame:
     # two branches (sizes + the overlap explode). The benchmark set is
     # a single-consumer distinct projection: small enough to broadcast
     # into the overlap join (AQE picks that up from its runtime size).
+    # the overlap join needs shingle EQUALITY only: both sides carry
+    # xxhash64 keys (8 bytes vs ~18-byte 3-gram strings through the
+    # distinct + join shuffles; a collision fails parity loudly)
     bench_sh = (
         dedup_ops.doc_shingles(d.filter(F.col("source") == _BENCH_SOURCE), "text", "doc_id", 3)
-        .select(F.explode("sh").alias("s"))
+        .select(F.explode("sh").alias("s0"))
+        .select(F.xxhash64("s0").alias("s"))
         .distinct()
     )
     train = dedup_ops.doc_shingles(
         d.filter(F.col("source") != _BENCH_SOURCE), "text", "doc_id", 3
     ).persist()
     ov = (
-        train.select("id", F.explode("sh").alias("s"))
+        train.select("id", F.explode("sh").alias("s0"))
+        .select("id", F.xxhash64("s0").alias("s"))
         .join(bench_sh, "s")
         .groupBy("id")
         .agg(F.count(F.lit(1)).alias("n_overlap"))

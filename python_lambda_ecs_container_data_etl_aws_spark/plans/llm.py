@@ -317,9 +317,14 @@ def q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 3.3 s → 2.1 s. The same spread was measured on the LIGHTER
     # expansions (q55/q59/q64/q69/q70/q73/q44) and REGRESSED them
     # ~1.5-2x (extra stage > parallelism gain) — it stays q22-local.
+    # hash shingles to 64-bit keys right after the explode: the
+    # self-join and its partial-count shuffle carry 8-byte keys, not
+    # 3-gram strings (a collision would fail the oracle comparison
+    # loudly, not drift silently)
     shingle = (
         dedup_ops.doc_shingles(spread_scan(d), "text", "doc_id", 3)
-        .select(F.col("id").alias("doc_id"), F.explode("sh").alias("s"))
+        .select(F.col("id").alias("doc_id"), F.explode("sh").alias("s0"))
+        .select("doc_id", F.xxhash64("s0").alias("s"))
         .persist()  # feeds sizes + both sides of the self-join
     )
     sizes = shingle.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))

@@ -486,8 +486,11 @@ def q77(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import dedup
 
     d = load_table(spark, sf_dir, "documents")
+    # membership probe on 64-bit shingle hashes — the reference-corpus
+    # index side stores 8-byte keys, not 3-gram strings (collision ⇒
+    # loud parity failure, not silent drift)
     sh = dedup.shingles(d).select(
-        F.col("id").alias("doc_id"), F.col("shingle").alias("s")
+        F.col("id").alias("doc_id"), F.xxhash64("shingle").alias("s")
     )
     ref = sh.filter(F.col("doc_id") % 10 != 0).select("s").distinct()
     batch = sh.filter(F.col("doc_id") % 10 == 0)
