@@ -387,23 +387,26 @@ def q82(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.regexp_extract(_url_col(), _HOST_RE, 1), r"^www\.", ""
         ).alias("domain"),
     )
+    # Hot-domain posture: a single window over every row would pull a
+    # crawl-skewed domain's whole population through one sort
+    # partition. Split instead: counts are a plain map-side-combining
+    # aggregate (skew-immune), and the kept set is a rank FILTER
+    # (rn <= K) that Spark's WindowGroupLimit prunes to ~K rows per
+    # map partition BEFORE the shuffle (plan-asserted) — the hot
+    # domain ships K x partitions rows, not its corpus share.
+    counts = host.groupBy("domain").agg(F.count(F.lit(1)).alias("n_docs"))
     w = Window.partitionBy("domain").orderBy(F.col("n_chars").desc(), "doc_id")
-    r = host.withColumn("rn", F.row_number().over(w))
-    return (
-        r.withColumn(
-            "kept_id",
-            F.when(F.col("rn") <= _Q82_CAP, F.col("doc_id").cast("string")),
-        )
+    kept = (
+        host.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _Q82_CAP)
+        .withColumn("kept_id", F.col("doc_id").cast("string"))
         .groupBy("domain")
         .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum((F.col("rn") <= _Q82_CAP).cast("bigint"))
-            .cast("bigint")
-            .alias("n_kept"),
+            F.count(F.lit(1)).cast("bigint").alias("n_kept"),
             _md5_ordered("kept_id", "doc_id").alias("kept_md5"),
         )
-        .orderBy("domain")
     )
+    return counts.join(kept, "domain").orderBy("domain")
 
 
 # --------------------------------------------------------------------------

@@ -486,3 +486,11 @@ def test_q96_cdc_apply_is_one_key_window(spark):
     plan = _plan(spark, "q96_cdc_apply")
     assert "Join" not in plan
     assert "Window" in plan and "Union" in plan
+
+
+def test_q82_domain_cap_windowgrouplimit_prunes_hot_domains(spark):
+    # the kept-set rank filter must be WindowGroupLimit-pruned (a hot
+    # crawl domain ships ~K rows per map partition, not its corpus
+    # share) and the count side is a plain skew-immune aggregate
+    plan = _plan(spark, "q82_domain_cap")
+    assert "WindowGroupLimit" in plan
