@@ -68,32 +68,33 @@ FROM r GROUP BY source ORDER BY source
 @_q("q72_source_cap")
 def q72(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
+    # Hot-source posture (same shape as q82's domain cap, 15x on the
+    # 80%-hot smoke — BASELINE.md): counts are a plain map-side-
+    # combining aggregate, and the kept set is a rank FILTER that
+    # WindowGroupLimit prunes to ~K rows per map partition before the
+    # sort shuffle — a skewed source ships K x partitions rows, never
+    # its full population through one sort partition.
+    base = d.select("doc_id", "source", "n_chars")
+    counts = base.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
     w = Window.partitionBy("source").orderBy(F.col("n_chars").desc(), "doc_id")
-    r = d.select("doc_id", "source", "n_chars").withColumn(
-        "rn", F.row_number().over(w)
-    )
-    kept_struct = F.when(F.col("rn") <= _CAP_K, F.col("doc_id"))
-    return (
-        r.groupBy("source")
+    kept = (
+        base.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _CAP_K)
+        .groupBy("source")
         .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum(F.when(F.col("rn") <= _CAP_K, 1).otherwise(0))
-            .cast("bigint")
-            .alias("n_kept"),
+            F.count(F.lit(1)).cast("bigint").alias("n_kept"),
             F.md5(
                 F.array_join(
                     F.transform(
-                        F.array_sort(
-                            F.collect_list(kept_struct)
-                        ),
+                        F.array_sort(F.collect_list(F.col("doc_id"))),
                         lambda x: x.cast("string"),
                     ),
                     " ",
                 ).cast("binary")
             ).alias("kept_md5"),
         )
-        .orderBy("source")
     )
+    return counts.join(kept, "source").orderBy("source")
 
 
 # --------------------------------------------------------------------------

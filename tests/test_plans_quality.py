@@ -328,12 +328,16 @@ def test_every_query_plan_meets_universal_invariants(spark):
 
 def test_q72_cap_window_prunes_scan_columns(spark):
     """The per-source cap reads only (doc_id, source, n_chars) — a cap
-    query that scans text at 100 TB is wrong — and runs as one
-    source-keyed window, no joins."""
+    query that scans text at 100 TB is wrong. Since round 4 the kept
+    set is a rank filter (WindowGroupLimit prunes a hot source to ~K
+    rows per map partition) joined with a plain count aggregate — the
+    only join is that |sources|-sized one."""
     plan = _plan(spark, "q72_source_cap")
-    assert "Join" not in plan and "Python" not in plan
+    assert "Python" not in plan
     schemas = re.findall(r"ReadSchema: (struct<[^\n]*)", plan)
     assert schemas and all("text" not in s for s in schemas)
+    assert "WindowGroupLimit" in plan
+    assert "SortMergeJoin" not in plan  # the counts⋈kept join stays hash/broadcast
 
 
 def test_q73_bigram_lm_aggregates_before_joins(spark):
@@ -494,3 +498,4 @@ def test_q82_domain_cap_windowgrouplimit_prunes_hot_domains(spark):
     # share) and the count side is a plain skew-immune aggregate
     plan = _plan(spark, "q82_domain_cap")
     assert "WindowGroupLimit" in plan
+
