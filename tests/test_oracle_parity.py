@@ -65,3 +65,42 @@ def test_embedding_dimension_contract():
             f"FROM '{sf_dir}/embeddings.parquet'"
         ).fetchone()
         assert (lo, hi) == (64, 64), f"{sf_dir}: embedding dims [{lo},{hi}] != 64"
+
+
+def test_driver_window_covers_contract_and_unverified():
+    """The driver hash-checks only the FIRST 50 queries() entries: the
+    window must always contain the q01-q16 contract plus every query
+    that has no green CORRECTNESS row yet (window-rotation discipline,
+    __spark_entry__.py). A new query appended to the catalog but not
+    registered in the rotation lists would silently miss its driver
+    verification — fail here instead."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "__spark_entry__", "/root/repo/__spark_entry__.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    win = list(mod.queries())[:50]
+    missing_contract = [n for n in mod._CONTRACT if n not in win]
+    missing_unverified = [n for n in mod._NEVER_DRIVER_VERIFIED if n not in win]
+    assert not missing_contract and not missing_unverified, (
+        f"window misses contract={missing_contract} unverified={missing_unverified}"
+    )
+    # every registered name must exist in the catalog (no stale rotation
+    # entries pointing at renamed queries)
+    cat = set(QUERIES)
+    stale = [
+        n
+        for n in mod._CONTRACT + mod._NEVER_DRIVER_VERIFIED + mod._SINGLE_GREEN
+        if n not in cat
+    ]
+    assert not stale, f"rotation lists reference unknown queries: {stale}"
+    # and any catalog query absent from ALL rotation lists must already
+    # be multi-green (sorted remainder) — new queries belong in
+    # _NEVER_DRIVER_VERIFIED
+    listed = set(mod._CONTRACT + mod._NEVER_DRIVER_VERIFIED + mod._SINGLE_GREEN)
+    new_unlisted = [n for n in cat - listed if n >= "q80"]
+    assert not new_unlisted, (
+        f"round-4+ queries missing from the rotation lists: {new_unlisted}"
+    )
