@@ -724,9 +724,14 @@ def q86(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import crosscorpus_neardup_pairs
 
     d = load_table(spark, sf_dir, "documents")
-    srcnum = F.substring("source", 4, 10).cast("int")
-    old_docs = d.filter(srcnum < 10).select("doc_id", "text")
-    new_real = d.filter(srcnum >= 10).select("doc_id", "text")
+    # literal IN lists instead of CAST(substr(source,4)) arithmetic:
+    # the membership predicate pushes into the parquet scan
+    # (PushedFilters shows In(source, ...)); the cast expression never
+    # would
+    old_srcs = [f"src{i}" for i in range(10)]
+    new_srcs = [f"src{i}" for i in range(10, 20)]
+    old_docs = d.filter(F.col("source").isin(old_srcs)).select("doc_id", "text")
+    new_real = d.filter(F.col("source").isin(new_srcs)).select("doc_id", "text")
     plants = old_docs.filter(F.col("doc_id") % _Q86_PLANT_MOD == 0).select(
         (F.col("doc_id") + 1000000).alias("doc_id"),
         F.array_join(

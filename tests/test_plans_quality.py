@@ -499,3 +499,12 @@ def test_q82_domain_cap_windowgrouplimit_prunes_hot_domains(spark):
     plan = _plan(spark, "q82_domain_cap")
     assert "WindowGroupLimit" in plan
 
+
+
+def test_q86_corpus_split_filters_push_to_scan(spark):
+    # the old/new corpus membership predicates must reach the parquet
+    # scan as In(source, ...) — a CAST(substr()) arithmetic split never
+    # pushes and re-reads both corpora wholesale
+    plan = _plan(spark, "q86_crosscorpus_neardup")
+    pushed = " ".join(re.findall(r"PushedFilters: \[([^\]]*)\]", plan))
+    assert "In(source" in pushed
