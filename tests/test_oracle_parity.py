@@ -104,3 +104,34 @@ def test_driver_window_covers_contract_and_unverified():
     assert not new_unlisted, (
         f"round-4+ queries missing from the rotation lists: {new_unlisted}"
     )
+
+
+def test_catalog_runs_on_empty_tables(spark, tmp_path):
+    """Empty-input hardening: every query must execute cleanly on
+    zero-row tables (ANSI sequence bounds, null maxima, empty prefix
+    sums, largest-remainder allocation over no strata...) — the only
+    allowed exception is q35's documented empty-corpus ValueError.
+    Crashes on empty partitions are routine at 100 TB (a filter can
+    zero out any split)."""
+    import os
+
+    dst = str(tmp_path / "empty_sf")
+    os.makedirs(dst)
+    for t in [
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    ]:
+        spark.read.parquet(f"{SF_DIR}/{t}.parquet").limit(0).coalesce(
+            1
+        ).write.parquet(f"{dst}/{t}.parquet")
+    crashes = []
+    for name in sorted(QUERIES):
+        try:
+            QUERIES[name](spark, dst).collect()
+        except ValueError:
+            if name != "q35_ann_ivf_topk":
+                crashes.append((name, "ValueError"))
+        except Exception as e:
+            crashes.append((name, type(e).__name__))
+        spark.catalog.clearCache()
+    assert not crashes, crashes
