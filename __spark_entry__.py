@@ -48,7 +48,7 @@ _NEVER_DRIVER_VERIFIED = [
     "q88_pack_index", "q89_minhash_jaccard_est",
     "q90_url_filter", "q91_pii_density_hist", "q92_incremental_boilerplate",
     "q93_gapfill_locf", "q94_repeated_spans", "q95_entity_blocking",
-    "q96_cdc_apply",
+    "q96_cdc_apply", "q97_hard_negatives", "q98_knn_label_disagreement",
 ]
 _SINGLE_GREEN = [
     # green in exactly one driver round so far; oldest single-green first

@@ -50,6 +50,11 @@ validation.
 - q96 CDC apply with deletes: Debezium-shaped change log (I/U/D,
   latest sequence wins, deterministic tiebreak) folded onto a base
   snapshot — the delete semantics q08's upsert doesn't cover.
+- q97 hard-negative mining: nearest same-label + nearest
+  different-label vector per anchor (contrastive-training prep),
+  exact quantized distances; retrieval-path split as q23 -> q27/q35.
+- q98 kNN label-disagreement: Confident-Learning-shaped label-noise
+  audit (neighbor-majority vote vs own label, deterministic ties).
 
 The reference pipeline (CSV -> MySQL/DynamoDB loads) has no crawl
 curation; these extend the Tier-C LLM-operator suite with
@@ -1638,3 +1643,217 @@ def q96(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("qp").cast("bigint").alias("sum_qprice"),
         _md5_ordered("ks", "k").alias("keys_md5"),
     ).select("n_rows", "sum_qprice", "keys_md5")
+
+
+# --------------------------------------------------------------------------
+# q97 hard-negative mining — contrastive-training data prep: for each
+# anchor vector, the nearest SAME-label vector (positive) and the
+# nearest DIFFERENT-label vector (hard negative) by exact quantized
+# squared-L2 (deterministic ties by candidate id). Brute-force over
+# the anchor subset here (the oracle-exact tier); at 100 TB the
+# candidate set comes from the IVF/LSH retrieval path
+# (operators/similarity) exactly like q23 -> q27/q35.
+
+_Q97_ANCHORS = 40
+
+ORACLE["q97_hard_negatives"] = f"""
+WITH comp AS (
+    SELECT vec_id, label, i AS pos,
+           CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT) AS qv
+    FROM embeddings, range(1, 65) t(i)
+),
+d AS (
+    SELECT a.vec_id AS anchor, b.vec_id AS cand,
+           ANY_VALUE(a.label) AS a_label, ANY_VALUE(b.label) AS b_label,
+           SUM((a.qv - b.qv) * (a.qv - b.qv)) AS d2
+    FROM comp a JOIN comp b ON a.pos = b.pos AND a.vec_id <> b.vec_id
+    WHERE a.vec_id < {_Q97_ANCHORS}
+    GROUP BY 1, 2
+),
+pos_rk AS (
+    SELECT anchor, cand, d2,
+           ROW_NUMBER() OVER (PARTITION BY anchor ORDER BY d2, cand) AS rn
+    FROM d WHERE a_label = b_label
+),
+neg_rk AS (
+    SELECT anchor, cand, d2,
+           ROW_NUMBER() OVER (PARTITION BY anchor ORDER BY d2, cand) AS rn
+    FROM d WHERE a_label <> b_label
+)
+SELECT p.anchor AS vec_id,
+       CAST(p.cand AS BIGINT) AS pos_id, CAST(p.d2 AS BIGINT) AS pos_d2,
+       CAST(n.cand AS BIGINT) AS neg_id, CAST(n.d2 AS BIGINT) AS neg_d2
+FROM pos_rk p JOIN neg_rk n ON p.anchor = n.anchor
+WHERE p.rn = 1 AND n.rn = 1
+ORDER BY vec_id
+"""
+
+
+def _q97_dist(spark: SparkSession, sf_dir: str, anchor_pred) -> DataFrame:
+    """(anchor, cand, a_label, b_label, d2) exact quantized distances
+    from anchors (anchor_pred over vec_id) to every other vector."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    comp = emb.select(
+        "vec_id", "label", F.posexplode("embedding").alias("pos0", "val")
+    ).select(
+        "vec_id",
+        "label",
+        (F.col("pos0") + 1).alias("pos"),
+        F.floor(F.col("val").cast("double") * 1000).cast("bigint").alias("qv"),
+    )
+    a = comp.filter(anchor_pred(F.col("vec_id"))).select(
+        F.col("vec_id").alias("anchor"),
+        F.col("label").alias("a_label"),
+        "pos",
+        F.col("qv").alias("aq"),
+    )
+    b = comp.select(
+        F.col("vec_id").alias("cand"),
+        F.col("label").alias("b_label"),
+        "pos",
+        F.col("qv").alias("bq"),
+    )
+    return (
+        a.join(b, "pos")
+        .filter(F.col("anchor") != F.col("cand"))
+        .groupBy("anchor", "cand")
+        .agg(
+            F.first("a_label").alias("a_label"),
+            F.first("b_label").alias("b_label"),
+            F.sum((F.col("aq") - F.col("bq")) * (F.col("aq") - F.col("bq"))).alias(
+                "d2"
+            ),
+        )
+    )
+
+
+@_q("q97_hard_negatives")
+def q97(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _q97_dist(spark, sf_dir, lambda v: v < _Q97_ANCHORS).persist()
+    wp = Window.partitionBy("anchor").orderBy("d2", "cand")
+    pos = (
+        d.filter(F.col("a_label") == F.col("b_label"))
+        .withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("anchor").alias("vec_id"),
+            F.col("cand").cast("bigint").alias("pos_id"),
+            F.col("d2").cast("bigint").alias("pos_d2"),
+        )
+    )
+    neg = (
+        d.filter(F.col("a_label") != F.col("b_label"))
+        .withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("anchor").alias("vec_id"),
+            F.col("cand").cast("bigint").alias("neg_id"),
+            F.col("d2").cast("bigint").alias("neg_d2"),
+        )
+    )
+    return pos.join(neg, "vec_id").orderBy("vec_id")
+
+
+# --------------------------------------------------------------------------
+# q98 kNN label-disagreement — Confident-Learning-shaped label-noise
+# audit: for each anchor, do its k nearest neighbors (exact quantized
+# distances, deterministic ties) agree with its own label? The
+# neighbor-majority label uses (count desc, label asc) ties. Same
+# exact tier / retrieval-path split as q97.
+
+_Q98_K = 5
+_Q98_MOD = 9
+
+ORACLE["q98_knn_label_disagreement"] = f"""
+WITH comp AS (
+    SELECT vec_id, label, i AS pos,
+           CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT) AS qv
+    FROM embeddings, range(1, 65) t(i)
+),
+d AS (
+    SELECT a.vec_id AS anchor, b.vec_id AS cand,
+           ANY_VALUE(a.label) AS a_label, ANY_VALUE(b.label) AS b_label,
+           SUM((a.qv - b.qv) * (a.qv - b.qv)) AS d2
+    FROM comp a JOIN comp b ON a.pos = b.pos AND a.vec_id <> b.vec_id
+    WHERE a.vec_id % {_Q98_MOD} = 0
+    GROUP BY 1, 2
+),
+knn AS (
+    SELECT anchor, a_label, b_label,
+           ROW_NUMBER() OVER (PARTITION BY anchor ORDER BY d2, cand) AS rn
+    FROM d
+),
+votes AS (
+    SELECT anchor, ANY_VALUE(a_label) AS own_label, b_label,
+           COUNT(*) AS n_votes
+    FROM knn WHERE rn <= {_Q98_K}
+    GROUP BY anchor, b_label
+),
+maj AS (
+    SELECT anchor, own_label, b_label AS maj_label, n_votes,
+           ROW_NUMBER() OVER (PARTITION BY anchor
+                              ORDER BY n_votes DESC, b_label) AS mr
+    FROM votes
+),
+agree AS (
+    SELECT anchor, CAST(COALESCE(SUM(CASE WHEN b_label = own_label
+                                          THEN n_votes END), 0) AS BIGINT)
+        AS n_agree
+    FROM votes GROUP BY anchor, own_label
+)
+SELECT m.anchor AS vec_id,
+       CAST(m.own_label AS INT) AS own_label,
+       CAST(m.maj_label AS INT) AS maj_label,
+       a.n_agree,
+       CAST(m.maj_label <> m.own_label AS INT) AS disagree
+FROM maj m JOIN agree a ON m.anchor = a.anchor
+WHERE m.mr = 1
+ORDER BY vec_id
+"""
+
+
+@_q("q98_knn_label_disagreement")
+def q98(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _q97_dist(spark, sf_dir, lambda v: v % _Q98_MOD == 0)
+    wk = Window.partitionBy("anchor").orderBy("d2", "cand")
+    knn = (
+        d.withColumn("rn", F.row_number().over(wk))
+        .filter(F.col("rn") <= _Q98_K)
+        .select("anchor", "a_label", "b_label")
+        .persist()
+    )
+    votes = knn.groupBy("anchor", "b_label").agg(
+        F.first("a_label").alias("own_label"),
+        F.count(F.lit(1)).alias("n_votes"),
+    )
+    wm = Window.partitionBy("anchor").orderBy(
+        F.col("n_votes").desc(), F.col("b_label")
+    )
+    maj = (
+        votes.withColumn("mr", F.row_number().over(wm))
+        .filter(F.col("mr") == 1)
+        .select("anchor", "own_label", F.col("b_label").alias("maj_label"))
+    )
+    agree = votes.groupBy("anchor").agg(
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("b_label") == F.col("own_label"), F.col("n_votes")
+                )
+            ),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("n_agree")
+    )
+    return (
+        maj.join(agree, "anchor")
+        .select(
+            F.col("anchor").alias("vec_id"),
+            F.col("own_label").cast("int").alias("own_label"),
+            F.col("maj_label").cast("int").alias("maj_label"),
+            "n_agree",
+            (F.col("maj_label") != F.col("own_label")).cast("int").alias("disagree"),
+        )
+        .orderBy("vec_id")
+    )
