@@ -1762,7 +1762,11 @@ def q97(spark: SparkSession, sf_dir: str) -> DataFrame:
 # exact tier / retrieval-path split as q97.
 
 _Q98_K = 5
-_Q98_MOD = 9
+# anchor sampling: label audits run on a sample by design — 1/29 of
+# vectors keeps the brute-force exact tier at ~1/3 of the corpus-pair
+# cost per audited anchor set (the full-corpus audit is the
+# LSH/IVF-retrieval path, as with q97)
+_Q98_MOD = 29
 
 ORACLE["q98_knn_label_disagreement"] = f"""
 WITH comp AS (
