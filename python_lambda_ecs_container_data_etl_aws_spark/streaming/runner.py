@@ -1017,3 +1017,45 @@ def boilerplate_lines_ingest_stream(
         .start()
     )
     q.awaitTermination()
+
+
+def stream_stream_interval_join(
+    views: DataFrame,
+    purchases: DataFrame,
+    user_col: str = "user_id",
+    time_col: str = "ts",
+    horizon: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream INNER interval join (ST-ext): every (view,
+    purchase) pair of the same user where the purchase lands within
+    ``horizon`` after the view — the attribution join run with BOTH
+    sides unbounded. Watermarks on both inputs bound the join state:
+    Spark retains each side only until the other side's watermark
+    passes the interval condition, so state size tracks the horizon,
+    not the stream length (the 100 TB requirement for any
+    stream-stream join). Inner join + append output needs no
+    foreachBatch. Batch-equivalence is pinned by
+    ``test_stream_stream_interval_join_equals_batch``."""
+    v = (
+        views.withWatermark(time_col, watermark)
+        .select(
+            F.col(user_col).alias("user_id"),
+            F.col(time_col).alias("view_ts"),
+        )
+    )
+    p = (
+        purchases.withWatermark(time_col, watermark)
+        .select(
+            F.col(user_col).alias("p_user"),
+            F.col(time_col).alias("purchase_ts"),
+        )
+    )
+    return v.join(
+        p,
+        F.expr(
+            "user_id = p_user AND "
+            f"purchase_ts > view_ts AND purchase_ts <= view_ts + interval {horizon}"
+        ),
+        "inner",
+    ).select("user_id", "view_ts", "purchase_ts")

@@ -902,3 +902,68 @@ def test_boilerplate_stream_equals_q92_batch_twin(spark, tmp_path):
     assert set(stream_text) == set(batch)
     for did, txt in stream_text.items():
         assert hashlib.md5(txt.encode()).hexdigest() == batch[did], did
+
+
+def test_stream_stream_interval_join_equals_batch(spark, tmp_path):
+    """Stream-stream interval join (views x purchases within 30 min,
+    both sides streaming with watermarks) must emit exactly the batch
+    join's pairs once both streams drain."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, TimestampType
+
+    schema = StructType(
+        [StructField("user_id", LongType()), StructField("ts", TimestampType())]
+    )
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def m(minutes):
+        return t0 + dt.timedelta(minutes=minutes)
+
+    views = [(1, m(0)), (1, m(10)), (2, m(5)), (3, m(0))]
+    purchases = [
+        (1, m(20)),   # within 30 of both u1 views -> 2 pairs
+        (1, m(38)),   # 38 min after m(0), 28 after m(10) -> 1 pair
+        (2, m(40)),   # 35 min after u2's view -> no pair
+        (4, m(1)),    # user with no views
+    ]
+    vdir, pdir = str(tmp_path / "v"), str(tmp_path / "p")
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    spark.createDataFrame(views, schema).coalesce(1).write.parquet(vdir)
+    spark.createDataFrame(purchases, schema).coalesce(1).write.parquet(pdir)
+
+    joined = runner.stream_stream_interval_join(
+        runner.file_stream(spark, vdir, schema),
+        runner.file_stream(spark, pdir, schema),
+    )
+    q = (
+        joined.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    got = {
+        (r.user_id, r.view_ts, r.purchase_ts)
+        for r in spark.read.parquet(out).collect()
+    }
+    vb = spark.createDataFrame(views, schema).selectExpr(
+        "user_id", "ts AS view_ts"
+    )
+    pb = spark.createDataFrame(purchases, schema).selectExpr(
+        "user_id AS p_user", "ts AS purchase_ts"
+    )
+    want = {
+        (r.user_id, r.view_ts, r.purchase_ts)
+        for r in vb.join(
+            pb,
+            F.expr(
+                "user_id = p_user AND purchase_ts > view_ts "
+                "AND purchase_ts <= view_ts + interval 30 minutes"
+            ),
+        ).select("user_id", "view_ts", "purchase_ts").collect()
+    }
+    assert got == want and len(want) == 3
