@@ -913,8 +913,6 @@ def boilerplate_lines_ingest_stream(
     import os
     import shutil
 
-    from pyspark.sql import Window  # noqa: F401  (parity with sibling tiers)
-
     index_dir = corpus_dir.rstrip("/") + "__linedf"
     src = file_stream(spark, landing_dir, schema, fmt)
 
