@@ -1762,11 +1762,15 @@ def q97(spark: SparkSession, sf_dir: str) -> DataFrame:
 # exact tier / retrieval-path split as q97.
 
 _Q98_K = 5
-# anchor sampling: label audits run on a sample by design — 1/29 of
-# vectors keeps the brute-force exact tier at ~1/3 of the corpus-pair
-# cost per audited anchor set (the full-corpus audit is the
-# LSH/IVF-retrieval path, as with q97)
+# anchor sampling: label audits run on a sample by design. The sample
+# must be SIZE-BOUNDED, not rate-bounded: a pure modulo rule keeps
+# 1/29 of vectors, so the exact brute-force tier's anchors x corpus
+# cost would grow QUADRATICALLY with the corpus — the cap keeps the
+# anchor set constant (like q97's fixed anchor range), so the exact
+# tier stays linear; the full-corpus audit is the LSH/IVF-retrieval
+# path.
 _Q98_MOD = 29
+_Q98_MAX_ANCHOR = 1600
 
 ORACLE["q98_knn_label_disagreement"] = f"""
 WITH comp AS (
@@ -1779,7 +1783,7 @@ d AS (
            ANY_VALUE(a.label) AS a_label, ANY_VALUE(b.label) AS b_label,
            SUM((a.qv - b.qv) * (a.qv - b.qv)) AS d2
     FROM comp a JOIN comp b ON a.pos = b.pos AND a.vec_id <> b.vec_id
-    WHERE a.vec_id % {_Q98_MOD} = 0
+    WHERE a.vec_id % {_Q98_MOD} = 0 AND a.vec_id < {_Q98_MAX_ANCHOR}
     GROUP BY 1, 2
 ),
 knn AS (
@@ -1818,7 +1822,9 @@ ORDER BY vec_id
 
 @_q("q98_knn_label_disagreement")
 def q98(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _q97_dist(spark, sf_dir, lambda v: v % _Q98_MOD == 0)
+    d = _q97_dist(
+        spark, sf_dir, lambda v: (v % _Q98_MOD == 0) & (v < _Q98_MAX_ANCHOR)
+    )
     wk = Window.partitionBy("anchor").orderBy("d2", "cand")
     knn = (
         d.withColumn("rn", F.row_number().over(wk))
