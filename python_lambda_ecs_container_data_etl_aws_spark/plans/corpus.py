@@ -1691,39 +1691,38 @@ ORDER BY vec_id
 
 def _q97_dist(spark: SparkSession, sf_dir: str, anchor_pred) -> DataFrame:
     """(anchor, cand, a_label, b_label, d2) exact quantized distances
-    from anchors (anchor_pred over vec_id) to every other vector."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    comp = emb.select(
-        "vec_id", "label", F.posexplode("embedding").alias("pos0", "val")
-    ).select(
-        "vec_id",
-        "label",
-        (F.col("pos0") + 1).alias("pos"),
-        F.floor(F.col("val").cast("double") * 1000).cast("bigint").alias("qv"),
+    from anchors (anchor_pred over vec_id) to every other vector.
+
+    Shape: the bounded anchor set (quantized BIGINT arrays) broadcasts
+    and the corpus streams past it ONCE — the squared distance is an
+    in-row zip_with/aggregate fold (64 integer ops), so the relation
+    is |anchors| x |corpus| rows, never the 64x-exploded (pos-keyed)
+    form. The broadcast-small cross join is the sanctioned BNLJ shape
+    (universal-invariant test); exact BIGINT arithmetic keeps both
+    engines bit-identical. 20x smoke: 48/49 -> 14/19.5 s."""
+    qv = F.expr(
+        "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
     )
-    a = comp.filter(anchor_pred(F.col("vec_id"))).select(
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", qv.alias("qv")
+    )
+    a = emb.filter(anchor_pred(F.col("vec_id"))).select(
         F.col("vec_id").alias("anchor"),
         F.col("label").alias("a_label"),
-        "pos",
         F.col("qv").alias("aq"),
     )
-    b = comp.select(
+    b = emb.select(
         F.col("vec_id").alias("cand"),
         F.col("label").alias("b_label"),
-        "pos",
         F.col("qv").alias("bq"),
     )
+    d2 = F.expr(
+        "aggregate(zip_with(aq, bq, (x, y) -> (x - y) * (x - y)), 0L, (acc, v) -> acc + v)"
+    )
     return (
-        a.join(b, "pos")
+        b.crossJoin(F.broadcast(a))
         .filter(F.col("anchor") != F.col("cand"))
-        .groupBy("anchor", "cand")
-        .agg(
-            F.first("a_label").alias("a_label"),
-            F.first("b_label").alias("b_label"),
-            F.sum((F.col("aq") - F.col("bq")) * (F.col("aq") - F.col("bq"))).alias(
-                "d2"
-            ),
-        )
+        .select("anchor", "cand", "a_label", "b_label", d2.alias("d2"))
     )
 
 
