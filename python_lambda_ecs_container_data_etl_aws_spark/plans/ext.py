@@ -54,31 +54,35 @@ ORDER BY a_id, b_id
 
 @_q("q29_embedding_neardup")
 def q29(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # in-row fold kernel (round-4 rewrite, see q23/q97): the bounded
+    # subset broadcasts as quantized arrays; dot + norms fold inside
+    # each of the subset² / 2 pair rows — no 64x pos explode, no
+    # separate norms relation. At scale the pair relation comes from
+    # the LSH-bucketed path (operators/similarity), same as before.
     emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < _EMB_SUBSET)
-    comp = emb.select(
-        "vec_id", F.posexplode("embedding").alias("pos0", "val")
-    ).select(
-        "vec_id",
-        (F.col("pos0") + 1).alias("pos"),
-        F.floor(F.col("val").cast("double") * 1000).cast("bigint").alias("qv"),
-    ).persist()  # feeds norms + both sides of the pair join
-    norms = comp.groupBy("vec_id").agg(F.sum(F.col("qv") * F.col("qv")).alias("nrm"))
-    a, b = comp.alias("a"), comp.alias("b")
-    dots = (
-        a.join(b, (F.col("a.pos") == F.col("b.pos")) & (F.col("a.vec_id") < F.col("b.vec_id")))
-        .groupBy(F.col("a.vec_id").alias("a_id"), F.col("b.vec_id").alias("b_id"))
-        .agg(F.sum(F.col("a.qv") * F.col("b.qv")).alias("dot"))
+    qarr = F.expr(
+        "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
     )
-    na, nb = norms.alias("na"), norms.alias("nb")
+    nrm = F.expr("aggregate(transform(qv, x -> x * x), 0L, (a, v) -> a + v)")
+    eq = emb.select("vec_id", qarr.alias("qv")).withColumn("nrm", nrm)
+    a = eq.select(
+        F.col("vec_id").alias("a_id"), F.col("qv").alias("aq"), F.col("nrm").alias("an")
+    )
+    b = eq.select(
+        F.col("vec_id").alias("b_id"), F.col("qv").alias("bq"), F.col("nrm").alias("bn")
+    )
+    dot = F.expr(
+        "aggregate(zip_with(aq, bq, (x, y) -> x * y), 0L, (a, v) -> a + v)"
+    )
     out = (
-        dots.join(F.broadcast(na), F.col("a_id") == F.col("na.vec_id"))
-        .join(F.broadcast(nb), F.col("b_id") == F.col("nb.vec_id"))
+        b.crossJoin(F.broadcast(a))
+        .filter(F.col("a_id") < F.col("b_id"))
         .select(
             "a_id",
             "b_id",
             (
-                F.col("dot").cast("double")
-                / (F.sqrt(F.col("na.nrm").cast("double")) * F.sqrt(F.col("nb.nrm").cast("double")))
+                dot.cast("double")
+                / (F.sqrt(F.col("an").cast("double")) * F.sqrt(F.col("bn").cast("double")))
             ).alias("cosine"),
         )
     )

@@ -389,34 +389,40 @@ SELECT query_id, cand_id, cosine, rnk FROM (
 
 @_q("q23_knn_bruteforce")
 def q23(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # in-row fold kernel (round-4 rewrite, same as q97/q98): the 10
+    # query vectors broadcast as quantized BIGINT arrays, the corpus
+    # streams past once, and dot product + norms are zip_with/
+    # aggregate folds — |queries| x |corpus| rows instead of the
+    # 64x pos-exploded join, and the norms relation disappears
+    # (exact integer sums are order-free, so values are bit-identical)
     emb = _t(spark, sf_dir, "embeddings")
-    comp = emb.select(
-        "vec_id",
-        F.posexplode("embedding").alias("pos0", "val"),
-    ).select(
-        "vec_id",
-        (F.col("pos0") + 1).alias("pos"),
-        F.floor(F.col("val").cast("double") * 1000).cast("bigint").alias("qv"),
+    qarr = F.expr(
+        "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
     )
-    norms = comp.groupBy("vec_id").agg(F.sum(F.col("qv") * F.col("qv")).alias("nrm"))
-    q = comp.filter(F.col("vec_id") < 10).alias("q")
-    c = comp.alias("c")
-    dots = (
-        F.broadcast(q)
-        .join(c, (F.col("q.pos") == F.col("c.pos")) & (F.col("q.vec_id") != F.col("c.vec_id")))
-        .groupBy(F.col("q.vec_id").alias("query_id"), F.col("c.vec_id").alias("cand_id"))
-        .agg(F.sum(F.col("q.qv") * F.col("c.qv")).alias("dot"))
+    nrm = F.expr("aggregate(transform(qv, x -> x * x), 0L, (a, v) -> a + v)")
+    eq = emb.select("vec_id", qarr.alias("qv")).withColumn("nrm", nrm)
+    q = eq.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("qv").alias("qq"),
+        F.col("nrm").alias("qn"),
     )
-    nq, nc = norms.alias("nq"), norms.alias("nc")
+    c = eq.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("qv").alias("cq"),
+        F.col("nrm").alias("cn"),
+    )
+    dot = F.expr(
+        "aggregate(zip_with(qq, cq, (x, y) -> x * y), 0L, (a, v) -> a + v)"
+    )
     scored = (
-        dots.join(F.broadcast(nq), F.col("query_id") == F.col("nq.vec_id"))
-        .join(F.broadcast(nc), F.col("cand_id") == F.col("nc.vec_id"))
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("cand_id"))
         .select(
             "query_id",
             "cand_id",
             (
-                F.col("dot").cast("double")
-                / (F.sqrt(F.col("nq.nrm").cast("double")) * F.sqrt(F.col("nc.nrm").cast("double")))
+                dot.cast("double")
+                / (F.sqrt(F.col("qn").cast("double")) * F.sqrt(F.col("cn").cast("double")))
             ).alias("cosine"),
         )
     )
