@@ -49,6 +49,9 @@ _NEVER_DRIVER_VERIFIED = [
     "q90_url_filter", "q91_pii_density_hist", "q92_incremental_boilerplate",
     "q93_gapfill_locf", "q94_repeated_spans", "q95_entity_blocking",
     "q96_cdc_apply", "q97_hard_negatives", "q98_knn_label_disagreement",
+    "q99_domain_pagerank", "q100_scd2_history", "q101_int8_quantize",
+    "q102_anomaly_zscore", "q103_bpe_pair_stats", "q104_multivector_maxsim",
+    "q105_shard_manifest",
 ]
 _SINGLE_GREEN = [
     # green in exactly one driver round so far; oldest single-green first

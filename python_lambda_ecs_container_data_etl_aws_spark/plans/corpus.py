@@ -1575,8 +1575,10 @@ def q95(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the bucket-scoped merge (sources/merge.py) is the write path; this
 # is the declarative semantics contract.
 
-ORACLE["q96_cdc_apply"] = """
-WITH base AS (
+# The Debezium-shaped change-log fixture (base snapshot + I/U/D
+# changes), shared by q96 (latest-wins apply) and q100 (SCD Type-2
+# historization, plans/platform.py).
+CDC_LOG_CTE = """base AS (
     SELECT o_orderkey AS k,
            CAST(floor(o_totalprice * 100) AS BIGINT) AS qp,
            0 AS seq, 'I' AS op
@@ -1594,7 +1596,10 @@ cdc AS (
     SELECT o_orderkey AS k, CAST(0 AS BIGINT) AS qp, 2 AS seq, 'D' AS op
     FROM orders WHERE o_orderkey % 7 = 0
 ),
-log AS (SELECT * FROM base UNION ALL SELECT * FROM cdc),
+log AS (SELECT * FROM base UNION ALL SELECT * FROM cdc)"""
+
+ORACLE["q96_cdc_apply"] = f"""
+WITH {CDC_LOG_CTE},
 latest AS (
     -- a key can carry two seq-1 changes (the U and I rules overlap on
     -- k % 15 = 9): the op tiebreak makes "latest" deterministic in
@@ -1611,8 +1616,10 @@ FROM final
 """
 
 
-@_q("q96_cdc_apply")
-def q96(spark: SparkSession, sf_dir: str) -> DataFrame:
+def cdc_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(k, qp, seq, op) — the Spark twin of CDC_LOG_CTE: the base
+    snapshot plus the synthesized I/U/D change feed, shared by q96 and
+    q100 (SCD2, plans/platform.py)."""
     o = load_table(spark, sf_dir, "orders").select(
         F.col("o_orderkey").alias("k"),
         F.floor(F.col("o_totalprice") * 100).cast("bigint").alias("qp0"),
@@ -1630,7 +1637,12 @@ def q96(spark: SparkSession, sf_dir: str) -> DataFrame:
         "k", F.lit(0).cast("bigint").alias("qp"), F.lit(2).alias("seq"),
         F.lit("D").alias("op"),
     )
-    log = base.unionByName(upd).unionByName(ins).unionByName(dele)
+    return base.unionByName(upd).unionByName(ins).unionByName(dele)
+
+
+@_q("q96_cdc_apply")
+def q96(spark: SparkSession, sf_dir: str) -> DataFrame:
+    log = cdc_log(spark, sf_dir)
     # op tiebreak: the U and I rules overlap on k % 15 = 9 at seq 1
     w = Window.partitionBy("k").orderBy(F.col("seq").desc(), "op")
     final = (

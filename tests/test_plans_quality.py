@@ -508,3 +508,71 @@ def test_q86_corpus_split_filters_push_to_scan(spark):
     plan = _plan(spark, "q86_crosscorpus_neardup")
     pushed = " ".join(re.findall(r"PushedFilters: \[([^\]]*)\]", plan))
     assert "In(source" in pushed
+
+
+def test_q99_pagerank_iterations_broadcast_rank_vector(spark):
+    # the one data-sized shuffle is the edge aggregation; every
+    # iteration joins the (node-sized) rank/out-weight relations into
+    # the aggregated edge relation as broadcasts — an SMJ here would
+    # re-shuffle the edge relation once per iteration
+    plan = _plan(spark, "q99_domain_pagerank")
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q100_scd2_reuses_one_key_exchange(spark):
+    # LEAD over all events and version numbers over the survivors use
+    # the same (k) partitioning: exactly one hashpartitioning exchange
+    # in the whole history build, and no joins
+    plan = _plan(spark, "q100_scd2_history")
+    assert "Join" not in plan
+    assert len(re.findall(r"Arguments: hashpartitioning", plan)) == 1, plan
+
+
+def test_q101_quantize_params_broadcast_one_row(spark):
+    # the 64 per-dimension params fold into ONE broadcast row (the
+    # sanctioned 1-row BNLJ shape); the error pass is an in-row fold —
+    # there must be no per-component join against the corpus
+    plan = _plan(spark, "q101_int8_quantize")
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_q102_anomaly_stats_broadcast(spark):
+    # the per-type stats relation (|event types| rows) broadcasts back
+    # into the day-count relation; the day counts aggregate partially
+    plan = _plan(spark, "q102_anomaly_zscore")
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "partial_count" in plan
+
+
+def test_q103_bpe_pairs_explode_vocab_not_corpus(spark):
+    # the pair explode runs over the distinct-word relation (after the
+    # word-frequency aggregate), the raw corpus is scanned once, and
+    # the top-k is a distributed TakeOrderedAndProject, not a global
+    # sort
+    plan = _plan(spark, "q103_bpe_pair_stats")
+    assert "Join" not in plan
+    assert "TakeOrderedAndProject" in plan
+    # two Generates: corpus tokenization and vocab pair explode — the
+    # second must sit above the word-frequency HashAggregate
+    assert plan.count("Generate") >= 2
+
+
+def test_q104_maxsim_broadcasts_query_side(spark):
+    # the bounded query side broadcasts (q97's sanctioned
+    # broadcast-small product shape); the 8x8x8 interaction is an
+    # in-row integer fold, so no Python stage and no positional join
+    plan = _plan(spark, "q104_multivector_maxsim")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_q105_manifest_no_global_window(spark):
+    # shard positions come from add_autoid's two-pass rank — never a
+    # single-partition ROW_NUMBER over the corpus
+    plan = _plan(spark, "q105_shard_manifest")
+    assert "SinglePartition" not in plan, plan
