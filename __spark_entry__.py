@@ -51,7 +51,8 @@ _NEVER_DRIVER_VERIFIED = [
     "q96_cdc_apply", "q97_hard_negatives", "q98_knn_label_disagreement",
     "q99_domain_pagerank", "q100_scd2_history", "q101_int8_quantize",
     "q102_anomaly_zscore", "q103_bpe_pair_stats", "q104_multivector_maxsim",
-    "q105_shard_manifest",
+    "q105_shard_manifest", "q106_borda_fusion", "q107_feature_hash_embed",
+    "q108_token_budget_alloc", "q109_graph_triangles",
 ]
 _SINGLE_GREEN = [
     # green in exactly one driver round so far; oldest single-green first

@@ -1,4 +1,4 @@
-"""Platform-tier queries q99-q105: the warehouse/graph/retrieval
+"""Platform-tier queries q99-q109: the warehouse/graph/retrieval
 operations that sit AROUND a curation pipeline — seed-quality graph
 ranking, slowly-changing-dimension history, embedding compression,
 series anomaly audit, tokenizer-merge statistics, late-interaction
@@ -36,6 +36,15 @@ retrieval, and the shard manifest a trainer's data loader reads.
 - q105 shard manifest: per-shard (n_docs, n_tokens, n_chars,
   membership fingerprint) over the q60-style seeded global shuffle —
   the manifest file a data loader checks before an epoch.
+- q106 Borda rank fusion: two retrievers (exact L2, MaxSim) fused by
+  integer Borda points over their top-10 lists — the bit-exact
+  stand-in for float RRF.
+- q107 feature-hashed doc embeddings: the hashing trick as one
+  explode + one aggregate — md5-bucket dims, md5-parity signs.
+- q108 token-budget mixture allocation: capped waterfilling with one
+  proportional redistribution round, all truncating BIGINT division.
+- q109 graph triangle census: sorted-edge a<b<c triangle count over
+  the q99 domain graph.
 
 The reference pipeline (CSV -> MySQL/DynamoDB loads) stops at q08's
 upsert; these extend the Tier-C suite with oracle-backed contracts.
@@ -460,6 +469,22 @@ _Q104_NQ = 8
 _Q104_K = 3
 _Q104_SUBS = 8  # sub-vectors per embedding, 8 dims each
 
+# the MaxSim kernel, DuckDB dialect (a/b are q-aliased rows with qv
+# lists); shared with q106's rank fusion
+_MAXSIM_SQL = f"""CAST(list_sum(list_transform(range(0, {_Q104_SUBS}), i ->
+               list_aggregate(list_transform(range(0, {_Q104_SUBS}), j ->
+                   list_sum(list_transform(range(1, 9), s ->
+                       a.qv[i * 8 + s] * b.qv[j * 8 + s]))
+               ), 'max')
+           )) AS BIGINT)"""
+
+# the same kernel as an in-row Spark fold over (aq, bq) array columns
+_MAXSIM_SPARK = f"""aggregate(sequence(0, {_Q104_SUBS - 1}), 0L, (acc, i) ->
+            acc + array_max(transform(sequence(0, {_Q104_SUBS - 1}), j ->
+                aggregate(sequence(1, 8), 0L, (a2, s) ->
+                    a2 + element_at(aq, i * 8 + s)
+                       * element_at(bq, j * 8 + s)))))"""
+
 ORACLE["q104_multivector_maxsim"] = f"""
 WITH q AS (
     SELECT vec_id,
@@ -469,12 +494,7 @@ WITH q AS (
 ),
 pairs AS (
     SELECT a.vec_id AS query_id, b.vec_id AS doc_id,
-           CAST(list_sum(list_transform(range(0, {_Q104_SUBS}), i ->
-               list_aggregate(list_transform(range(0, {_Q104_SUBS}), j ->
-                   list_sum(list_transform(range(1, 9), s ->
-                       a.qv[i * 8 + s] * b.qv[j * 8 + s]))
-               ), 'max')
-           )) AS BIGINT) AS score
+           {_MAXSIM_SQL} AS score
     FROM q a JOIN q b ON a.vec_id < {_Q104_NQ} AND a.vec_id <> b.vec_id
 ),
 rk AS (
@@ -500,13 +520,7 @@ def q104(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("qv").alias("aq")
     )
     b = emb.select(F.col("vec_id").alias("doc_id"), F.col("qv").alias("bq"))
-    score = F.expr(
-        f"""aggregate(sequence(0, {_Q104_SUBS - 1}), 0L, (acc, i) ->
-            acc + array_max(transform(sequence(0, {_Q104_SUBS - 1}), j ->
-                aggregate(sequence(1, 8), 0L, (a2, s) ->
-                    a2 + element_at(aq, i * 8 + s)
-                       * element_at(bq, j * 8 + s)))))"""
-    )
+    score = F.expr(_MAXSIM_SPARK)
     w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), "doc_id")
     return (
         b.crossJoin(F.broadcast(a))
@@ -582,4 +596,372 @@ def q105(spark: SparkSession, sf_dir: str) -> DataFrame:
             _md5_ordered("ds", "pos").alias("docs_md5"),
         )
         .orderBy("shard")
+    )
+
+
+# --------------------------------------------------------------------------
+# q106 Borda rank fusion — combine two retrievers (exact quantized
+# squared-L2 and the q104 MaxSim late-interaction kernel) into one
+# ranking per query: each retriever contributes its top-10, a
+# candidate's fused score is the sum of (11 - rank) over the
+# retrievers that returned it (0 when absent), top-5 fused survive.
+# Pure integer Borda points — the usual RRF 1/(60+r) float sum is
+# deliberately replaced by its integer-exact cousin so the contract
+# stays bit-deterministic.
+#
+# Scale shape: both retrievers are the sanctioned broadcast-anchor
+# kernels (|anchors| x |corpus| rows, in-row integer folds); the
+# fusion itself joins two |anchors|*10-row relations.
+
+_Q106_NQ = 10
+_Q106_TOP = 10
+_Q106_K = 5
+
+ORACLE["q106_borda_fusion"] = f"""
+WITH q AS (
+    SELECT vec_id,
+           list_transform(CAST(embedding AS DOUBLE[]),
+                          x -> CAST(floor(x * 1000) AS BIGINT)) AS qv
+    FROM embeddings
+),
+l2 AS (
+    SELECT a.vec_id AS query_id, b.vec_id AS cand,
+           CAST(list_sum(list_transform(range(1, 65),
+                i -> (a.qv[i] - b.qv[i]) * (a.qv[i] - b.qv[i])))
+               AS BIGINT) AS d2
+    FROM q a JOIN q b ON a.vec_id < {_Q106_NQ} AND a.vec_id <> b.vec_id
+),
+ra AS (
+    SELECT query_id, cand,
+           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY d2, cand) AS rk
+    FROM l2
+),
+ms AS (
+    SELECT a.vec_id AS query_id, b.vec_id AS cand,
+           {_MAXSIM_SQL} AS score
+    FROM q a JOIN q b ON a.vec_id < {_Q106_NQ} AND a.vec_id <> b.vec_id
+),
+rb AS (
+    SELECT query_id, cand,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY score DESC, cand) AS rk
+    FROM ms
+),
+ta AS (SELECT * FROM ra WHERE rk <= {_Q106_TOP}),
+tb AS (SELECT * FROM rb WHERE rk <= {_Q106_TOP}),
+f AS (
+    SELECT COALESCE(ta.query_id, tb.query_id) AS query_id,
+           COALESCE(ta.cand, tb.cand) AS cand,
+           COALESCE({_Q106_TOP} + 1 - ta.rk, 0)
+               + COALESCE({_Q106_TOP} + 1 - tb.rk, 0) AS borda,
+           COALESCE(ta.rk, 0) AS rank_l2,
+           COALESCE(tb.rk, 0) AS rank_maxsim
+    FROM ta FULL JOIN tb
+      ON ta.query_id = tb.query_id AND ta.cand = tb.cand
+),
+rf AS (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY borda DESC, cand) AS rnk
+    FROM f
+)
+SELECT query_id, CAST(rnk AS INT) AS rnk, cand AS doc_id,
+       CAST(borda AS BIGINT) AS borda,
+       CAST(rank_l2 AS INT) AS rank_l2,
+       CAST(rank_maxsim AS INT) AS rank_maxsim
+FROM rf WHERE rnk <= {_Q106_K} ORDER BY query_id, rnk
+"""
+
+
+@_q("q106_borda_fusion")
+def q106(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .corpus import _q97_dist
+
+    # retriever A: exact quantized squared-L2 (q97's broadcast kernel)
+    d = _q97_dist(spark, sf_dir, lambda v: v < _Q106_NQ)
+    wa = Window.partitionBy("anchor").orderBy("d2", "cand")
+    ta = (
+        d.withColumn("rk", F.row_number().over(wa))
+        .filter(F.col("rk") <= _Q106_TOP)
+        .select(
+            F.col("anchor").alias("query_id"),
+            "cand",
+            F.col("rk").alias("rank_l2"),
+        )
+    )
+    # retriever B: MaxSim late interaction (q104's kernel)
+    qv = F.expr(
+        "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
+    )
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", qv.alias("qv")
+    )
+    a = emb.filter(F.col("vec_id") < _Q106_NQ).select(
+        F.col("vec_id").alias("query_id"), F.col("qv").alias("aq")
+    )
+    b = emb.select(F.col("vec_id").alias("cand"), F.col("qv").alias("bq"))
+    wb = Window.partitionBy("query_id").orderBy(F.col("score").desc(), "cand")
+    tb = (
+        b.crossJoin(F.broadcast(a))
+        .filter(F.col("query_id") != F.col("cand"))
+        .select("query_id", "cand", F.expr(_MAXSIM_SPARK).alias("score"))
+        .withColumn("rk", F.row_number().over(wb))
+        .filter(F.col("rk") <= _Q106_TOP)
+        .select("query_id", "cand", F.col("rk").alias("rank_maxsim"))
+    )
+    fused = ta.join(tb, ["query_id", "cand"], "full_outer").select(
+        "query_id",
+        "cand",
+        (
+            F.coalesce(F.lit(_Q106_TOP) + 1 - F.col("rank_l2"), F.lit(0))
+            + F.coalesce(
+                F.lit(_Q106_TOP) + 1 - F.col("rank_maxsim"), F.lit(0)
+            )
+        )
+        .cast("bigint")
+        .alias("borda"),
+        F.coalesce("rank_l2", F.lit(0)).cast("int").alias("rank_l2"),
+        F.coalesce("rank_maxsim", F.lit(0)).cast("int").alias("rank_maxsim"),
+    )
+    wf = Window.partitionBy("query_id").orderBy(F.col("borda").desc(), "cand")
+    return (
+        fused.withColumn("rnk", F.row_number().over(wf).cast("int"))
+        .filter(F.col("rnk") <= _Q106_K)
+        .select(
+            "query_id", "rnk", F.col("cand").alias("doc_id"),
+            "borda", "rank_l2", "rank_maxsim",
+        )
+        .orderBy("query_id", "rnk")
+    )
+
+
+# --------------------------------------------------------------------------
+# q107 feature-hashed document embeddings — the hashing trick
+# (Weinberger et al. 2009) as a relational job: every token maps to
+# one of 16 dimensions by md5 bucket with an md5-parity sign, and a
+# document's embedding is the signed count per dimension. Integer
+# exact, engine-portable (both sides hash the identical md5 strings),
+# and the output is the long-form (doc_id, dim, w) relation a
+# downstream kNN or classifier consumes.
+#
+# Scale shape: one explode + one (doc, dim) aggregate with map-side
+# combine — the same cost envelope as tokenization itself. Dims with
+# no tokens are naturally absent (sparse form); sign cancellations
+# keep explicit w=0 rows in both engines.
+
+_FH_DIMS = 16
+_FH_SEED = "fh|"
+
+ORACLE["q107_feature_hash_embed"] = f"""
+WITH tok AS (
+    SELECT doc_id, u.t AS term
+    FROM documents, UNNEST(string_split(text, ' ')) AS u(t)
+),
+h AS (
+    SELECT doc_id,
+           CAST('0x' || substr(md5('{_FH_SEED}' || term), 1, 15) AS BIGINT)
+               % {_FH_DIMS} AS dim,
+           CASE WHEN CAST('0x' || substr(md5('{_FH_SEED}' || term), 16, 1)
+                          AS BIGINT) % 2 = 0
+                THEN 1 ELSE -1 END AS sign
+    FROM tok
+)
+SELECT doc_id, CAST(dim AS INT) AS dim, CAST(SUM(sign) AS BIGINT) AS w
+FROM h GROUP BY 1, 2 ORDER BY doc_id, dim
+"""
+
+
+@_q("q107_feature_hash_embed")
+def q107(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
+    )
+    h = F.md5(F.concat(F.lit(_FH_SEED), F.col("term")).cast("binary"))
+    dim = (
+        F.conv(F.substring(h, 1, 15), 16, 10).cast("bigint") % _FH_DIMS
+    ).cast("int")
+    sign = F.when(
+        F.conv(F.substring(h, 16, 1), 16, 10).cast("bigint") % 2 == 0,
+        F.lit(1),
+    ).otherwise(F.lit(-1))
+    return (
+        tok.select("doc_id", dim.alias("dim"), sign.alias("sign"))
+        .groupBy("doc_id", "dim")
+        .agg(F.sum("sign").cast("bigint").alias("w"))
+        .orderBy("doc_id", "dim")
+    )
+
+
+# --------------------------------------------------------------------------
+# q108 token-budget mixture allocation — capped waterfilling: give
+# each source a budget share proportional to its token count, cap at
+# availability, then redistribute the freed budget proportionally
+# among the uncapped sources (one redistribution round, the standard
+# largest-remainder-style planning step before q50/q61 sampling
+# executes the mixture). All divisions are truncating BIGINT over
+# non-negative operands — exact in both engines.
+#
+# Scale shape: one per-source aggregate over the corpus; everything
+# after runs on the |sources|-sized relation with scalar totals
+# attached via the sanctioned 1-row broadcast cross join (never an
+# unpartitioned window).
+
+_Q108_BUDGET = 50_000
+
+ORACLE["q108_token_budget_alloc"] = f"""
+WITH src AS (
+    SELECT source,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+    FROM documents GROUP BY 1
+),
+tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS t FROM src),
+s1 AS (
+    SELECT source, n_tokens,
+           {_Q108_BUDGET} * n_tokens // t AS share,
+           LEAST(n_tokens, {_Q108_BUDGET} * n_tokens // t) AS alloc1,
+           CASE WHEN {_Q108_BUDGET} * n_tokens // t < n_tokens
+                THEN 1 ELSE 0 END AS uncapped
+    FROM src CROSS JOIN tot
+),
+tot2 AS (
+    SELECT CAST({_Q108_BUDGET} - SUM(alloc1) AS BIGINT) AS leftover,
+           CAST(COALESCE(SUM(CASE WHEN uncapped = 1 THEN n_tokens END), 0)
+               AS BIGINT) AS tu
+    FROM s1
+)
+SELECT source, n_tokens, CAST(share AS BIGINT) AS share,
+       CAST(alloc1 AS BIGINT) AS alloc1,
+       CAST(CASE WHEN uncapped = 1 AND tu > 0
+                 THEN leftover * n_tokens // tu ELSE 0 END AS BIGINT) AS extra,
+       CAST(LEAST(n_tokens,
+                  alloc1 + CASE WHEN uncapped = 1 AND tu > 0
+                                THEN leftover * n_tokens // tu ELSE 0 END)
+           AS BIGINT) AS final_alloc
+FROM s1 CROSS JOIN tot2 ORDER BY source
+"""
+
+
+@_q("q108_token_budget_alloc")
+def q108(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    src = d.groupBy("source").agg(
+        F.sum(F.size(F.split(F.col("text"), " ")))
+        .cast("bigint")
+        .alias("n_tokens")
+    )
+    tot = src.agg(F.sum("n_tokens").cast("bigint").alias("t"))
+    s1 = src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_tokens",
+        F.expr(f"{_Q108_BUDGET} * n_tokens div t").alias("share"),
+        F.expr(
+            f"least(n_tokens, {_Q108_BUDGET} * n_tokens div t)"
+        ).alias("alloc1"),
+        F.expr(
+            f"CASE WHEN {_Q108_BUDGET} * n_tokens div t < n_tokens"
+            " THEN 1 ELSE 0 END"
+        ).alias("uncapped"),
+    )
+    tot2 = s1.agg(
+        (F.lit(_Q108_BUDGET) - F.sum("alloc1")).cast("bigint").alias("leftover"),
+        F.coalesce(
+            F.sum(F.when(F.col("uncapped") == 1, F.col("n_tokens"))), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("tu"),
+    )
+    extra = F.expr(
+        "CASE WHEN uncapped = 1 AND tu > 0"
+        " THEN leftover * n_tokens div tu ELSE 0 END"
+    )
+    return (
+        s1.crossJoin(F.broadcast(tot2))
+        .select(
+            "source",
+            "n_tokens",
+            F.col("share").cast("bigint").alias("share"),
+            F.col("alloc1").cast("bigint").alias("alloc1"),
+            extra.cast("bigint").alias("extra"),
+            F.expr(
+                "least(n_tokens, alloc1 + CASE WHEN uncapped = 1 AND tu > 0"
+                " THEN leftover * n_tokens div tu ELSE 0 END)"
+            )
+            .cast("bigint")
+            .alias("final_alloc"),
+        )
+        .orderBy("source")
+    )
+
+
+# --------------------------------------------------------------------------
+# q109 graph triangle census — triangle counting over the q99 domain
+# graph (undirected, deduped, no self-loops by construction): the
+# standard a<b<c sorted-edge two-join plan, the clustering-structure
+# diagnostic run alongside PageRank on any link graph. Output is the
+# one-row census (nodes, undirected edges, triangles).
+#
+# Scale shape: joins run on the AGGREGATED sorted-edge relation keyed
+# by node ids — hash-partitionable, skew-diagnosable via the q99
+# degree columns; never an all-pairs product. The a<b<c orientation
+# counts each triangle exactly once and keeps the join frontier to
+# wedges anchored at the lowest vertex.
+
+ORACLE["q109_graph_triangles"] = f"""
+WITH e0 AS (
+    SELECT doc_id % {_PR_NODES} AS s,
+           (doc_id * 31 + 7) % {_PR_NODES} AS t
+    FROM documents
+),
+eu AS (
+    SELECT DISTINCT LEAST(s, t) AS u, GREATEST(s, t) AS v
+    FROM e0 WHERE s <> t
+),
+tri AS (
+    SELECT COUNT(*) AS n
+    FROM eu e1
+    JOIN eu e2 ON e2.u = e1.v
+    JOIN eu e3 ON e3.u = e1.u AND e3.v = e2.v
+)
+SELECT (SELECT CAST(COUNT(DISTINCT node) AS BIGINT)
+        FROM (SELECT u AS node FROM eu UNION ALL SELECT v FROM eu)) AS n_nodes,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM eu) AS n_edges,
+       CAST(tri.n AS BIGINT) AS n_triangles
+FROM tri
+"""
+
+
+@_q("q109_graph_triangles")
+def q109(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    e0 = d.select(
+        (F.col("doc_id") % _PR_NODES).alias("s"),
+        ((F.col("doc_id") * 31 + 7) % _PR_NODES).alias("t"),
+    ).filter(F.col("s") != F.col("t"))
+    eu = (
+        e0.select(
+            F.least("s", "t").alias("u"), F.greatest("s", "t").alias("v")
+        )
+        .distinct()
+        .persist()
+    )
+    wedges = eu.alias("e1").join(
+        eu.alias("e2"), F.col("e1.v") == F.col("e2.u")
+    ).select(
+        F.col("e1.u").alias("a"), F.col("e1.v").alias("b"),
+        F.col("e2.v").alias("c"),
+    )
+    tri = wedges.join(
+        eu.alias("e3"),
+        (F.col("a") == F.col("e3.u")) & (F.col("c") == F.col("e3.v")),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+    nodes = (
+        eu.select(F.col("u").alias("node"))
+        .unionAll(eu.select(F.col("v").alias("node")))
+        .agg(F.countDistinct("node").cast("bigint").alias("n_nodes"))
+    )
+    edges = eu.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
+    return (
+        nodes.crossJoin(F.broadcast(edges))
+        .crossJoin(F.broadcast(tri))
+        .select("n_nodes", "n_edges", "n_triangles")
     )

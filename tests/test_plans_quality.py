@@ -576,3 +576,39 @@ def test_q105_manifest_no_global_window(spark):
     # single-partition ROW_NUMBER over the corpus
     plan = _plan(spark, "q105_shard_manifest")
     assert "SinglePartition" not in plan, plan
+
+
+def test_q106_fusion_kernels_broadcast_anchor_side(spark):
+    # both retrievers are the broadcast-anchor kernels; the fusion
+    # join runs over two |anchors|*10-row relations — no Python stage
+    plan = _plan(spark, "q106_borda_fusion")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_q107_feature_hash_is_one_agg_no_joins(spark):
+    # hashing-trick embedding = explode + one (doc, dim) aggregate
+    # with map-side combine; everything stays in JVM codegen
+    plan = _plan(spark, "q107_feature_hash_embed")
+    assert "Join" not in plan
+    assert "partial_sum" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_q108_budget_totals_broadcast_not_windowed(spark):
+    # scalar totals attach via the sanctioned 1-row broadcast cross
+    # join — an unpartitioned SUM() OVER () window here would funnel
+    # the source relation through one partition
+    plan = _plan(spark, "q108_token_budget_alloc")
+    assert "windowspecdefinition" not in plan
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_q109_triangle_joins_are_equi_joins(spark):
+    # wedge formation and closure are hash-partitionable equi-joins on
+    # node ids; the only BNLJs are the two 1-row census cross joins
+    plan = _plan(spark, "q109_graph_triangles")
+    assert "CartesianProduct" not in plan
+    assert plan.count("(BroadcastNestedLoopJoin") <= 2, plan
