@@ -967,3 +967,144 @@ def test_stream_stream_interval_join_equals_batch(spark, tmp_path):
         ).select("user_id", "view_ts", "purchase_ts").collect()
     }
     assert got == want and len(want) == 3
+
+
+CDC_SCHEMA = StructType(
+    [
+        StructField("k", LongType()),
+        StructField("qp", LongType()),
+        StructField("seq", LongType()),
+        StructField("op", StringType()),
+    ]
+)
+
+
+def _cdc_arrive(spark, landing, rows):
+    spark.createDataFrame(rows, CDC_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(landing)
+
+
+def test_cdc_apply_stream_equals_batch_query(spark, tmp_path):
+    """Stream ≡ batch: feeding the q96 change log in sequence-ordered
+    batches leaves the maintained table equal to the q96 batch
+    semantics (latest per key wins, tombstones removed)."""
+    from python_lambda_ecs_container_data_etl_aws_spark.plans.corpus import cdc_log
+
+    landing = str(tmp_path / "cdc_landing")
+    table = str(tmp_path / "cdc_table")
+    ck = str(tmp_path / "ck_cdc")
+
+    log = cdc_log(spark, SF_DIR).persist()
+    by_seq = {
+        s: [(r.k, r.qp, r.seq, r.op) for r in log.filter(F.col("seq") == s).collect()]
+        for s in (0, 1, 2)
+    }
+
+    def drain():
+        runner.cdc_apply_stream(spark, landing, CDC_SCHEMA, table, ck)
+        return {
+            (r.k, r.qp)
+            for r in runner.read_cdc_table(spark, table).collect()
+        }
+
+    # batch 0: base snapshot only
+    _cdc_arrive(spark, landing, by_seq[0])
+    assert drain() == {(k, qp) for (k, qp, s, o) in by_seq[0]}
+
+    # batches 1+2: updates/inserts, then deletes — final state must
+    # match the q96 batch computation over the full log
+    _cdc_arrive(spark, landing, by_seq[1])
+    drain()
+    _cdc_arrive(spark, landing, by_seq[2])
+    got = drain()
+
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("k").orderBy(F.col("seq").desc(), "op")
+    expected = {
+        (r.k, r.qp)
+        for r in log.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("op") != "D"))
+        .collect()
+    }
+    assert got == expected
+    log.unpersist()
+
+
+def test_cdc_apply_stream_tombstone_blocks_replayed_old_change(spark, tmp_path):
+    """A late or replayed OLD change must not resurrect a deleted key:
+    the stored tombstone's higher sequence number outranks it."""
+    landing = str(tmp_path / "cdc_landing")
+    table = str(tmp_path / "cdc_table")
+    ck = str(tmp_path / "ck_cdc")
+
+    def drain():
+        runner.cdc_apply_stream(spark, landing, CDC_SCHEMA, table, ck)
+        return {
+            (r.k, r.qp)
+            for r in runner.read_cdc_table(spark, table).collect()
+        }
+
+    _cdc_arrive(spark, landing, [(1, 100, 0, "I"), (2, 200, 0, "I")])
+    assert drain() == {(1, 100), (2, 200)}
+    _cdc_arrive(spark, landing, [(1, 0, 2, "D")])
+    assert drain() == {(2, 200)}
+    # the seq-1 update arrives AFTER the delete was applied
+    _cdc_arrive(spark, landing, [(1, 150, 1, "U")])
+    assert drain() == {(2, 200)}
+    # a genuinely newer insert re-creates the key
+    _cdc_arrive(spark, landing, [(1, 300, 3, "I")])
+    assert drain() == {(1, 300), (2, 200)}
+
+
+def test_cdc_apply_stream_recovers_crashed_bucket_swap(spark, tmp_path):
+    """A crash between the two swap renames leaves a bucket aside-only;
+    both the reader and the next stream start must heal it."""
+    landing = str(tmp_path / "cdc_landing")
+    table = str(tmp_path / "cdc_table")
+    ck = str(tmp_path / "ck_cdc")
+
+    _cdc_arrive(spark, landing, [(1, 100, 0, "I"), (9, 900, 0, "I")])
+    runner.cdc_apply_stream(spark, landing, CDC_SCHEMA, table, ck)
+    # keys 1 and 9 land in the same bucket (1 % 8); simulate the crash
+    bdir = os.path.join(table, "bucket=1")
+    os.rename(bdir, os.path.join(table, ".bucket=1__old"))
+
+    # reader heals
+    got = {(r.k, r.qp) for r in runner.read_cdc_table(spark, table).collect()}
+    assert got == {(1, 100), (9, 900)}
+    assert os.path.isdir(bdir)
+
+    # stream start heals too (no new data: zero batches fire)
+    os.rename(bdir, os.path.join(table, ".bucket=1__old"))
+    runner.cdc_apply_stream(spark, landing, CDC_SCHEMA, table, ck)
+    assert os.path.isdir(bdir)
+
+
+def test_cdc_apply_stream_rewrites_only_touched_buckets(spark, tmp_path):
+    """Bucket scoping: a batch touching one bucket must leave every
+    other bucket's files untouched on disk (cost ∝ batch)."""
+    landing = str(tmp_path / "cdc_landing")
+    table = str(tmp_path / "cdc_table")
+    ck = str(tmp_path / "ck_cdc")
+
+    _cdc_arrive(spark, landing, [(k, k * 10, 0, "I") for k in range(8)])
+    runner.cdc_apply_stream(spark, landing, CDC_SCHEMA, table, ck)
+
+    def mtimes():
+        out = {}
+        for e in sorted(os.listdir(table)):
+            if e.startswith("bucket="):
+                d = os.path.join(table, e)
+                out[e] = max(os.path.getmtime(os.path.join(d, f)) for f in os.listdir(d))
+        return out
+
+    before = mtimes()
+    _cdc_arrive(spark, landing, [(3, 999, 1, "U")])  # bucket=3 only
+    runner.cdc_apply_stream(spark, landing, CDC_SCHEMA, table, ck)
+    after = mtimes()
+    changed = {b for b in after if after[b] != before.get(b)}
+    assert changed == {"bucket=3"}
+    got = {(r.k, r.qp) for r in runner.read_cdc_table(spark, table).collect()}
+    assert (3, 999) in got and len(got) == 8
