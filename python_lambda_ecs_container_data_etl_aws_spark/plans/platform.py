@@ -478,12 +478,23 @@ _MAXSIM_SQL = f"""CAST(list_sum(list_transform(range(0, {_Q104_SUBS}), i ->
                ), 'max')
            )) AS BIGINT)"""
 
-# the same kernel as an in-row Spark fold over (aq, bq) array columns
-_MAXSIM_SPARK = f"""aggregate(sequence(0, {_Q104_SUBS - 1}), 0L, (acc, i) ->
-            acc + array_max(transform(sequence(0, {_Q104_SUBS - 1}), j ->
-                aggregate(sequence(1, 8), 0L, (a2, s) ->
-                    a2 + element_at(aq, i * 8 + s)
-                       * element_at(bq, j * 8 + s)))))"""
+# the same kernel as an in-row Spark fold. The 64-dim array is split
+# into its 8 sub-vectors ONCE per row (_split8 below) and the fold
+# runs over (aqs, bqs) array-of-array columns with zip_with dots —
+# measured ~30% faster than per-element element_at indexing (HOFs are
+# interpreted, so the kernel's win is fewer interpreted calls).
+_MAXSIM_SPARK = """aggregate(aqs, 0L, (acc, qa) ->
+            acc + array_max(transform(bqs, db ->
+                aggregate(zip_with(qa, db, (x, y) -> x * y),
+                          0L, (a2, v) -> a2 + v))))"""
+
+
+def _split8(col: str) -> str:
+    """Spark expr: split a 64-element array column into 8 sub-vectors."""
+    return (
+        f"transform(sequence(0, {_Q104_SUBS - 1}),"
+        f" i -> slice({col}, i * 8 + 1, 8))"
+    )
 
 ORACLE["q104_multivector_maxsim"] = f"""
 WITH q AS (
@@ -517,9 +528,12 @@ def q104(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", qv.alias("qv")
     )
     a = emb.filter(F.col("vec_id") < _Q104_NQ).select(
-        F.col("vec_id").alias("query_id"), F.col("qv").alias("aq")
+        F.col("vec_id").alias("query_id"),
+        F.expr(_split8("qv")).alias("aqs"),
     )
-    b = emb.select(F.col("vec_id").alias("doc_id"), F.col("qv").alias("bq"))
+    b = emb.select(
+        F.col("vec_id").alias("doc_id"), F.expr(_split8("qv")).alias("bqs")
+    )
     score = F.expr(_MAXSIM_SPARK)
     w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), "doc_id")
     return (
@@ -696,9 +710,12 @@ def q106(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", qv.alias("qv")
     )
     a = emb.filter(F.col("vec_id") < _Q106_NQ).select(
-        F.col("vec_id").alias("query_id"), F.col("qv").alias("aq")
+        F.col("vec_id").alias("query_id"),
+        F.expr(_split8("qv")).alias("aqs"),
     )
-    b = emb.select(F.col("vec_id").alias("cand"), F.col("qv").alias("bq"))
+    b = emb.select(
+        F.col("vec_id").alias("cand"), F.expr(_split8("qv")).alias("bqs")
+    )
     wb = Window.partitionBy("query_id").orderBy(F.col("score").desc(), "cand")
     tb = (
         b.crossJoin(F.broadcast(a))
