@@ -40,6 +40,13 @@ _NEVER_DRIVER_VERIFIED = [
     # canonicalization drift in the ORACLE SQL (round-3 verdict item 1);
     # the oracles now CAST to BIGINT — keep both in the window until a
     # fully-green CORRECTNESS row exists.
+    #
+    # OVERFLOW DISCIPLINE: the window holds 50; with 16 contract slots
+    # fixed, at most 34 unverified names fit. When this list outgrows
+    # that, the TAIL entries land at positions 51+ and wait for the
+    # next round's rotation — the guard test pins that overflow is
+    # only ever the tail of this list and only when the window is
+    # fully packed with contract + unverified names.
     "q46_pack_contexts", "q56_pii_scrub",
     # new in round 4
     "q80_line_quality_filter", "q81_boilerplate_lines", "q82_domain_cap",
@@ -53,6 +60,8 @@ _NEVER_DRIVER_VERIFIED = [
     "q102_anomaly_zscore", "q103_bpe_pair_stats", "q104_multivector_maxsim",
     "q105_shard_manifest", "q106_borda_fusion", "q107_feature_hash_embed",
     "q108_token_budget_alloc", "q109_graph_triangles",
+    "q110_trend_slopes", "q111_setsim_prefix_join", "q112_inverted_index",
+    "q113_random_walks",
 ]
 _SINGLE_GREEN = [
     # green in exactly one driver round so far; oldest single-green first

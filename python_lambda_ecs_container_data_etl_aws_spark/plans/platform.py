@@ -1,4 +1,4 @@
-"""Platform-tier queries q99-q109: the warehouse/graph/retrieval
+"""Platform-tier queries q99-q113: the warehouse/graph/retrieval
 operations that sit AROUND a curation pipeline — seed-quality graph
 ranking, slowly-changing-dimension history, embedding compression,
 series anomaly audit, tokenizer-merge statistics, late-interaction
@@ -45,6 +45,16 @@ retrieval, and the shard manifest a trainer's data loader reads.
   proportional redistribution round, all truncating BIGINT division.
 - q109 graph triangle census: sorted-edge a<b<c triangle count over
   the q99 domain graph.
+- q110 trend slopes: per-series OLS trend sign with exact BIGINT
+  numerator/denominator — float-free metric regression sweeps.
+- q111 prefix-filtered set-similarity join: AllPairs/PPJoin over
+  3-token shingle sets — the exact, no-false-negative complement to
+  MinHash-LSH; integer ceil and cross-multiplied Jaccard gate.
+- q112 inverted index build: per-term df/cf/first posting + an
+  order-fingerprint of the (doc, pos) posting list.
+- q113 deterministic random walks: md5-driven next-hop selection
+  over sorted adjacency — node2vec-style walk corpora, bit-identical
+  in both engines.
 
 The reference pipeline (CSV -> MySQL/DynamoDB loads) stops at q08's
 upsert; these extend the Tier-C suite with oracle-backed contracts.
@@ -982,3 +992,362 @@ def q109(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(tri))
         .select("n_nodes", "n_edges", "n_triangles")
     )
+
+
+# --------------------------------------------------------------------------
+# q110 trend slopes — per-series least-squares trend detection with
+# ZERO floats: for each event type's daily counts, the OLS slope's
+# sign is sign(n*Σxc - Σx*Σc) with x the day offset from the series
+# start — numerator and denominator are exact BIGINTs, so "up /
+# down / flat" is bit-deterministic (the classic metric-regression
+# sweep over thousands of series at once).
+#
+# Scale shape: one (type, day) aggregate, a broadcast join of the
+# per-type series start, then one per-type aggregate — map-side
+# combine everywhere, no windows.
+
+ORACLE["q110_trend_slopes"] = """
+WITH day AS (
+    SELECT event_type,
+           strftime(CAST(CAST(ts AS TIMESTAMP) AS DATE), '%Y-%m-%d') AS day,
+           CAST(COUNT(*) AS BIGINT) AS c
+    FROM events GROUP BY 1, 2
+),
+st0 AS (SELECT event_type, MIN(day) AS md FROM day GROUP BY 1),
+xy AS (
+    SELECT d.event_type,
+           date_diff('day', CAST(s.md AS DATE), CAST(d.day AS DATE)) AS x,
+           d.c
+    FROM day d JOIN st0 s USING (event_type)
+),
+agg AS (
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(c) AS BIGINT) AS sc,
+           CAST(SUM(x * c) AS BIGINT) AS sxc,
+           CAST(SUM(x * x) AS BIGINT) AS sxx
+    FROM xy GROUP BY 1
+)
+SELECT event_type, n AS n_days,
+       CAST(n * sxc - sx * sc AS BIGINT) AS slope_num,
+       CAST(n * sxx - sx * sx AS BIGINT) AS slope_den,
+       CASE WHEN n * sxc - sx * sc > 0 THEN 'up'
+            WHEN n * sxc - sx * sc < 0 THEN 'down'
+            ELSE 'flat' END AS trend
+FROM agg ORDER BY event_type
+"""
+
+
+@_q("q110_trend_slopes")
+def q110(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select("event_type", "ts_us")
+    day = (
+        e.select(
+            "event_type",
+            F.to_date(F.timestamp_micros(F.col("ts_us")))
+            .cast("string")
+            .alias("day"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    st0 = day.groupBy("event_type").agg(F.min("day").alias("md"))
+    xy = day.join(F.broadcast(st0), "event_type").select(
+        "event_type",
+        F.datediff(F.to_date("day"), F.to_date("md")).cast("bigint").alias("x"),
+        "c",
+    )
+    agg = xy.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("c").cast("bigint").alias("sc"),
+        F.sum(F.col("x") * F.col("c")).cast("bigint").alias("sxc"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+    )
+    num = F.expr("n * sxc - sx * sc")
+    return agg.select(
+        "event_type",
+        F.col("n").alias("n_days"),
+        num.cast("bigint").alias("slope_num"),
+        F.expr("n * sxx - sx * sx").cast("bigint").alias("slope_den"),
+        F.when(num > 0, "up").when(num < 0, "down").otherwise("flat").alias("trend"),
+    ).orderBy("event_type")
+
+
+# --------------------------------------------------------------------------
+# q111 prefix-filtered set-similarity join — the AllPairs/PPJoin
+# family (Bayardo et al. 2007) as the EXACT complement to MinHash-LSH
+# (q25): two documents' 3-token shingle sets can reach Jaccard >= 0.6
+# only if they share a shingle in each other's PREFIX (the rarest
+# |s| - ceil(0.6*|s|) + 1 shingles in global-document-frequency
+# order), so candidate generation is a join on short prefix postings
+# — no false negatives, unlike LSH — and the exact intersection
+# verify runs only on candidates. Ceil is integer ((6n + 9) // 10);
+# the Jaccard gate is 10*inter >= 6*union — no float similarity
+# anywhere. Shingles, not raw tokens, are the set elements: this
+# corpus draws from a ~31-word vocabulary, so single-token sets are
+# degenerate (almost every pair "matches") — the same reason q22/q25
+# shingle before comparing.
+#
+# Scale shape: prefix postings are short by construction (rare
+# shingles lead), the verify join is bounded by candidate count, and
+# the global df relation is the only corpus-wide aggregate.
+
+_Q111_T10 = 6  # Jaccard threshold in tenths: 0.6
+
+ORACLE["q111_setsim_prefix_join"] = f"""
+WITH tokarr AS (
+    SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+ts AS (
+    SELECT DISTINCT doc_id,
+           array_to_string(list_slice(toks, u.i, u.i + 2), ' ') AS tok
+    FROM tokarr, UNNEST(range(1, len(toks) - 1)) AS u(i)
+),
+sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM ts GROUP BY 1),
+df AS (SELECT tok, COUNT(*) AS df FROM ts GROUP BY 1),
+rk AS (
+    SELECT ts.doc_id, ts.tok,
+           ROW_NUMBER() OVER (PARTITION BY ts.doc_id
+                              ORDER BY df.df, ts.tok) AS rk
+    FROM ts JOIN df USING (tok)
+),
+pfx AS (
+    SELECT r.doc_id, r.tok
+    FROM rk r JOIN sz ON sz.doc_id = r.doc_id
+    WHERE r.rk <= sz.n - ({_Q111_T10} * sz.n + 9) // 10 + 1
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+    FROM pfx a JOIN pfx b ON a.tok = b.tok AND a.doc_id < b.doc_id
+),
+inter AS (
+    SELECT c.a_id, c.b_id, CAST(COUNT(*) AS BIGINT) AS inter
+    FROM cand c
+    JOIN ts ta ON ta.doc_id = c.a_id
+    JOIN ts tb ON tb.doc_id = c.b_id AND tb.tok = ta.tok
+    GROUP BY 1, 2
+)
+SELECT i.a_id, i.b_id, i.inter,
+       CAST(sa.n + sb.n - i.inter AS BIGINT) AS uni
+FROM inter i
+JOIN sz sa ON sa.doc_id = i.a_id
+JOIN sz sb ON sb.doc_id = i.b_id
+WHERE 10 * i.inter >= {_Q111_T10} * (sa.n + sb.n - i.inter)
+ORDER BY a_id, b_id
+"""
+
+
+@_q("q111_setsim_prefix_join")
+def q111(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    shingles = F.expr(
+        "transform(sequence(1, size(toks) - 2),"
+        " i -> concat_ws(' ', slice(toks, i, 3)))"
+    )
+    ts = (
+        d.select("doc_id", F.split(F.col("text"), " ").alias("toks"))
+        .filter(F.size("toks") >= 3)
+        .select("doc_id", F.explode(shingles).alias("tok"))
+        .distinct()
+        .persist()
+    )
+    sz = ts.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    df_rel = ts.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("doc_id").orderBy("df", "tok")
+    pfx = (
+        ts.join(df_rel, "tok")
+        .withColumn("rk", F.row_number().over(w))
+        .join(F.broadcast(sz), "doc_id")
+        .filter(
+            F.col("rk")
+            <= F.col("n") - (_Q111_T10 * F.col("n") + 9) / 10 + 1
+        )
+        .select("doc_id", "tok")
+    )
+    cand = (
+        pfx.select(F.col("doc_id").alias("a_id"), "tok")
+        .join(pfx.select(F.col("doc_id").alias("b_id"), "tok"), "tok")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+        .distinct()
+    )
+    inter = (
+        cand.join(ts.select(F.col("doc_id").alias("a_id"), "tok"), "a_id")
+        .join(
+            ts.select(F.col("doc_id").alias("b_id"), "tok"),
+            ["b_id", "tok"],
+        )
+        .groupBy("a_id", "b_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("inter"))
+    )
+    out = (
+        inter.join(
+            F.broadcast(sz.select(F.col("doc_id").alias("a_id"), F.col("n").alias("na"))),
+            "a_id",
+        )
+        .join(
+            F.broadcast(sz.select(F.col("doc_id").alias("b_id"), F.col("n").alias("nb"))),
+            "b_id",
+        )
+        .withColumn("uni", (F.col("na") + F.col("nb") - F.col("inter")).cast("bigint"))
+        .filter(10 * F.col("inter") >= _Q111_T10 * F.col("uni"))
+        .select("a_id", "b_id", "inter", "uni")
+        .orderBy("a_id", "b_id")
+    )
+    return out
+
+
+# --------------------------------------------------------------------------
+# q112 inverted index build — the IR-index prep job: per term, its
+# document frequency, collection frequency, first posting, and an
+# order-fingerprint of the full (doc, position) posting list. The
+# posting fingerprint makes the whole index — order included —
+# hash-checkable against the oracle without materializing gigabytes
+# of postings in the contract.
+#
+# Scale shape: one positional explode + one per-term aggregate; the
+# head-token skew lands in a map-side-combined agg (same posture as
+# q59's df relation).
+
+ORACLE["q112_inverted_index"] = """
+WITH tok AS (
+    SELECT doc_id, CAST(u.i AS BIGINT) AS pos,
+           string_split(text, ' ')[CAST(u.i AS INT)] AS term
+    FROM documents,
+         UNNEST(range(1, len(string_split(text, ' ')) + 1)) AS u(i)
+)
+SELECT term,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df,
+       CAST(COUNT(*) AS BIGINT) AS cf,
+       CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+       md5(string_agg(CAST(doc_id AS VARCHAR) || ':' || CAST(pos AS VARCHAR),
+                      ' ' ORDER BY doc_id, pos)) AS postings_md5
+FROM tok GROUP BY term ORDER BY term
+"""
+
+
+@_q("q112_inverted_index")
+def q112(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        F.posexplode(F.split(F.col("text"), " ")).alias("pos0", "term"),
+    ).select(
+        "doc_id", (F.col("pos0") + 1).cast("bigint").alias("pos"), "term"
+    )
+    posting = F.concat(
+        F.col("doc_id").cast("string"), F.lit(":"), F.col("pos").cast("string")
+    )
+    return (
+        tok.withColumn("p", posting)
+        .groupBy("term")
+        .agg(
+            F.countDistinct("doc_id").cast("bigint").alias("df"),
+            F.count(F.lit(1)).cast("bigint").alias("cf"),
+            F.min("doc_id").cast("bigint").alias("first_doc"),
+            _md5_ordered("p", "doc_id", "pos").alias("postings_md5"),
+        )
+        .orderBy("term")
+    )
+
+
+# --------------------------------------------------------------------------
+# q113 deterministic random walks — node2vec-style walk generation
+# over the q99 domain graph with md5-driven step selection: from node
+# u at step k of a walk started at s, the next hop is the
+# md5('rw|s|k|u')-indexed entry of u's SORTED out-neighbor list, so
+# both engines walk the identical paths (seeded pseudo-randomness,
+# the same trick as the catalog's md5 samplers). Nodes with no
+# out-edges hold in place. 3 unrolled steps from every source node —
+# the corpus a skip-gram graph-embedding trainer consumes.
+#
+# Scale shape: the adjacency relation aggregates once (sorted
+# neighbor arrays); each step is a join of the walk frontier against
+# it — node-sized broadcasts here, shuffle hash joins on a web graph
+# (same degradation note as q99).
+
+_RW_STEPS = 3
+
+
+def _rw_md5_sql(k: int, cur: str) -> str:
+    return (
+        f"CAST('0x' || substr(md5('rw|' || CAST(start AS VARCHAR) || '|{k}|'"
+        f" || CAST({cur} AS VARCHAR)), 1, 15) AS BIGINT)"
+    )
+
+
+def _rw_step_sql(prev: str, cur: str, k: int) -> str:
+    return f"""w{k} AS (
+    SELECT w.start, {', '.join(f'w.n{i}' for i in range(k))},
+           COALESCE(nb.nb[CAST({_rw_md5_sql(k, f'w.n{k - 1}')}
+                               % len(nb.nb) AS INT) + 1], w.n{k - 1}) AS n{k}
+    FROM w{k - 1} w LEFT JOIN nbrs nb ON nb.s = w.n{k - 1}
+)"""
+
+
+ORACLE["q113_random_walks"] = f"""
+WITH e0 AS (
+    SELECT doc_id % {_PR_NODES} AS s,
+           (doc_id * 31 + 7) % {_PR_NODES} AS t
+    FROM documents
+),
+eu AS (SELECT DISTINCT s, t FROM e0),
+nbrs AS (SELECT s, list(t ORDER BY t) AS nb FROM eu GROUP BY 1),
+w0 AS (SELECT s AS start, s AS n0 FROM (SELECT DISTINCT s FROM eu)),
+{_rw_step_sql('n0', 'n1', 1)},
+{_rw_step_sql('n1', 'n2', 2)},
+{_rw_step_sql('n2', 'n3', 3)}
+SELECT start, n1, n2, n3 FROM w3 ORDER BY start
+"""
+
+
+@_q("q113_random_walks")
+def q113(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    e0 = d.select(
+        (F.col("doc_id") % _PR_NODES).alias("s"),
+        ((F.col("doc_id") * 31 + 7) % _PR_NODES).alias("t"),
+    )
+    eu = e0.distinct()
+    nbrs = eu.groupBy("s").agg(
+        F.array_sort(F.collect_list("t")).alias("nb")
+    )
+    walk = eu.select("s").distinct().select(
+        F.col("s").alias("start"), F.col("s").alias("n0")
+    )
+    for k in range(1, _RW_STEPS + 1):
+        cur = f"n{k - 1}"
+        h = (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("rw|"),
+                            F.col("start").cast("string"),
+                            F.lit(f"|{k}|"),
+                            F.col(cur).cast("string"),
+                        ).cast("binary")
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+        )
+        walk = (
+            walk.join(
+                F.broadcast(nbrs.withColumnRenamed("s", cur)), cur, "left"
+            )
+            .withColumn(
+                f"n{k}",
+                F.coalesce(
+                    F.element_at(
+                        "nb", (h % F.size("nb") + 1).cast("int")
+                    ),
+                    F.col(cur),
+                ),
+            )
+            .drop("nb")
+        )
+    return walk.select("start", "n1", "n2", "n3").orderBy("start")

@@ -84,9 +84,22 @@ def test_driver_window_covers_contract_and_unverified():
     win = list(mod.queries())[:50]
     missing_contract = [n for n in mod._CONTRACT if n not in win]
     missing_unverified = [n for n in mod._NEVER_DRIVER_VERIFIED if n not in win]
-    assert not missing_contract and not missing_unverified, (
-        f"window misses contract={missing_contract} unverified={missing_unverified}"
-    )
+    assert not missing_contract, f"window misses contract={missing_contract}"
+    # unverified names may overflow the window ONLY when it is fully
+    # packed with contract + unverified entries, and the overflow must
+    # be exactly the TAIL of the rotation list (deferred to next round
+    # by the documented overflow discipline, never silently dropped
+    # from the middle)
+    if missing_unverified:
+        assert len(mod._CONTRACT) + len(mod._NEVER_DRIVER_VERIFIED) > 50, (
+            f"window has free slots yet misses unverified={missing_unverified}"
+        )
+        assert missing_unverified == mod._NEVER_DRIVER_VERIFIED[
+            -len(missing_unverified):
+        ], f"overflow is not the rotation tail: {missing_unverified}"
+        assert all(n not in win for n in mod._SINGLE_GREEN), (
+            "single-green entries occupy window slots while unverified overflow"
+        )
     # every registered name must exist in the catalog (no stale rotation
     # entries pointing at renamed queries)
     cat = set(QUERIES)

@@ -612,3 +612,38 @@ def test_q109_triangle_joins_are_equi_joins(spark):
     plan = _plan(spark, "q109_graph_triangles")
     assert "CartesianProduct" not in plan
     assert plan.count("(BroadcastNestedLoopJoin") <= 2, plan
+
+
+def test_q110_trend_agg_broadcasts_series_start(spark):
+    # the per-type series-start relation broadcasts back into the day
+    # counts; both aggregates combine map-side, no windows anywhere
+    plan = _plan(spark, "q110_trend_slopes")
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "windowspecdefinition" not in plan
+
+
+def test_q111_prefix_join_never_all_pairs(spark):
+    # candidates must come from the prefix-posting equi-join — a
+    # cartesian/nested-loop doc pair product would defeat the whole
+    # AllPairs design; the verify joins are equi-joins too
+    plan = _plan(spark, "q111_setsim_prefix_join")
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_q112_index_build_is_one_agg_no_joins(spark):
+    # positional explode + one per-term aggregate; countDistinct is
+    # the standard two-phase expand, no joins, no Python
+    plan = _plan(spark, "q112_inverted_index")
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_q113_walk_steps_broadcast_adjacency(spark):
+    # each unrolled step joins the frontier against the aggregated
+    # sorted-adjacency relation as a broadcast (node-sized here; hash
+    # join on a web graph — q99's degradation note)
+    plan = _plan(spark, "q113_random_walks")
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 3
