@@ -842,3 +842,75 @@ def crosscorpus_neardup_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def prefix_filtered_pairs(
+    ts: DataFrame,
+    id_col: str = "doc_id",
+    token_col: str = "tok",
+    threshold_tenths: int = 6,
+) -> DataFrame:
+    """(a_id, b_id, inter, uni): all pairs whose set Jaccard is >=
+    threshold_tenths/10 — EXACT, via the AllPairs/PPJoin prefix filter
+    (Bayardo et al. 2007, the q111 contract): a pair can reach the
+    threshold only if it shares an element among each set's rarest
+    ``|s| - ceil(t*|s|) + 1`` tokens (global-df order), so candidate
+    generation joins short prefix postings and the exact intersection
+    verify runs only on candidates. No false negatives — the exact
+    complement to :func:`minhash_lsh_dedup`'s probabilistic recall.
+
+    ``ts`` must be a DISTINCT (id, token) set relation (use shingles,
+    not raw tokens, when the vocabulary is small — a tiny vocabulary
+    makes token sets degenerate and the filter toothless). Integer
+    ceil ((t*n + 9) // 10) and a cross-multiplied Jaccard gate keep
+    the whole operator float-free."""
+    t10 = threshold_tenths
+    ts = ts.persist()
+    sz = ts.groupBy(id_col).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    df_rel = ts.groupBy(token_col).agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy(id_col).orderBy("df", token_col)
+    pfx = (
+        ts.join(df_rel, token_col)
+        .withColumn("rk", F.row_number().over(w))
+        .join(F.broadcast(sz), id_col)
+        # integer ceil: `/` here would be FLOAT division, silently
+        # shrinking the prefix by one for most set sizes — a
+        # false-negative bug the hypothesis completeness test catches
+        .filter(F.expr(f"rk <= n - ({t10} * n + 9) div 10 + 1"))
+        .select(id_col, token_col)
+    )
+    cand = (
+        pfx.select(F.col(id_col).alias("a_id"), token_col)
+        .join(pfx.select(F.col(id_col).alias("b_id"), token_col), token_col)
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+        .distinct()
+    )
+    inter = (
+        cand.join(ts.select(F.col(id_col).alias("a_id"), token_col), "a_id")
+        .join(
+            ts.select(F.col(id_col).alias("b_id"), token_col),
+            ["b_id", token_col],
+        )
+        .groupBy("a_id", "b_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("inter"))
+    )
+    return (
+        inter.join(
+            F.broadcast(
+                sz.select(F.col(id_col).alias("a_id"), F.col("n").alias("na"))
+            ),
+            "a_id",
+        )
+        .join(
+            F.broadcast(
+                sz.select(F.col(id_col).alias("b_id"), F.col("n").alias("nb"))
+            ),
+            "b_id",
+        )
+        .withColumn(
+            "uni", (F.col("na") + F.col("nb") - F.col("inter")).cast("bigint")
+        )
+        .filter(10 * F.col("inter") >= t10 * F.col("uni"))
+        .select("a_id", "b_id", "inter", "uni")
+    )

@@ -1,0 +1,222 @@
+"""Graph operators over edge relations — the library APIs behind the
+q99/q109/q113 contract queries, usable on any (src, dst) DataFrame.
+
+- :func:`pagerank` — fixed-point integer PageRank: exact BIGINT
+  arithmetic (rank*weight integer-divided by out-weight, damping as
+  an integer percentage), so results are bit-deterministic and
+  engine-portable. The one data-sized operation is the caller's edge
+  aggregation; iterations run on the aggregated weighted relation.
+- :func:`triangle_count` — sorted-edge a<b<c triangle census (each
+  triangle counted once) plus node/edge counts.
+- :func:`random_walks` — deterministic md5-driven walks over sorted
+  adjacency lists; both engines (and any two runs) walk identical
+  paths, which is what makes walk corpora reproducible training data.
+
+Scale posture: all joins are equi-joins on node ids. The node-sized
+relations (ranks, out-weights, adjacency) are broadcast when they fit
+(`broadcast_state=True`, right for domain/host graphs whose node
+count is tiny next to the edge count); pass ``broadcast_state=False``
+on a web-scale graph and the same loops run as shuffle hash joins —
+the join keys don't change, so the plans degrade gracefully.
+
+Reference parity: the reference pipeline has no graph stage; these
+extend the Tier-C suite (crawl-seed ranking, clustering diagnostics,
+graph-embedding walk corpora).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _maybe_broadcast(df: DataFrame, flag: bool) -> DataFrame:
+    return F.broadcast(df) if flag else df
+
+
+def weighted_edges(edges: DataFrame, src: str = "s", dst: str = "t") -> DataFrame:
+    """Aggregate raw edge rows to (src, dst, w) — the one data-sized
+    shuffle every operator here runs on."""
+    return edges.groupBy(src, dst).agg(F.count(F.lit(1)).alias("w"))
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "s",
+    dst: str = "t",
+    *,
+    iters: int = 3,
+    scale: int = 1_000_000,
+    base_pct: int = 15,
+    broadcast_state: bool = True,
+) -> DataFrame:
+    """(node, r): fixed-point integer PageRank after ``iters`` rounds.
+
+    r_{t+1}(v) = base_pct%*scale + (100-base_pct)% * Σ_{u→v}
+    (r_t(u)*w(u,v)) div W(u), every division truncating BIGINT over
+    non-negative operands — bit-identical across engines (the q99
+    contract). Dangling mass is dropped (the standard leaky variant).
+    """
+    damp = 100 - base_pct
+    base = base_pct * scale // 100
+    we = weighted_edges(edges, src, dst).persist()
+    outw = we.groupBy(src).agg(F.sum("w").cast("bigint").alias("tw"))
+    nodes = (
+        edges.select(F.col(src).alias("node"))
+        .union(edges.select(F.col(dst).alias("node")))
+        .distinct()
+        .persist()
+    )
+    ranks = nodes.select("node", F.lit(scale).cast("bigint").alias("r"))
+    for _ in range(iters):
+        contrib = (
+            we.join(
+                _maybe_broadcast(
+                    ranks.withColumnRenamed("node", src), broadcast_state
+                ),
+                src,
+            )
+            .join(_maybe_broadcast(outw, broadcast_state), src)
+            .select(
+                F.col(dst).alias("node"),
+                F.expr("(r * w) div tw").alias("m"),
+            )
+            .groupBy("node")
+            .agg(F.sum("m").alias("m"))
+        )
+        ranks = nodes.join(
+            _maybe_broadcast(contrib, broadcast_state), "node", "left"
+        ).select(
+            "node",
+            F.expr(
+                f"CAST({base} + ({damp} * coalesce(m, 0L)) div 100 AS BIGINT)"
+            ).alias("r"),
+        )
+    return ranks
+
+
+def degree_stats(
+    edges: DataFrame, src: str = "s", dst: str = "t"
+) -> DataFrame:
+    """(node, out_w, in_w): weighted degrees — the skew diagnostic to
+    read before deciding the join strategy for the loops above. A
+    union + one aggregate, never an outer join of the two degree
+    relations (a full-outer can't broadcast and would SMJ)."""
+    we = weighted_edges(edges, src, dst)
+    both = we.select(
+        F.col(src).alias("node"),
+        F.col("w").alias("ow"),
+        F.lit(0).alias("iw"),
+    ).unionAll(
+        we.select(
+            F.col(dst).alias("node"),
+            F.lit(0).alias("ow"),
+            F.col("w").alias("iw"),
+        )
+    )
+    return both.groupBy("node").agg(
+        F.sum("ow").cast("bigint").alias("out_w"),
+        F.sum("iw").cast("bigint").alias("in_w"),
+    )
+
+
+def triangle_count(
+    edges: DataFrame, src: str = "s", dst: str = "t"
+) -> DataFrame:
+    """One-row census (n_nodes, n_edges, n_triangles) over the
+    undirected, deduped view of ``edges`` (self-loops dropped). The
+    a<b<c sorted-pair orientation counts each triangle exactly once
+    and anchors the wedge join at the lowest vertex."""
+    eu = (
+        edges.filter(F.col(src) != F.col(dst))
+        .select(
+            F.least(src, dst).alias("u"), F.greatest(src, dst).alias("v")
+        )
+        .distinct()
+        .persist()
+    )
+    wedges = eu.alias("e1").join(
+        eu.alias("e2"), F.col("e1.v") == F.col("e2.u")
+    ).select(
+        F.col("e1.u").alias("a"),
+        F.col("e1.v").alias("b"),
+        F.col("e2.v").alias("c"),
+    )
+    tri = wedges.join(
+        eu.alias("e3"),
+        (F.col("a") == F.col("e3.u")) & (F.col("c") == F.col("e3.v")),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+    nodes = (
+        eu.select(F.col("u").alias("node"))
+        .unionAll(eu.select(F.col("v").alias("node")))
+        .agg(F.countDistinct("node").cast("bigint").alias("n_nodes"))
+    )
+    n_edges = eu.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
+    return (
+        nodes.crossJoin(F.broadcast(n_edges))
+        .crossJoin(F.broadcast(tri))
+        .select("n_nodes", "n_edges", "n_triangles")
+    )
+
+
+def random_walks(
+    edges: DataFrame,
+    src: str = "s",
+    dst: str = "t",
+    *,
+    steps: int = 3,
+    seed: str = "rw|",
+    broadcast_state: bool = True,
+) -> DataFrame:
+    """(start, n1..n<steps>): one deterministic walk per source node.
+
+    The next hop from node u at step k of the walk started at s is
+    the md5(seed|s|k|u)-indexed entry of u's SORTED out-neighbor
+    list — seeded pseudo-randomness, so walks are reproducible and
+    engine-portable (the q113 contract). Nodes without out-edges hold
+    in place."""
+    eu = edges.select(src, dst).distinct()
+    nbrs = eu.groupBy(src).agg(
+        F.array_sort(F.collect_list(dst)).alias("nb")
+    )
+    walk = eu.select(F.col(src).alias("start")).distinct().select(
+        "start", F.col("start").alias("n0")
+    )
+    for k in range(1, steps + 1):
+        cur = f"n{k - 1}"
+        h = (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit(seed),
+                            F.col("start").cast("string"),
+                            F.lit(f"|{k}|"),
+                            F.col(cur).cast("string"),
+                        ).cast("binary")
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+        )
+        walk = (
+            walk.join(
+                _maybe_broadcast(
+                    nbrs.withColumnRenamed(src, cur), broadcast_state
+                ),
+                cur,
+                "left",
+            )
+            .withColumn(
+                f"n{k}",
+                F.coalesce(
+                    F.element_at("nb", (h % F.size("nb") + 1).cast("int")),
+                    F.col(cur),
+                ),
+            )
+            .drop("nb")
+        )
+    return walk.drop("n0")

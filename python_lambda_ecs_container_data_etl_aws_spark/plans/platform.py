@@ -147,58 +147,30 @@ ORDER BY domain
 """
 
 
-@_q("q99_domain_pagerank")
-def q99(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _domain_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deterministic domain link graph shared by q99/q109/q113."""
     d = load_table(spark, sf_dir, "documents").select("doc_id")
-    e0 = d.select(
+    return d.select(
         (F.col("doc_id") % _PR_NODES).alias("s"),
         ((F.col("doc_id") * 31 + 7) % _PR_NODES).alias("t"),
     )
-    # the one data-sized shuffle; everything after runs on <=69x69 rows
-    edges = (
-        e0.groupBy("s", "t").agg(F.count(F.lit(1)).alias("w")).persist()
+
+
+@_q("q99_domain_pagerank")
+def q99(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import degree_stats, pagerank
+
+    e0 = _domain_edges(spark, sf_dir)
+    ranks = pagerank(
+        e0, iters=_PR_ITERS, scale=_PR_SCALE, base_pct=15, broadcast_state=True
     )
-    outw = edges.groupBy("s").agg(F.sum("w").cast("bigint").alias("tw"))
-    nodes = (
-        e0.select(F.col("s").alias("node"))
-        .union(e0.select(F.col("t").alias("node")))
-        .distinct()
-        .persist()
-    )
-    ranks = nodes.select(
-        "node", F.lit(_PR_SCALE).cast("bigint").alias("r")
-    )
-    for _ in range(_PR_ITERS):
-        contrib = (
-            edges.join(
-                F.broadcast(ranks.withColumnRenamed("node", "s")), "s"
-            )
-            .join(F.broadcast(outw), "s")
-            .select(
-                F.col("t").alias("node"),
-                F.expr("(r * w) div tw").alias("m"),
-            )
-            .groupBy("node")
-            .agg(F.sum("m").alias("m"))
-        )
-        ranks = nodes.join(F.broadcast(contrib), "node", "left").select(
-            "node",
-            F.expr(
-                f"CAST({_PR_BASE} + (85 * coalesce(m, 0L)) div 100 AS BIGINT)"
-            ).alias("r"),
-        )
-    inw = edges.groupBy(F.col("t").alias("node")).agg(
-        F.sum("w").cast("bigint").alias("iw")
-    )
+    deg = degree_stats(e0)
     return (
-        ranks.join(
-            F.broadcast(outw.withColumnRenamed("s", "node")), "node", "left"
-        )
-        .join(F.broadcast(inw), "node", "left")
+        ranks.join(F.broadcast(deg), "node", "left")
         .select(
             F.expr(_PR_LABEL_SPARK).alias("domain"),
-            F.coalesce("tw", F.lit(0)).cast("bigint").alias("out_w"),
-            F.coalesce("iw", F.lit(0)).cast("bigint").alias("in_w"),
+            F.coalesce("out_w", F.lit(0)).cast("bigint").alias("out_w"),
+            F.coalesce("in_w", F.lit(0)).cast("bigint").alias("in_w"),
             F.col("r").alias("rank_fp"),
         )
         .orderBy("domain")
@@ -959,39 +931,9 @@ FROM tri
 
 @_q("q109_graph_triangles")
 def q109(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents").select("doc_id")
-    e0 = d.select(
-        (F.col("doc_id") % _PR_NODES).alias("s"),
-        ((F.col("doc_id") * 31 + 7) % _PR_NODES).alias("t"),
-    ).filter(F.col("s") != F.col("t"))
-    eu = (
-        e0.select(
-            F.least("s", "t").alias("u"), F.greatest("s", "t").alias("v")
-        )
-        .distinct()
-        .persist()
-    )
-    wedges = eu.alias("e1").join(
-        eu.alias("e2"), F.col("e1.v") == F.col("e2.u")
-    ).select(
-        F.col("e1.u").alias("a"), F.col("e1.v").alias("b"),
-        F.col("e2.v").alias("c"),
-    )
-    tri = wedges.join(
-        eu.alias("e3"),
-        (F.col("a") == F.col("e3.u")) & (F.col("c") == F.col("e3.v")),
-    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
-    nodes = (
-        eu.select(F.col("u").alias("node"))
-        .unionAll(eu.select(F.col("v").alias("node")))
-        .agg(F.countDistinct("node").cast("bigint").alias("n_nodes"))
-    )
-    edges = eu.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
-    return (
-        nodes.crossJoin(F.broadcast(edges))
-        .crossJoin(F.broadcast(tri))
-        .select("n_nodes", "n_edges", "n_triangles")
-    )
+    from ..operators.graph import triangle_count
+
+    return triangle_count(_domain_edges(spark, sf_dir))
 
 
 # --------------------------------------------------------------------------
@@ -1139,6 +1081,8 @@ ORDER BY a_id, b_id
 
 @_q("q111_setsim_prefix_join")
 def q111(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import prefix_filtered_pairs
+
     d = load_table(spark, sf_dir, "documents")
     shingles = F.expr(
         "transform(sequence(1, size(toks) - 2),"
@@ -1149,52 +1093,10 @@ def q111(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.size("toks") >= 3)
         .select("doc_id", F.explode(shingles).alias("tok"))
         .distinct()
-        .persist()
     )
-    sz = ts.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
-    df_rel = ts.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
-    w = Window.partitionBy("doc_id").orderBy("df", "tok")
-    pfx = (
-        ts.join(df_rel, "tok")
-        .withColumn("rk", F.row_number().over(w))
-        .join(F.broadcast(sz), "doc_id")
-        .filter(
-            F.col("rk")
-            <= F.col("n") - (_Q111_T10 * F.col("n") + 9) / 10 + 1
-        )
-        .select("doc_id", "tok")
-    )
-    cand = (
-        pfx.select(F.col("doc_id").alias("a_id"), "tok")
-        .join(pfx.select(F.col("doc_id").alias("b_id"), "tok"), "tok")
-        .filter(F.col("a_id") < F.col("b_id"))
-        .select("a_id", "b_id")
-        .distinct()
-    )
-    inter = (
-        cand.join(ts.select(F.col("doc_id").alias("a_id"), "tok"), "a_id")
-        .join(
-            ts.select(F.col("doc_id").alias("b_id"), "tok"),
-            ["b_id", "tok"],
-        )
-        .groupBy("a_id", "b_id")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("inter"))
-    )
-    out = (
-        inter.join(
-            F.broadcast(sz.select(F.col("doc_id").alias("a_id"), F.col("n").alias("na"))),
-            "a_id",
-        )
-        .join(
-            F.broadcast(sz.select(F.col("doc_id").alias("b_id"), F.col("n").alias("nb"))),
-            "b_id",
-        )
-        .withColumn("uni", (F.col("na") + F.col("nb") - F.col("inter")).cast("bigint"))
-        .filter(10 * F.col("inter") >= _Q111_T10 * F.col("uni"))
-        .select("a_id", "b_id", "inter", "uni")
-        .orderBy("a_id", "b_id")
-    )
-    return out
+    return prefix_filtered_pairs(
+        ts, id_col="doc_id", token_col="tok", threshold_tenths=_Q111_T10
+    ).orderBy("a_id", "b_id")
 
 
 # --------------------------------------------------------------------------
@@ -1303,51 +1205,12 @@ SELECT start, n1, n2, n3 FROM w3 ORDER BY start
 
 @_q("q113_random_walks")
 def q113(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents").select("doc_id")
-    e0 = d.select(
-        (F.col("doc_id") % _PR_NODES).alias("s"),
-        ((F.col("doc_id") * 31 + 7) % _PR_NODES).alias("t"),
+    from ..operators.graph import random_walks
+
+    return (
+        random_walks(_domain_edges(spark, sf_dir), steps=_RW_STEPS, seed="rw|")
+        # re-select: the step joins rotate the join-key column to the
+        # front, and the contract's column order is (start, n1, n2, n3)
+        .select("start", "n1", "n2", "n3")
+        .orderBy("start")
     )
-    eu = e0.distinct()
-    nbrs = eu.groupBy("s").agg(
-        F.array_sort(F.collect_list("t")).alias("nb")
-    )
-    walk = eu.select("s").distinct().select(
-        F.col("s").alias("start"), F.col("s").alias("n0")
-    )
-    for k in range(1, _RW_STEPS + 1):
-        cur = f"n{k - 1}"
-        h = (
-            F.conv(
-                F.substring(
-                    F.md5(
-                        F.concat(
-                            F.lit("rw|"),
-                            F.col("start").cast("string"),
-                            F.lit(f"|{k}|"),
-                            F.col(cur).cast("string"),
-                        ).cast("binary")
-                    ),
-                    1,
-                    15,
-                ),
-                16,
-                10,
-            ).cast("bigint")
-        )
-        walk = (
-            walk.join(
-                F.broadcast(nbrs.withColumnRenamed("s", cur)), cur, "left"
-            )
-            .withColumn(
-                f"n{k}",
-                F.coalesce(
-                    F.element_at(
-                        "nb", (h % F.size("nb") + 1).cast("int")
-                    ),
-                    F.col(cur),
-                ),
-            )
-            .drop("nb")
-        )
-    return walk.select("start", "n1", "n2", "n3").orderBy("start")

@@ -60,8 +60,12 @@ def compare(spark_df, duck_con, sql: str, name: str = "") -> None:
     res = duck_con.execute(sql)
     o_cols = [d[0] for d in res.description]
     o_rows = res.fetchall()
-    assert sorted(s_cols) == sorted(o_cols), (
-        f"{name}: column mismatch spark={sorted(s_cols)} oracle={sorted(o_cols)}"
+    # ORDER-sensitive: the hash below sorts columns by name, so an
+    # order drift is invisible to it — but the driver's schema check
+    # may not be as forgiving (same harness-blind-spot class as the
+    # round-3 HUGEINT canonicalization). Pin the exact SELECT order.
+    assert s_cols == o_cols, (
+        f"{name}: column order mismatch spark={s_cols} oracle={o_cols}"
     )
     assert len(s_rows) == len(o_rows), (
         f"{name}: row count mismatch spark={len(s_rows)} oracle={len(o_rows)}"

@@ -1231,3 +1231,58 @@ def test_crosscorpus_neardup_stop_shingle_semantics(spark):
         ).collect()
     }
     assert (11, 1) in un and (12, 2) in un
+
+
+def test_triangle_count_known_graphs(spark):
+    """K4 has 4 triangles; a 4-path has 0; parallel/reversed edges and
+    self-loops don't change the census."""
+    from python_lambda_ecs_container_data_etl_aws_spark.operators.graph import triangle_count
+
+    k4 = [(a, b) for a in range(4) for b in range(4) if a != b]
+    k4 += [(0, 0), (1, 2), (2, 1)]  # self-loop + duplicates
+    row = triangle_count(
+        spark.createDataFrame(k4, "s long, t long")
+    ).collect()[0]
+    assert (row.n_nodes, row.n_edges, row.n_triangles) == (4, 6, 4)
+
+    path = [(0, 1), (1, 2), (2, 3)]
+    row = triangle_count(
+        spark.createDataFrame(path, "s long, t long")
+    ).collect()[0]
+    assert (row.n_nodes, row.n_edges, row.n_triangles) == (4, 3, 0)
+
+
+def test_random_walks_follow_edges_and_are_deterministic(spark):
+    """Every hop is a real out-edge (or a hold on a sink node), and two
+    runs produce identical paths."""
+    from python_lambda_ecs_container_data_etl_aws_spark.operators.graph import random_walks
+
+    edges = [(0, 1), (0, 2), (1, 3), (2, 3), (3, 0), (4, 0)]
+    e = spark.createDataFrame(edges, "s long, t long")
+    out = {r.start: (r.n1, r.n2, r.n3) for r in random_walks(e, steps=3).collect()}
+    out2 = {r.start: (r.n1, r.n2, r.n3) for r in random_walks(e, steps=3).collect()}
+    assert out == out2
+    adj = {}
+    for s, t in edges:
+        adj.setdefault(s, set()).add(t)
+    for start, path in out.items():
+        cur = start
+        for hop in path:
+            assert hop in adj.get(cur, set()) or (cur not in adj and hop == cur)
+            cur = hop
+
+
+def test_pagerank_uniform_on_symmetric_cycle(spark):
+    """On a directed cycle every node has identical in/out structure,
+    so all ranks must be equal and exactly scale-stationary
+    (r = base + damp% * r for the uniform fixed point)."""
+    from python_lambda_ecs_container_data_etl_aws_spark.operators.graph import pagerank
+
+    cyc = [(i, (i + 1) % 6) for i in range(6)]
+    ranks = pagerank(
+        spark.createDataFrame(cyc, "s long, t long"), iters=5
+    ).collect()
+    vals = {r.r for r in ranks}
+    assert len(vals) == 1
+    # uniform fixed point: 1_000_000 = 150_000 + 850_000
+    assert vals == {1_000_000}

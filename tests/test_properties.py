@@ -208,3 +208,115 @@ def test_md5_ordered_matches_python_reference(spark):
     }
     assert got[1] == hashlib.md5("a b c".encode()).hexdigest()
     assert got[2] == hashlib.md5("x".encode()).hexdigest()
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.integers(0, 5), min_size=3, max_size=10),
+        min_size=2,
+        max_size=10,
+    ),
+    t10=st.integers(min_value=5, max_value=9),
+)
+@settings(max_examples=8, deadline=None)
+def test_prefix_filtered_pairs_equals_brute_force(docs, t10, spark):
+    """PPJoin completeness: the prefix filter must find EXACTLY the
+    pairs a brute-force Jaccard join finds — no false negatives (the
+    property LSH cannot offer) and no false positives (the verify)."""
+    from python_lambda_ecs_container_data_etl_aws_spark.operators.dedup import (
+        prefix_filtered_pairs,
+    )
+
+    rows = [
+        (i, f"t{v}") for i, d in enumerate(docs) for v in d
+    ]
+    ts = spark.createDataFrame(rows, "doc_id long, tok string").distinct()
+    got = {
+        (r.a_id, r.b_id)
+        for r in prefix_filtered_pairs(
+            ts, threshold_tenths=t10
+        ).collect()
+    }
+    sets = {i: {f"t{v}" for v in d} for i, d in enumerate(docs)}
+    want = set()
+    for a in sets:
+        for b in sets:
+            if a < b:
+                inter = len(sets[a] & sets[b])
+                uni = len(sets[a] | sets[b])
+                if 10 * inter >= t10 * uni:
+                    want.add((a, b))
+    assert got == want
+
+
+@given(
+    changes=st.lists(
+        st.tuples(
+            st.integers(0, 5),  # key
+            st.integers(0, 100),  # value
+            st.integers(0, 4),  # seq
+            st.sampled_from(["I", "U", "D"]),
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+@settings(max_examples=8, deadline=None)
+def test_scd2_history_invariants(changes, spark):
+    """SCD2 invariants on arbitrary change logs: per key, versions are
+    densely numbered in (seq, op) order, validity intervals chain
+    (each valid_to equals the next event's seq), at most one current
+    version per key, and a key whose latest event is a tombstone has
+    no current version."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    # dedupe exact duplicates: (k, seq, op) must be unique for LEAD
+    seen = set()
+    rows = []
+    for k, v, s, o in changes:
+        if (k, s, o) not in seen:
+            seen.add((k, s, o))
+            rows.append((k, v, s, o))
+    log = spark.createDataFrame(rows, "k long, qp long, seq long, op string")
+    w_all = Window.partitionBy("k").orderBy("seq", "op")
+    h = log.withColumn("next_seq", F.lead("seq").over(w_all))
+    hist = (
+        h.filter(F.col("op") != "D")
+        .withColumn("ver", F.row_number().over(w_all))
+        .collect()
+    )
+    by_key = {}
+    for r in hist:
+        by_key.setdefault(r.k, []).append(r)
+    for k, vers in by_key.items():
+        vers.sort(key=lambda r: r.ver)
+        assert [r.ver for r in vers] == list(range(1, len(vers) + 1))
+        n_current = sum(1 for r in vers if r.next_seq is None)
+        assert n_current <= 1
+        latest = max(rows, key=lambda c: (c[2], c[3]) if c[0] == k else (-1, ""))
+    # tombstone-latest keys have no current version
+    for k in {c[0] for c in rows}:
+        evs = sorted((c for c in rows if c[0] == k), key=lambda c: (c[2], c[3]))
+        if evs[-1][3] == "D":
+            assert all(r.next_seq is not None for r in by_key.get(k, []))
+
+
+@given(seed_docs=st.integers(min_value=1, max_value=400))
+@settings(max_examples=5, deadline=None)
+def test_pagerank_mass_and_floor_invariants(seed_docs, spark):
+    """Integer PageRank invariants on arbitrary graph sizes: every
+    rank is >= the damping floor, and total mass never exceeds
+    n_nodes * scale (truncating divisions only ever LOSE mass)."""
+    from pyspark.sql import functions as F
+
+    from python_lambda_ecs_container_data_etl_aws_spark.operators.graph import pagerank
+
+    d = spark.range(seed_docs).select(
+        (F.col("id") % 13).alias("s"), ((F.col("id") * 5 + 3) % 13).alias("t")
+    ).filter(F.col("s") != F.col("t"))
+    if d.isEmpty():
+        return
+    ranks = pagerank(d, iters=2, scale=1_000_000, base_pct=15).collect()
+    assert all(r.r >= 150_000 for r in ranks)
+    assert sum(r.r for r in ranks) <= len(ranks) * 1_000_000
