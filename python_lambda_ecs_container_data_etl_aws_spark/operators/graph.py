@@ -49,6 +49,7 @@ def pagerank(
     scale: int = 1_000_000,
     base_pct: int = 15,
     broadcast_state: bool = True,
+    weighted: bool = False,
 ) -> DataFrame:
     """(node, r): fixed-point integer PageRank after ``iters`` rounds.
 
@@ -56,10 +57,15 @@ def pagerank(
     (r_t(u)*w(u,v)) div W(u), every division truncating BIGINT over
     non-negative operands — bit-identical across engines (the q99
     contract). Dangling mass is dropped (the standard leaky variant).
+
+    Pass ``weighted=True`` when ``edges`` is already the aggregated
+    (src, dst, w) relation — callers running several graph operators
+    should aggregate (and persist) once and share it, instead of
+    paying the corpus-sized shuffle per operator.
     """
     damp = 100 - base_pct
     base = base_pct * scale // 100
-    we = weighted_edges(edges, src, dst).persist()
+    we = edges if weighted else weighted_edges(edges, src, dst).persist()
     outw = we.groupBy(src).agg(F.sum("w").cast("bigint").alias("tw"))
     nodes = (
         edges.select(F.col(src).alias("node"))
@@ -96,13 +102,17 @@ def pagerank(
 
 
 def degree_stats(
-    edges: DataFrame, src: str = "s", dst: str = "t"
+    edges: DataFrame,
+    src: str = "s",
+    dst: str = "t",
+    *,
+    weighted: bool = False,
 ) -> DataFrame:
     """(node, out_w, in_w): weighted degrees — the skew diagnostic to
     read before deciding the join strategy for the loops above. A
     union + one aggregate, never an outer join of the two degree
     relations (a full-outer can't broadcast and would SMJ)."""
-    we = weighted_edges(edges, src, dst)
+    we = edges if weighted else weighted_edges(edges, src, dst)
     both = we.select(
         F.col(src).alias("node"),
         F.col("w").alias("ow"),

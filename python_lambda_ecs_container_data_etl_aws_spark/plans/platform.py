@@ -158,13 +158,20 @@ def _domain_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_q("q99_domain_pagerank")
 def q99(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.graph import degree_stats, pagerank
+    from ..operators.graph import degree_stats, pagerank, weighted_edges
 
-    e0 = _domain_edges(spark, sf_dir)
+    # aggregate the corpus-sized edge relation ONCE; both the rank
+    # loop and the degree diagnostic run on the persisted result
+    we = weighted_edges(_domain_edges(spark, sf_dir)).persist()
     ranks = pagerank(
-        e0, iters=_PR_ITERS, scale=_PR_SCALE, base_pct=15, broadcast_state=True
+        we,
+        iters=_PR_ITERS,
+        scale=_PR_SCALE,
+        base_pct=15,
+        broadcast_state=True,
+        weighted=True,
     )
-    deg = degree_stats(e0)
+    deg = degree_stats(we, weighted=True)
     return (
         ranks.join(F.broadcast(deg), "node", "left")
         .select(
