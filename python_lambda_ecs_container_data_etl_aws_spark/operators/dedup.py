@@ -859,54 +859,76 @@ def prefix_filtered_pairs(
     verify runs only on candidates. No false negatives — the exact
     complement to :func:`minhash_lsh_dedup`'s probabilistic recall.
 
-    ``ts`` must be a DISTINCT (id, token) set relation (use shingles,
-    not raw tokens, when the vocabulary is small — a tiny vocabulary
-    makes token sets degenerate and the filter toothless). Integer
-    ceil ((t*n + 9) // 10) and a cross-multiplied Jaccard gate keep
-    the whole operator float-free."""
+    ``ts`` is an (id, token) multiset relation (duplicates are fine —
+    the operator dedups after hashing, so the distinct shuffles 8-byte
+    keys, not token strings). Use shingles, not raw tokens, when the
+    vocabulary is small — a tiny vocabulary makes token sets
+    degenerate and the filter toothless. Integer ceil
+    ((t*n + 9) // 10) and a cross-multiplied Jaccard gate keep the
+    whole operator float-free."""
     t10 = threshold_tenths
-    ts = ts.persist()
-    sz = ts.groupBy(id_col).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
-    df_rel = ts.groupBy(token_col).agg(F.count(F.lit(1)).alias("df"))
-    w = Window.partitionBy(id_col).orderBy("df", token_col)
+    # hash every set element to 64 bits ONCE: the set-dedup, all
+    # shuffles (df, prefix postings, candidate join) and the in-row
+    # intersect then carry 8-byte keys instead of shingle strings —
+    # the catalog-wide hash-key convention (q22/q44/q71/q77),
+    # collisions negligible at 2^-64 and bounded to one
+    # candidate/intersection miscount
+    th = (
+        ts.select(id_col, F.xxhash64(token_col).alias("__h"))
+        .distinct()
+        .persist()
+    )
+    sz = th.groupBy(id_col).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    df_rel = th.groupBy("__h").agg(F.count(F.lit(1)).alias("df"))
+    # (df, hash) is a GLOBAL canonical order — the prefix property
+    # only needs every set sorted by the same total order
+    w = Window.partitionBy(id_col).orderBy("df", "__h")
     pfx = (
-        ts.join(df_rel, token_col)
+        th.join(df_rel, "__h")
         .withColumn("rk", F.row_number().over(w))
         .join(F.broadcast(sz), id_col)
         # integer ceil: `/` here would be FLOAT division, silently
         # shrinking the prefix by one for most set sizes — a
         # false-negative bug the hypothesis completeness test catches
         .filter(F.expr(f"rk <= n - ({t10} * n + 9) div 10 + 1"))
-        .select(id_col, token_col)
+        .select(id_col, "__h")
     )
     cand = (
-        pfx.select(F.col(id_col).alias("a_id"), token_col)
-        .join(pfx.select(F.col(id_col).alias("b_id"), token_col), token_col)
+        pfx.select(F.col(id_col).alias("a_id"), "__h")
+        .join(pfx.select(F.col(id_col).alias("b_id"), "__h"), "__h")
         .filter(F.col("a_id") < F.col("b_id"))
         .select("a_id", "b_id")
         .distinct()
     )
-    inter = (
-        cand.join(ts.select(F.col(id_col).alias("a_id"), token_col), "a_id")
-        .join(
-            ts.select(F.col(id_col).alias("b_id"), token_col),
-            ["b_id", token_col],
-        )
-        .groupBy("a_id", "b_id")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("inter"))
+    # verify: attach each side's sorted hash ARRAY and intersect
+    # in-row — near-dup corpora make |candidates| × |set|
+    # token-explode joins the dominant cost (16M rows at sf0.1),
+    # while two array-attach joins + an in-row set op stay
+    # |candidates|-sized
+    sets = th.groupBy(id_col).agg(
+        F.sort_array(F.collect_list("__h")).alias("arr"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
     )
     return (
-        inter.join(
-            F.broadcast(
-                sz.select(F.col(id_col).alias("a_id"), F.col("n").alias("na"))
+        cand.join(
+            sets.select(
+                F.col(id_col).alias("a_id"),
+                F.col("arr").alias("a_arr"),
+                F.col("n").alias("na"),
             ),
             "a_id",
         )
         .join(
-            F.broadcast(
-                sz.select(F.col(id_col).alias("b_id"), F.col("n").alias("nb"))
+            sets.select(
+                F.col(id_col).alias("b_id"),
+                F.col("arr").alias("b_arr"),
+                F.col("n").alias("nb"),
             ),
             "b_id",
+        )
+        .withColumn(
+            "inter",
+            F.size(F.array_intersect("a_arr", "b_arr")).cast("bigint"),
         )
         .withColumn(
             "uni", (F.col("na") + F.col("nb") - F.col("inter")).cast("bigint")

@@ -1098,8 +1098,9 @@ def q111(spark: SparkSession, sf_dir: str) -> DataFrame:
     ts = (
         d.select("doc_id", F.split(F.col("text"), " ").alias("toks"))
         .filter(F.size("toks") >= 3)
+        # no .distinct() here: the operator dedups AFTER hashing, so
+        # the set-dedup shuffle carries 8-byte keys, not shingles
         .select("doc_id", F.explode(shingles).alias("tok"))
-        .distinct()
     )
     return prefix_filtered_pairs(
         ts, id_col="doc_id", token_col="tok", threshold_tenths=_Q111_T10
