@@ -61,7 +61,7 @@ _NEVER_DRIVER_VERIFIED = [
     "q105_shard_manifest", "q106_borda_fusion", "q107_feature_hash_embed",
     "q108_token_budget_alloc", "q109_graph_triangles",
     "q110_trend_slopes", "q111_setsim_prefix_join", "q112_inverted_index",
-    "q113_random_walks",
+    "q113_random_walks", "q114_hierarchy_rollup", "q115_pivot_report",
 ]
 _SINGLE_GREEN = [
     # green in exactly one driver round so far; oldest single-green first

@@ -1,4 +1,4 @@
-"""Platform-tier queries q99-q113: the warehouse/graph/retrieval
+"""Platform-tier queries q99-q115: the warehouse/graph/retrieval
 operations that sit AROUND a curation pipeline — seed-quality graph
 ranking, slowly-changing-dimension history, embedding compression,
 series anomaly audit, tokenizer-merge statistics, late-interaction
@@ -55,6 +55,11 @@ retrieval, and the shard manifest a trainer's data loader reads.
 - q113 deterministic random walks: md5-driven next-hop selection
   over sorted adjacency — node2vec-style walk corpora, bit-identical
   in both engines.
+- q114 hierarchy subtree rollup: WITH RECURSIVE closure in the
+  oracle, bounded-depth unrolled closure joins in Spark — the
+  dimension-hierarchy aggregation (category trees, org charts).
+- q115 pivot report: Spark pivot() with an explicit value list vs
+  the portable conditional-aggregation oracle — wide BI report shape.
 
 The reference pipeline (CSV -> MySQL/DynamoDB loads) stops at q08's
 upsert; these extend the Tier-C suite with oracle-backed contracts.
@@ -1222,3 +1227,146 @@ def q113(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("start", "n1", "n2", "n3")
         .orderBy("start")
     )
+
+
+# --------------------------------------------------------------------------
+# q114 hierarchy subtree rollup — transitive closure over an explicit
+# 3-level (leaf domain -> group -> division -> root) edge relation,
+# then subtree document counts per ancestor: the dimension-hierarchy
+# aggregation every warehouse runs (org charts, category trees,
+# geo rollups). The oracle is a genuine WITH RECURSIVE; the Spark
+# side unrolls the bounded depth as iterative closure joins — the
+# standard Spark translation of a recursive CTE when depth is known.
+#
+# Scale shape: the closure relation is |nodes| x depth; doc counts
+# aggregate ONCE at the leaves (the corpus-sized shuffle) and the
+# rollup joins leaf counts against the closure — never re-scanning
+# the corpus per level.
+
+_HIER_EDGES_SQL = f"""
+SELECT node AS child, 69 + node // 4 AS parent
+FROM (SELECT DISTINCT doc_id % {_PR_NODES} AS node FROM documents)
+UNION ALL
+SELECT DISTINCT 69 + (doc_id % {_PR_NODES}) // 4 AS child,
+       87 + (doc_id % {_PR_NODES}) // 16 AS parent
+FROM documents
+UNION ALL
+SELECT DISTINCT 87 + (doc_id % {_PR_NODES}) // 16 AS child, 99 AS parent
+FROM documents
+"""
+
+ORACLE["q114_hierarchy_rollup"] = f"""
+WITH RECURSIVE edges AS ({_HIER_EDGES_SQL}),
+closure AS (
+    SELECT child AS node, child AS anc FROM edges
+    UNION
+    SELECT DISTINCT parent AS node, parent AS anc FROM edges
+    UNION
+    SELECT c.node, e.parent AS anc
+    FROM closure c JOIN edges e ON e.child = c.anc
+),
+leafdocs AS (
+    SELECT doc_id % {_PR_NODES} AS node, COUNT(*) AS n
+    FROM documents GROUP BY 1
+)
+SELECT cl.anc AS node,
+       CAST(COUNT(DISTINCT cl.node) AS BIGINT) AS n_desc,
+       CAST(COALESCE(SUM(ld.n), 0) AS BIGINT) AS n_docs
+FROM closure cl LEFT JOIN leafdocs ld ON ld.node = cl.node
+GROUP BY 1 ORDER BY 1
+"""
+
+
+@_q("q114_hierarchy_rollup")
+def q114(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    leaf = (
+        d.select((F.col("doc_id") % _PR_NODES).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .persist()
+    )
+    lvl1 = leaf.select(
+        F.col("node").alias("child"),
+        (F.lit(69) + F.expr("node div 4")).alias("parent"),
+    )
+    lvl2 = leaf.select(
+        (F.lit(69) + F.expr("node div 4")).alias("child"),
+        (F.lit(87) + F.expr("node div 16")).alias("parent"),
+    ).distinct()
+    lvl3 = leaf.select(
+        (F.lit(87) + F.expr("node div 16")).alias("child"),
+        F.lit(99).alias("parent"),
+    ).distinct()
+    edges = lvl1.unionByName(lvl2).unionByName(lvl3).persist()
+    # self-closure seed over every node (children and parents alike)
+    nodes = (
+        edges.select(F.col("child").alias("node"))
+        .union(edges.select(F.col("parent").alias("node")))
+        .distinct()
+    )
+    closure = nodes.select("node", F.col("node").alias("anc"))
+    # bounded-depth transitive closure: 3 unrolled iterations (the
+    # hierarchy is 3 levels deep by construction)
+    for _ in range(3):
+        step = (
+            closure.join(
+                F.broadcast(edges.withColumnRenamed("child", "anc")), "anc"
+            )
+            .select("node", F.col("parent").alias("anc"))
+        )
+        closure = closure.union(step).distinct()
+    return (
+        closure.join(F.broadcast(leaf), "node", "left")
+        .groupBy(F.col("anc").alias("node"))
+        .agg(
+            F.countDistinct(F.col("node")).cast("bigint").alias("n_desc"),
+            F.coalesce(F.sum("n"), F.lit(0)).cast("bigint").alias("n_docs"),
+        )
+        .orderBy("node")
+    )
+
+
+# --------------------------------------------------------------------------
+# q115 pivot report — daily event counts pivoted into one column per
+# event type (the wide report shape a BI dashboard reads), via
+# Spark's pivot() API with an EXPLICIT type list: passing the values
+# avoids the extra distinct-collect job pivot() otherwise runs on
+# the driver, and makes the output schema a fixed contract. Zero
+# fill for absent (day, type) cells. The oracle is the portable
+# conditional-aggregation form.
+#
+# Scale shape: one (day) aggregate with map-side combine; the pivot
+# is a projection over the grouped result, not an extra shuffle.
+
+_Q115_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+ORACLE["q115_pivot_report"] = f"""
+SELECT strftime(CAST(CAST(ts AS TIMESTAMP) AS DATE), '%Y-%m-%d') AS day,
+       {', '.join(
+           f"CAST(COALESCE(SUM(CASE WHEN event_type = '{t}' THEN 1 END), 0)"
+           f" AS BIGINT) AS n_{t}" for t in _Q115_TYPES
+       )}
+FROM events GROUP BY 1 ORDER BY 1
+"""
+
+
+@_q("q115_pivot_report")
+def q115(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select("event_type", "ts_us")
+    day = e.select(
+        F.to_date(F.timestamp_micros(F.col("ts_us"))).cast("string").alias("day"),
+        "event_type",
+    )
+    wide = (
+        day.groupBy("day")
+        .pivot("event_type", _Q115_TYPES)
+        .agg(F.count(F.lit(1)))
+    )
+    return wide.select(
+        "day",
+        *[
+            F.coalesce(F.col(t), F.lit(0)).cast("bigint").alias(f"n_{t}")
+            for t in _Q115_TYPES
+        ],
+    ).orderBy("day")

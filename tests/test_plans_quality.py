@@ -647,3 +647,22 @@ def test_q113_walk_steps_broadcast_adjacency(spark):
     plan = _plan(spark, "q113_random_walks")
     assert "SortMergeJoin" not in plan
     assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_q114_closure_broadcasts_edges_no_corpus_rescan(spark):
+    # the bounded-depth closure joins the (node-sized) edge relation
+    # as a broadcast each unrolled level; doc counts aggregate once at
+    # the leaves — exactly one corpus-sized scan of documents
+    plan = _plan(spark, "q114_hierarchy_rollup")
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("Location: InMemoryFileIndex") <= 1 or plan.count("documents.parquet") <= 1
+
+
+def test_q115_pivot_is_one_aggregate_no_expand_blowup(spark):
+    # pivot with an explicit value list compiles to one (day)
+    # aggregate with pivot-conditional aggregates — no join, no
+    # per-type scan, no Python
+    plan = _plan(spark, "q115_pivot_report")
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
