@@ -1175,3 +1175,38 @@ def read_cdc_table(
     if not dirs:
         raise FileNotFoundError(f"no CDC table buckets under {table_dir}")
     return spark.read.parquet(*dirs).filter(F.col(op_col) != "D")
+
+
+def stream_stream_left_outer_join(
+    views: DataFrame,
+    purchases: DataFrame,
+    user_col: str = "user_id",
+    time_col: str = "ts",
+    horizon: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join — the attribution join
+    that also reports NON-converting views: every view pairs with the
+    purchases landing within ``horizon`` after it, and a view with no
+    such purchase is emitted ONCE with a null purchase_ts, but only
+    after the purchase-side watermark has passed its horizon (before
+    that, Spark cannot know no match will arrive — outer results are
+    inherently watermark-delayed, which is why the equivalence test
+    advances the watermark with a flush event before asserting).
+    State stays horizon-bounded exactly as in the inner variant."""
+    v = views.withWatermark(time_col, watermark).select(
+        F.col(user_col).alias("user_id"),
+        F.col(time_col).alias("view_ts"),
+    )
+    p = purchases.withWatermark(time_col, watermark).select(
+        F.col(user_col).alias("p_user"),
+        F.col(time_col).alias("purchase_ts"),
+    )
+    return v.join(
+        p,
+        F.expr(
+            "user_id = p_user AND "
+            f"purchase_ts > view_ts AND purchase_ts <= view_ts + interval {horizon}"
+        ),
+        "leftOuter",
+    ).select("user_id", "view_ts", "purchase_ts")

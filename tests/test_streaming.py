@@ -1108,3 +1108,65 @@ def test_cdc_apply_stream_rewrites_only_touched_buckets(spark, tmp_path):
     assert changed == {"bucket=3"}
     got = {(r.k, r.qp) for r in runner.read_cdc_table(spark, table).collect()}
     assert (3, 999) in got and len(got) == 8
+
+
+def test_stream_stream_left_outer_join_emits_unmatched_after_watermark(
+    spark, tmp_path
+):
+    """Left-outer stream-stream join: matched pairs equal the inner
+    join; views with no purchase in the horizon appear exactly once
+    with a null purchase_ts — but only after the watermark passes
+    (pushed forward here by a flush event on both streams)."""
+    import datetime as dt
+
+    from pyspark.sql.types import LongType, TimestampType
+
+    schema = StructType(
+        [StructField("user_id", LongType()), StructField("ts", TimestampType())]
+    )
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def m(minutes):
+        return t0 + dt.timedelta(minutes=minutes)
+
+    views = [(1, m(0)), (2, m(5)), (3, m(0))]
+    purchases = [(1, m(20)), (2, m(40))]  # u2's purchase misses the 30-min horizon
+    vdir, pdir = str(tmp_path / "v"), str(tmp_path / "p")
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    spark.createDataFrame(views, schema).coalesce(1).write.parquet(vdir)
+    spark.createDataFrame(purchases, schema).coalesce(1).write.parquet(pdir)
+
+    def drain():
+        joined = runner.stream_stream_left_outer_join(
+            runner.file_stream(spark, vdir, schema),
+            runner.file_stream(spark, pdir, schema),
+        )
+        q = (
+            joined.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return {
+            (r.user_id, r.view_ts, r.purchase_ts)
+            for r in spark.read.parquet(out).collect()
+        }
+
+    got = drain()
+    assert (1, m(0), m(20)) in got  # the inner match is emitted promptly
+    # unmatched views are NOT emitted yet — the watermark hasn't
+    # passed, so Spark can't rule out a late purchase
+    assert all(p is not None for (_, _, p) in got)
+
+    # flush: a far-future event on BOTH streams advances the watermark
+    flush = [(999, m(600))]
+    spark.createDataFrame(flush, schema).coalesce(1).write.mode("append").parquet(vdir)
+    spark.createDataFrame(flush, schema).coalesce(1).write.mode("append").parquet(pdir)
+    got = drain()
+    assert (1, m(0), m(20)) in got
+    assert (2, m(5), None) in got   # purchase outside the horizon
+    assert (3, m(0), None) in got   # no purchase at all
+    # each unmatched view appears exactly once
+    assert len([r for r in got if r[2] is None and r[0] in (2, 3)]) == 2
