@@ -62,6 +62,7 @@ _NEVER_DRIVER_VERIFIED = [
     "q108_token_budget_alloc", "q109_graph_triangles",
     "q110_trend_slopes", "q111_setsim_prefix_join", "q112_inverted_index",
     "q113_random_walks", "q114_hierarchy_rollup", "q115_pivot_report",
+    "q116_hopping_windows", "q117_dq_expectations",
 ]
 _SINGLE_GREEN = [
     # green in exactly one driver round so far; oldest single-green first

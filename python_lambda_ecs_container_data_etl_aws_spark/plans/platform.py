@@ -1,4 +1,4 @@
-"""Platform-tier queries q99-q115: the warehouse/graph/retrieval
+"""Platform-tier queries q99-q117: the warehouse/graph/retrieval
 operations that sit AROUND a curation pipeline — seed-quality graph
 ranking, slowly-changing-dimension history, embedding compression,
 series anomaly audit, tokenizer-merge statistics, late-interaction
@@ -60,6 +60,11 @@ retrieval, and the shard manifest a trainer's data loader reads.
   dimension-hierarchy aggregation (category trees, org charts).
 - q115 pivot report: Spark pivot() with an explicit value list vs
   the portable conditional-aggregation oracle — wide BI report shape.
+- q116 hopping windows: native F.window(slideDuration) overlapping
+  windows (every event in exactly 3) vs the arithmetic fan-out oracle.
+- q117 data-quality expectations: the dbt-test/Deequ-style constraint
+  suite — PK uniqueness, referential integrity, accepted values,
+  not-null, range — each one pruned scan + aggregate.
 
 The reference pipeline (CSV -> MySQL/DynamoDB loads) stops at q08's
 upsert; these extend the Tier-C suite with oracle-backed contracts.
@@ -1370,3 +1375,159 @@ def q115(spark: SparkSession, sf_dir: str) -> DataFrame:
             for t in _Q115_TYPES
         ],
     ).orderBy("day")
+
+
+# --------------------------------------------------------------------------
+# q116 hopping windows — overlapping time windows (30-minute length,
+# 10-minute hop: every event lands in exactly 3 windows), the
+# overlap-window family q14's tumbling windows don't cover. The Spark
+# side uses the NATIVE F.window(slideDuration=...) API — the idiomatic
+# form a Structured Streaming job would share — while the oracle
+# derives the same epoch-aligned window starts arithmetically with an
+# UNNEST(range(0,3)) fan-out. Value sums are quantized to BIGINT
+# cents (the catalog's float-free discipline).
+#
+# Scale shape: a 3x row fan-out inside the scan stage, then one
+# (type, window) aggregate with map-side combine.
+
+_Q116_LEN_US = 30 * 60 * 1_000_000
+_Q116_HOP_US = 10 * 60 * 1_000_000
+
+ORACLE["q116_hopping_windows"] = f"""
+WITH e AS (
+    SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS tus,
+           CAST(floor(value * 100) AS BIGINT) AS qv
+    FROM events
+),
+w AS (
+    SELECT event_type,
+           (tus // {_Q116_HOP_US} - u.i) * {_Q116_HOP_US} AS win_start_us,
+           qv
+    FROM e, UNNEST(range(0, {_Q116_LEN_US // _Q116_HOP_US})) AS u(i)
+)
+SELECT event_type, CAST(win_start_us AS BIGINT) AS win_start_us,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(qv) AS BIGINT) AS qsum
+FROM w GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+@_q("q116_hopping_windows")
+def q116(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.timestamp_micros(F.col("ts_us")).alias("ts"),
+        F.floor(F.col("value") * 100).cast("bigint").alias("qv"),
+    )
+    win = F.window("ts", "30 minutes", "10 minutes")
+    return (
+        e.groupBy("event_type", win.alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("qv").cast("bigint").alias("qsum"),
+        )
+        .select(
+            "event_type",
+            F.unix_micros("w.start").alias("win_start_us"),
+            "n_events",
+            "qsum",
+        )
+        .orderBy("event_type", "win_start_us")
+    )
+
+
+# --------------------------------------------------------------------------
+# q117 data-quality expectations — the dbt-test/Deequ-style constraint
+# suite a warehouse runs after every load: primary-key uniqueness,
+# referential integrity, accepted values, not-null, and value-range
+# checks, each reported as (check, n_violations, pass). The reference
+# validates loads by row-count comparison only (SURVEY §2.4 A2); this
+# is that gate generalized to declarative expectations.
+#
+# Scale shape: each check is one column-pruned scan + aggregate (the
+# FK check is one left-anti join against the broadcast-able key side);
+# the union is of six 1-row relations.
+
+ORACLE["q117_dq_expectations"] = """
+WITH pk AS (
+    SELECT CAST(COALESCE(SUM(c - 1), 0) AS BIGINT) AS v
+    FROM (SELECT o_orderkey, COUNT(*) AS c FROM orders GROUP BY 1 HAVING COUNT(*) > 1)
+),
+fk AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS v FROM lineitem l
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+),
+av AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS v FROM orders
+    WHERE o_orderstatus NOT IN ('O', 'F', 'P')
+),
+nn AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS v FROM customer WHERE c_name IS NULL
+),
+rng AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS v FROM lineitem
+    WHERE l_quantity < 1 OR l_quantity > 50
+),
+pos AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS v FROM orders WHERE o_totalprice <= 0
+)
+SELECT 'orders_pk_unique' AS check_name, v AS n_violations,
+       CAST(v = 0 AS INT) AS pass FROM pk
+UNION ALL SELECT 'lineitem_fk_orders', v, CAST(v = 0 AS INT) FROM fk
+UNION ALL SELECT 'orders_status_accepted', v, CAST(v = 0 AS INT) FROM av
+UNION ALL SELECT 'customer_name_not_null', v, CAST(v = 0 AS INT) FROM nn
+UNION ALL SELECT 'lineitem_qty_range', v, CAST(v = 0 AS INT) FROM rng
+UNION ALL SELECT 'orders_price_positive', v, CAST(v = 0 AS INT) FROM pos
+ORDER BY check_name
+"""
+
+
+@_q("q117_dq_expectations")
+def q117(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    customer = load_table(spark, sf_dir, "customer")
+
+    def one(name: str, v_df: DataFrame) -> DataFrame:
+        return v_df.select(
+            F.lit(name).alias("check_name"),
+            F.col("v").cast("bigint").alias("n_violations"),
+            (F.col("v") == 0).cast("int").alias("pass"),
+        )
+
+    pk = (
+        orders.groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > 1)
+        .agg(F.coalesce(F.sum(F.col("c") - 1), F.lit(0)).alias("v"))
+    )
+    fk = (
+        lineitem.select("l_orderkey")
+        .join(
+            orders.select(F.col("o_orderkey").alias("l_orderkey")),
+            "l_orderkey",
+            "left_anti",
+        )
+        .agg(F.count(F.lit(1)).alias("v"))
+    )
+    av = orders.filter(
+        ~F.col("o_orderstatus").isin("O", "F", "P")
+    ).agg(F.count(F.lit(1)).alias("v"))
+    nn = customer.filter(F.col("c_name").isNull()).agg(
+        F.count(F.lit(1)).alias("v")
+    )
+    rng = lineitem.filter(
+        (F.col("l_quantity") < 1) | (F.col("l_quantity") > 50)
+    ).agg(F.count(F.lit(1)).alias("v"))
+    pos = orders.filter(F.col("o_totalprice") <= 0).agg(
+        F.count(F.lit(1)).alias("v")
+    )
+    return (
+        one("orders_pk_unique", pk)
+        .unionByName(one("lineitem_fk_orders", fk))
+        .unionByName(one("orders_status_accepted", av))
+        .unionByName(one("customer_name_not_null", nn))
+        .unionByName(one("lineitem_qty_range", rng))
+        .unionByName(one("orders_price_positive", pos))
+        .orderBy("check_name")
+    )

@@ -666,3 +666,22 @@ def test_q115_pivot_is_one_aggregate_no_expand_blowup(spark):
     plan = _plan(spark, "q115_pivot_report")
     assert "Join" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_q116_hopping_window_is_fanout_plus_one_agg(spark):
+    # the native sliding window compiles to a 3x Expand/Generate
+    # inside the scan stage + one (type, window) aggregate — no join
+    plan = _plan(spark, "q116_hopping_windows")
+    assert "Join" not in plan
+    assert "Expand" in plan or "Generate" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_q117_dq_checks_prune_columns_and_broadcast_fk(spark):
+    # each expectation reads only its checked columns; the referential
+    # check is a left-anti hash join, never a sort-merge of the fact
+    plan = _plan(spark, "q117_dq_expectations")
+    assert "SortMergeJoin" not in plan
+    assert "LeftAnti" in plan
+    schemas = re.findall(r"ReadSchema: (struct<[^\n]*)", plan)
+    assert schemas and all("o_comment" not in s and "l_comment" not in s for s in schemas)
