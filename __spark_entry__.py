@@ -63,6 +63,7 @@ _NEVER_DRIVER_VERIFIED = [
     "q110_trend_slopes", "q111_setsim_prefix_join", "q112_inverted_index",
     "q113_random_walks", "q114_hierarchy_rollup", "q115_pivot_report",
     "q116_hopping_windows", "q117_dq_expectations",
+    "q118_pareto_frontier", "q119_markov_transitions",
 ]
 _SINGLE_GREEN = [
     # green in exactly one driver round so far; oldest single-green first

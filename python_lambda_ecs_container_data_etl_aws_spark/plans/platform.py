@@ -1,4 +1,4 @@
-"""Platform-tier queries q99-q117: the warehouse/graph/retrieval
+"""Platform-tier queries q99-q119: the warehouse/graph/retrieval
 operations that sit AROUND a curation pipeline — seed-quality graph
 ranking, slowly-changing-dimension history, embedding compression,
 series anomaly audit, tokenizer-merge statistics, late-interaction
@@ -65,6 +65,11 @@ retrieval, and the shard manifest a trainer's data loader reads.
 - q117 data-quality expectations: the dbt-test/Deequ-style constraint
   suite — PK uniqueness, referential integrity, accepted values,
   not-null, range — each one pruned scan + aggregate.
+- q118 Pareto frontier: per-source skyline on (quality, length) via
+  two partitioned window maxima that map 1:1 onto the dominance
+  definition — never the O(n^2) anti-join.
+- q119 Markov transitions: per-user LAG sequences -> (from, to)
+  counts + integer ppm row probabilities.
 
 The reference pipeline (CSV -> MySQL/DynamoDB loads) stops at q08's
 upsert; these extend the Tier-C suite with oracle-backed contracts.
@@ -1530,4 +1535,146 @@ def q117(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(one("lineitem_qty_range", rng))
         .unionByName(one("orders_price_positive", pos))
         .orderBy("check_name")
+    )
+
+
+# --------------------------------------------------------------------------
+# q118 Pareto frontier — multi-objective document selection: per
+# source, the documents not DOMINATED on (quality, length), where doc
+# a dominates b iff a is >= on both axes and > on at least one (the
+# skyline query). Curation reads this as "the quality/length
+# trade-off curve per domain". Quality is q62's integer logit, length
+# is n_chars — both exact BIGINTs.
+#
+# Scale shape: two partitioned window maxima replace the naive
+# O(n^2) dominance anti-join, and the pair maps 1:1 onto the
+# dominance definition (a dominates b iff a >= b on both axes,
+# strict somewhere):
+#   - dominated by a strictly-higher-q doc  ⟺ MAX(len) over the
+#     RANGE frame q > q_b is >= len_b (integer q, so "1 PRECEDING"
+#     under DESC ordering is exactly q > q_b);
+#   - dominated within the same q           ⟺ some same-q doc is
+#     strictly longer, i.e. MAX(len) over (source, q) > len_b.
+# Both windows partition by source, never globally. (A running
+# ROWS-frame max over (q desc, len desc) ties ITSELF into knots:
+# a doc preceded by both a higher-q-shorter doc and an equal twin
+# is wrongly excluded — the RANGE form is the definition.)
+
+ORACLE["q118_pareto_frontier"] = """
+WITH f AS (
+    SELECT source, doc_id, n_chars,
+           CAST(50 + 3 * len(string_split(text, ' '))
+                - 2 * length(regexp_replace(text, '[^A-Z]', '', 'g'))
+                - 1 * length(regexp_replace(text, '[^0-9]', '', 'g'))
+                - 4 * length(regexp_replace(text, '[^.,;:!?]', '', 'g'))
+               AS BIGINT) AS q
+    FROM documents
+),
+r AS (
+    SELECT source, doc_id, q, n_chars,
+           MAX(n_chars) OVER (
+               PARTITION BY source ORDER BY q DESC
+               RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ) AS max_len_higher_q,
+           MAX(n_chars) OVER (PARTITION BY source, q) AS max_len_same_q
+    FROM f
+)
+SELECT source, doc_id, q, CAST(n_chars AS BIGINT) AS n_chars
+FROM r
+WHERE (max_len_higher_q IS NULL OR max_len_higher_q < n_chars)
+  AND max_len_same_q = n_chars
+ORDER BY source, doc_id
+"""
+
+
+@_q("q118_pareto_frontier")
+def q118(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split(F.col("text"), " "))
+    n_upper = F.length(F.regexp_replace("text", "[^A-Z]", ""))
+    n_digit = F.length(F.regexp_replace("text", "[^0-9]", ""))
+    n_punct = F.length(F.regexp_replace("text", "[^.,;:!?]", ""))
+    q = (
+        F.lit(50) + 3 * n_tokens - 2 * n_upper - 1 * n_digit - 4 * n_punct
+    ).cast("bigint")
+    f = d.select("source", "doc_id", F.col("n_chars"), q.alias("q"))
+    w_higher = (
+        Window.partitionBy("source")
+        .orderBy(F.col("q").desc())
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    w_same = Window.partitionBy("source", "q")
+    return (
+        f.withColumn("max_len_higher_q", F.max("n_chars").over(w_higher))
+        .withColumn("max_len_same_q", F.max("n_chars").over(w_same))
+        .filter(
+            (
+                F.col("max_len_higher_q").isNull()
+                | (F.col("max_len_higher_q") < F.col("n_chars"))
+            )
+            & (F.col("max_len_same_q") == F.col("n_chars"))
+        )
+        .select("source", "doc_id", "q", F.col("n_chars").cast("bigint").alias("n_chars"))
+        .orderBy("source", "doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# q119 Markov transitions — first-order event-sequence mining: per
+# user the events order by (time, id), and every consecutive pair
+# (state -> next state) counts into a transition matrix, reported
+# with integer parts-per-million row probabilities (exact truncating
+# division). The "what do users do next" model behind funnel design
+# and next-event prediction baselines.
+#
+# Scale shape: one per-user LAG window (the q34 sessionize
+# partitioning) + one (from, to) aggregate with map-side combine; the
+# per-row ppm division joins the broadcast per-from totals.
+
+ORACLE["q119_markov_transitions"] = """
+WITH seq AS (
+    SELECT user_id, event_type,
+           LAG(event_type) OVER (
+               PARTITION BY user_id ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id
+           ) AS prev_type
+    FROM events
+),
+t AS (
+    SELECT prev_type AS from_type, event_type AS to_type,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2
+),
+tot AS (SELECT from_type, CAST(SUM(n) AS BIGINT) AS tn FROM t GROUP BY 1)
+SELECT t.from_type, t.to_type, t.n,
+       CAST(t.n * 1000000 // tot.tn AS BIGINT) AS ppm
+FROM t JOIN tot USING (from_type)
+ORDER BY from_type, to_type
+"""
+
+
+@_q("q119_markov_transitions")
+def q119(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", "ts_us"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    t = (
+        e.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy(
+            F.col("prev_type").alias("from_type"),
+            F.col("event_type").alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    tot = t.groupBy("from_type").agg(F.sum("n").cast("bigint").alias("tn"))
+    return (
+        t.join(F.broadcast(tot), "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            "n",
+            F.expr("CAST((n * 1000000) div tn AS BIGINT)").alias("ppm"),
+        )
+        .orderBy("from_type", "to_type")
     )

@@ -685,3 +685,19 @@ def test_q117_dq_checks_prune_columns_and_broadcast_fk(spark):
     assert "LeftAnti" in plan
     schemas = re.findall(r"ReadSchema: (struct<[^\n]*)", plan)
     assert schemas and all("o_comment" not in s and "l_comment" not in s for s in schemas)
+
+
+def test_q118_skyline_windows_partition_by_source(spark):
+    # both dominance windows partition by source — a global skyline
+    # window would single-partition the corpus
+    plan = _plan(spark, "q118_pareto_frontier")
+    assert "SinglePartition" not in plan, plan
+    assert "Join" not in plan
+
+
+def test_q119_markov_lag_then_agg_broadcast_totals(spark):
+    # one per-user LAG window, one (from,to) aggregate, per-from
+    # totals broadcast back — no SMJ anywhere
+    plan = _plan(spark, "q119_markov_transitions")
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan

@@ -320,3 +320,47 @@ def test_pagerank_mass_and_floor_invariants(seed_docs, spark):
     ranks = pagerank(d, iters=2, scale=1_000_000, base_pct=15).collect()
     assert all(r.r >= 150_000 for r in ranks)
     assert sum(r.r for r in ranks) <= len(ranks) * 1_000_000
+
+
+@given(
+    pts=st.lists(
+        st.tuples(st.integers(0, 4), st.integers(0, 4)),
+        min_size=1,
+        max_size=14,
+    )
+)
+@settings(max_examples=8, deadline=None)
+def test_pareto_window_form_equals_brute_force_dominance(pts, spark):
+    """The q118 two-window skyline must equal the O(n^2) dominance
+    definition on arbitrary point sets — including duplicate points
+    (mutually non-dominating twins both survive) and the mixed-tie
+    case a running ROWS-frame max gets wrong."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    rows = [(i, q, l) for i, (q, l) in enumerate(pts)]
+    f = spark.createDataFrame(rows, "doc_id long, q long, n_chars long")
+    w_higher = Window.orderBy(F.col("q").desc()).rangeBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_same = Window.partitionBy("q")
+    got = {
+        r.doc_id
+        for r in f.withColumn("mh", F.max("n_chars").over(w_higher))
+        .withColumn("ms", F.max("n_chars").over(w_same))
+        .filter(
+            (F.col("mh").isNull() | (F.col("mh") < F.col("n_chars")))
+            & (F.col("ms") == F.col("n_chars"))
+        )
+        .collect()
+    }
+    want = {
+        i
+        for i, (q, l) in enumerate(pts)
+        if not any(
+            (q2 >= q and l2 >= l and (q2 > q or l2 > l))
+            for j, (q2, l2) in enumerate(pts)
+            if j != i
+        )
+    }
+    assert got == want
