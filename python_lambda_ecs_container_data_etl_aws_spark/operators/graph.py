@@ -67,9 +67,12 @@ def pagerank(
     base = base_pct * scale // 100
     we = edges if weighted else weighted_edges(edges, src, dst).persist()
     outw = we.groupBy(src).agg(F.sum("w").cast("bigint").alias("tw"))
+    # node set from the AGGREGATED relation — it carries the identical
+    # distinct src/dst values, so deriving nodes from the raw edge
+    # input would re-scan the corpus-sized input for nothing
     nodes = (
-        edges.select(F.col(src).alias("node"))
-        .union(edges.select(F.col(dst).alias("node")))
+        we.select(F.col(src).alias("node"))
+        .union(we.select(F.col(dst).alias("node")))
         .distinct()
         .persist()
     )

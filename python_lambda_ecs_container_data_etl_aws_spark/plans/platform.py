@@ -369,10 +369,12 @@ ORDER BY event_type, day
 """
 
 
-@_q("q102_anomaly_zscore")
-def q102(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _event_day_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_type, day, c): daily event counts — the series relation
+    shared by q102 (anomaly audit) and q110 (trend slopes); one
+    day-derivation convention, edited in one place."""
     e = load_table(spark, sf_dir, "events").select("event_type", "ts_us")
-    day = (
+    return (
         e.select(
             "event_type",
             F.to_date(F.timestamp_micros(F.col("ts_us")))
@@ -382,6 +384,11 @@ def q102(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "day")
         .agg(F.count(F.lit(1)).alias("c"))
     )
+
+
+@_q("q102_anomaly_zscore")
+def q102(spark: SparkSession, sf_dir: str) -> DataFrame:
+    day = _event_day_counts(spark, sf_dir)
     st = day.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("c").cast("bigint").alias("s"),
@@ -523,30 +530,44 @@ FROM rk WHERE rn <= {_Q104_K} ORDER BY query_id, rnk
 """
 
 
-@_q("q104_multivector_maxsim")
-def q104(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _maxsim_ranked(spark: SparkSession, sf_dir: str, nq: int) -> DataFrame:
+    """(query_id, cand, score, rk): every corpus vector MaxSim-scored
+    and ranked per anchor (vec_id < nq) — the ONE implementation of
+    the broadcast-anchor MaxSim retriever, shared by q104 (top-k
+    contract) and q106 (rank fusion input)."""
     qv = F.expr(
         "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
     )
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", qv.alias("qv")
     )
-    a = emb.filter(F.col("vec_id") < _Q104_NQ).select(
+    a = emb.filter(F.col("vec_id") < nq).select(
         F.col("vec_id").alias("query_id"),
         F.expr(_split8("qv")).alias("aqs"),
     )
     b = emb.select(
-        F.col("vec_id").alias("doc_id"), F.expr(_split8("qv")).alias("bqs")
+        F.col("vec_id").alias("cand"), F.expr(_split8("qv")).alias("bqs")
     )
-    score = F.expr(_MAXSIM_SPARK)
-    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), "doc_id")
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), "cand")
     return (
         b.crossJoin(F.broadcast(a))
-        .filter(F.col("query_id") != F.col("doc_id"))
-        .select("query_id", "doc_id", score.alias("score"))
-        .withColumn("rnk", F.row_number().over(w).cast("int"))
-        .filter(F.col("rnk") <= _Q104_K)
-        .select("query_id", "rnk", "doc_id", "score")
+        .filter(F.col("query_id") != F.col("cand"))
+        .select("query_id", "cand", F.expr(_MAXSIM_SPARK).alias("score"))
+        .withColumn("rk", F.row_number().over(w))
+    )
+
+
+@_q("q104_multivector_maxsim")
+def q104(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _maxsim_ranked(spark, sf_dir, _Q104_NQ)
+        .filter(F.col("rk") <= _Q104_K)
+        .select(
+            "query_id",
+            F.col("rk").cast("int").alias("rnk"),
+            F.col("cand").alias("doc_id"),
+            "score",
+        )
         .orderBy("query_id", "rnk")
     )
 
@@ -706,26 +727,9 @@ def q106(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rk").alias("rank_l2"),
         )
     )
-    # retriever B: MaxSim late interaction (q104's kernel)
-    qv = F.expr(
-        "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
-    )
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", qv.alias("qv")
-    )
-    a = emb.filter(F.col("vec_id") < _Q106_NQ).select(
-        F.col("vec_id").alias("query_id"),
-        F.expr(_split8("qv")).alias("aqs"),
-    )
-    b = emb.select(
-        F.col("vec_id").alias("cand"), F.expr(_split8("qv")).alias("bqs")
-    )
-    wb = Window.partitionBy("query_id").orderBy(F.col("score").desc(), "cand")
+    # retriever B: the SHARED MaxSim retriever (q104's _maxsim_ranked)
     tb = (
-        b.crossJoin(F.broadcast(a))
-        .filter(F.col("query_id") != F.col("cand"))
-        .select("query_id", "cand", F.expr(_MAXSIM_SPARK).alias("score"))
-        .withColumn("rk", F.row_number().over(wb))
+        _maxsim_ranked(spark, sf_dir, _Q106_NQ)
         .filter(F.col("rk") <= _Q106_TOP)
         .select("query_id", "cand", F.col("rk").alias("rank_maxsim"))
     )
@@ -1003,17 +1007,7 @@ FROM agg ORDER BY event_type
 
 @_q("q110_trend_slopes")
 def q110(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "events").select("event_type", "ts_us")
-    day = (
-        e.select(
-            "event_type",
-            F.to_date(F.timestamp_micros(F.col("ts_us")))
-            .cast("string")
-            .alias("day"),
-        )
-        .groupBy("event_type", "day")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
+    day = _event_day_counts(spark, sf_dir)
     st0 = day.groupBy("event_type").agg(F.min("day").alias("md"))
     xy = day.join(F.broadcast(st0), "event_type").select(
         "event_type",
@@ -1201,7 +1195,7 @@ def _rw_md5_sql(k: int, cur: str) -> str:
     )
 
 
-def _rw_step_sql(prev: str, cur: str, k: int) -> str:
+def _rw_step_sql(k: int) -> str:
     return f"""w{k} AS (
     SELECT w.start, {', '.join(f'w.n{i}' for i in range(k))},
            COALESCE(nb.nb[CAST({_rw_md5_sql(k, f'w.n{k - 1}')}
@@ -1219,9 +1213,9 @@ WITH e0 AS (
 eu AS (SELECT DISTINCT s, t FROM e0),
 nbrs AS (SELECT s, list(t ORDER BY t) AS nb FROM eu GROUP BY 1),
 w0 AS (SELECT s AS start, s AS n0 FROM (SELECT DISTINCT s FROM eu)),
-{_rw_step_sql('n0', 'n1', 1)},
-{_rw_step_sql('n1', 'n2', 2)},
-{_rw_step_sql('n2', 'n3', 3)}
+{_rw_step_sql(1)},
+{_rw_step_sql(2)},
+{_rw_step_sql(3)}
 SELECT start, n1, n2, n3 FROM w3 ORDER BY start
 """
 

@@ -656,7 +656,7 @@ def test_q114_closure_broadcasts_edges_no_corpus_rescan(spark):
     plan = _plan(spark, "q114_hierarchy_rollup")
     assert "SortMergeJoin" not in plan
     assert "BroadcastHashJoin" in plan
-    assert plan.count("Location: InMemoryFileIndex") <= 1 or plan.count("documents.parquet") <= 1
+    assert plan.count("documents.parquet") <= 1, plan
 
 
 def test_q115_pivot_is_one_aggregate_no_expand_blowup(spark):

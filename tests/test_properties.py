@@ -294,7 +294,6 @@ def test_scd2_history_invariants(changes, spark):
         assert [r.ver for r in vers] == list(range(1, len(vers) + 1))
         n_current = sum(1 for r in vers if r.next_seq is None)
         assert n_current <= 1
-        latest = max(rows, key=lambda c: (c[2], c[3]) if c[0] == k else (-1, ""))
     # tombstone-latest keys have no current version
     for k in {c[0] for c in rows}:
         evs = sorted((c for c in rows if c[0] == k), key=lambda c: (c[2], c[3]))

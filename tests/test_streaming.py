@@ -1092,18 +1092,21 @@ def test_cdc_apply_stream_rewrites_only_touched_buckets(spark, tmp_path):
     _cdc_arrive(spark, landing, [(k, k * 10, 0, "I") for k in range(8)])
     runner.cdc_apply_stream(spark, landing, CDC_SCHEMA, table, ck)
 
-    def mtimes():
+    def files():
+        # Spark writes fresh UUID part-file names on every rewrite, so
+        # filename sets (not mtimes, which can collide at coarse fs
+        # granularity) identify the rewritten buckets
         out = {}
         for e in sorted(os.listdir(table)):
             if e.startswith("bucket="):
                 d = os.path.join(table, e)
-                out[e] = max(os.path.getmtime(os.path.join(d, f)) for f in os.listdir(d))
+                out[e] = frozenset(os.listdir(d))
         return out
 
-    before = mtimes()
+    before = files()
     _cdc_arrive(spark, landing, [(3, 999, 1, "U")])  # bucket=3 only
     runner.cdc_apply_stream(spark, landing, CDC_SCHEMA, table, ck)
-    after = mtimes()
+    after = files()
     changed = {b for b in after if after[b] != before.get(b)}
     assert changed == {"bucket=3"}
     got = {(r.k, r.qp) for r in runner.read_cdc_table(spark, table).collect()}
