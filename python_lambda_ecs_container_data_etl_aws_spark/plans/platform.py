@@ -1309,17 +1309,23 @@ def q114(spark: SparkSession, sf_dir: str) -> DataFrame:
         .union(edges.select(F.col("parent").alias("node")))
         .distinct()
     )
-    closure = nodes.select("node", F.col("node").alias("anc"))
-    # bounded-depth transitive closure: 3 unrolled iterations (the
-    # hierarchy is 3 levels deep by construction)
+    # bounded-depth transitive closure: 3 unrolled FRONTIER steps (the
+    # hierarchy is 3 levels deep by construction). Each step extends
+    # only the newest paths, and because every node has exactly ONE
+    # parent (a tree), each (node, anc) pair is reached exactly once —
+    # so no per-iteration distinct()/exchange is needed at all (a
+    # closure.union(step).distinct() loop costs one shuffle per level
+    # for nothing on single-parent hierarchies).
+    frontier = nodes.select("node", F.col("node").alias("anc"))
+    parts = [frontier]
     for _ in range(3):
-        step = (
-            closure.join(
-                F.broadcast(edges.withColumnRenamed("child", "anc")), "anc"
-            )
-            .select("node", F.col("parent").alias("anc"))
-        )
-        closure = closure.union(step).distinct()
+        frontier = frontier.join(
+            F.broadcast(edges.withColumnRenamed("child", "anc")), "anc"
+        ).select("node", F.col("parent").alias("anc"))
+        parts.append(frontier)
+    closure = parts[0]
+    for p in parts[1:]:
+        closure = closure.unionByName(p)
     return (
         closure.join(F.broadcast(leaf), "node", "left")
         .groupBy(F.col("anc").alias("node"))
