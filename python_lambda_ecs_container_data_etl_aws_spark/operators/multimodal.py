@@ -276,92 +276,106 @@ DECODED_SCHEMA = StructType(
 )
 
 
+def _make_png_decoder():
+    """Build the payload→(width, height, channels, pixels) decoder as a
+    NESTED function: cloudpickle serializes nested functions by value,
+    so a mapInPandas closure can capture the returned decoder without
+    referencing any module-level name (the repo-cwd pickling gotcha).
+    Pillow when the worker has it, stdlib PNG inflate+unfilter
+    otherwise — shared by decode_png_features and image_ahash."""
+    import struct
+    import zlib  # noqa: F401  (kept for parity with the closure env)
+
+    try:
+        from PIL import Image as _Img  # type: ignore
+
+        def decode(payload: bytes) -> tuple[int, int, int, bytes]:  # pragma: no cover
+            import io
+
+            im = _Img.open(io.BytesIO(payload))
+            px = im.tobytes()
+            return im.width, im.height, len(im.getbands()), px
+
+    except ImportError:
+
+        def decode(payload: bytes) -> tuple[int, int, int, bytes]:
+            sig = b"\x89PNG\r\n\x1a\n"
+            if payload[: len(sig)] != sig:
+                raise ValueError("not a PNG payload")
+            pos, width, height, ch, idat = len(sig), 0, 0, 0, []
+            nch = {0: 1, 2: 3, 4: 2, 6: 4}
+            while pos + 8 <= len(payload):
+                (length,) = struct.unpack(">I", payload[pos : pos + 4])
+                ctype = payload[pos + 4 : pos + 8]
+                data = payload[pos + 8 : pos + 8 + length]
+                pos += 12 + length
+                if ctype == b"IHDR":
+                    width, height, depth, color, _, _, il = struct.unpack(
+                        ">IIBBBBB", data
+                    )
+                    if depth != 8 or il != 0 or color not in nch:
+                        raise NotImplementedError("unsupported PNG shape")
+                    ch = nch[color]
+                elif ctype == b"IDAT":
+                    idat.append(data)
+                elif ctype == b"IEND":
+                    break
+            raw = zlib.decompress(b"".join(idat))
+            stride = width * ch
+            out = bytearray()
+            prev = bytearray(stride)
+            p = 0
+            for _ in range(height):
+                ft = raw[p]
+                row = bytearray(raw[p + 1 : p + 1 + stride])
+                p += 1 + stride
+                if ft == 1:
+                    for i in range(ch, stride):
+                        row[i] = (row[i] + row[i - ch]) & 0xFF
+                elif ft == 2:
+                    for i in range(stride):
+                        row[i] = (row[i] + prev[i]) & 0xFF
+                elif ft == 3:
+                    for i in range(stride):
+                        left = row[i - ch] if i >= ch else 0
+                        row[i] = (row[i] + ((left + prev[i]) >> 1)) & 0xFF
+                elif ft == 4:
+                    for i in range(stride):
+                        a = row[i - ch] if i >= ch else 0
+                        b = prev[i]
+                        c = prev[i - ch] if i >= ch else 0
+                        pr = a + b - c
+                        pa, pb, pc = abs(pr - a), abs(pr - b), abs(pr - c)
+                        row[i] = (
+                            row[i]
+                            + (
+                                a
+                                if pa <= pb and pa <= pc
+                                else b if pb <= pc else c
+                            )
+                        ) & 0xFF
+                elif ft != 0:
+                    raise ValueError(f"bad PNG filter byte {ft}")
+                out += row
+                prev = row
+            return width, height, ch, bytes(out)
+
+    return decode
+
+
 def decode_png_features(mm: DataFrame) -> DataFrame:
     """mapInPandas REAL image decode: PNG payload → (width, height,
     channels, crc32 of the decoded pixel bytes). Pillow when the worker
     has it, stdlib PNG inflate+unfilter otherwise — so the decode path
     runs end-to-end even in codec-less environments.
 
-    Self-contained closure (stdlib + optional PIL only): executors
-    unpickle it by value, so it must not touch module-level names."""
+    The decoder is built driver-side by :func:`_make_png_decoder` and
+    captured by the closure (nested functions pickle by value), so
+    executors never resolve a module-level name."""
+    decode = _make_png_decoder()
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import struct
         import zlib
-
-        try:
-            from PIL import Image as _Img  # type: ignore
-
-            def decode(payload: bytes) -> tuple[int, int, int, bytes]:  # pragma: no cover
-                import io
-
-                im = _Img.open(io.BytesIO(payload))
-                px = im.tobytes()
-                return im.width, im.height, len(im.getbands()), px
-
-        except ImportError:
-
-            def decode(payload: bytes) -> tuple[int, int, int, bytes]:
-                sig = b"\x89PNG\r\n\x1a\n"
-                if payload[: len(sig)] != sig:
-                    raise ValueError("not a PNG payload")
-                pos, width, height, ch, idat = len(sig), 0, 0, 0, []
-                nch = {0: 1, 2: 3, 4: 2, 6: 4}
-                while pos + 8 <= len(payload):
-                    (length,) = struct.unpack(">I", payload[pos : pos + 4])
-                    ctype = payload[pos + 4 : pos + 8]
-                    data = payload[pos + 8 : pos + 8 + length]
-                    pos += 12 + length
-                    if ctype == b"IHDR":
-                        width, height, depth, color, _, _, il = struct.unpack(
-                            ">IIBBBBB", data
-                        )
-                        if depth != 8 or il != 0 or color not in nch:
-                            raise NotImplementedError("unsupported PNG shape")
-                        ch = nch[color]
-                    elif ctype == b"IDAT":
-                        idat.append(data)
-                    elif ctype == b"IEND":
-                        break
-                raw = zlib.decompress(b"".join(idat))
-                stride = width * ch
-                out = bytearray()
-                prev = bytearray(stride)
-                p = 0
-                for _ in range(height):
-                    ft = raw[p]
-                    row = bytearray(raw[p + 1 : p + 1 + stride])
-                    p += 1 + stride
-                    if ft == 1:
-                        for i in range(ch, stride):
-                            row[i] = (row[i] + row[i - ch]) & 0xFF
-                    elif ft == 2:
-                        for i in range(stride):
-                            row[i] = (row[i] + prev[i]) & 0xFF
-                    elif ft == 3:
-                        for i in range(stride):
-                            left = row[i - ch] if i >= ch else 0
-                            row[i] = (row[i] + ((left + prev[i]) >> 1)) & 0xFF
-                    elif ft == 4:
-                        for i in range(stride):
-                            a = row[i - ch] if i >= ch else 0
-                            b = prev[i]
-                            c = prev[i - ch] if i >= ch else 0
-                            pr = a + b - c
-                            pa, pb, pc = abs(pr - a), abs(pr - b), abs(pr - c)
-                            row[i] = (
-                                row[i]
-                                + (
-                                    a
-                                    if pa <= pb and pa <= pc
-                                    else b if pb <= pc else c
-                                )
-                            ) & 0xFF
-                    elif ft != 0:
-                        raise ValueError(f"bad PNG filter byte {ft}")
-                    out += row
-                    prev = row
-                return width, height, ch, bytes(out)
 
         for pdf in batches:
             decoded = [decode(bytes(p)) for p in pdf["payload"]]
@@ -486,4 +500,127 @@ def frame_sample_plan(mm: DataFrame, every_n: int = 10) -> DataFrame:
             "item_id",
             F.explode(F.expr(f"sequence(0, n_frames - 1, {every_n})")).alias("frame_idx"),
         )
+    )
+
+
+AHASH_SCHEMA = StructType(
+    [
+        StructField("item_id", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("ahash", LongType()),
+    ]
+)
+
+
+def image_ahash(mm: DataFrame, grid: int = 8) -> DataFrame:
+    """mapInPandas perceptual AVERAGE hash: decode each PNG payload,
+    integer-grayscale it, partition into a grid x grid block raster
+    and set bit (gy*grid+gx) when the block is brighter than the
+    global mean — all EXACT integer arithmetic (cross-multiplied
+    means, no float rounding), so the 64-bit signature is
+    deterministic across runs and machines. The image twin of the
+    text SimHash: near-identical images (crops aside) differ in a few
+    bits, unrelated images in ~32.
+
+    Decoder shared with :func:`decode_png_features` via
+    `_make_png_decoder` (captured by value — executor-safe)."""
+    decode = _make_png_decoder()
+    g = int(grid)
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def ahash(payload: bytes) -> tuple[int, int, int]:
+            w, h, ch, px = decode(payload)
+            # integer grayscale: per-pixel channel sum (monotone in
+            # luminance for our purposes, exact, and channel-agnostic)
+            gray = [
+                sum(px[i : i + ch]) for i in range(0, len(px), ch)
+            ]
+            total = sum(gray)
+            npx = w * h
+            bits = 0
+            for gy in range(g):
+                y0, y1 = gy * h // g, (gy + 1) * h // g
+                for gx in range(g):
+                    x0, x1 = gx * w // g, (gx + 1) * w // g
+                    bsum = 0
+                    for y in range(y0, y1):
+                        row = y * w
+                        bsum += sum(gray[row + x0 : row + x1])
+                    area = (y1 - y0) * (x1 - x0)
+                    # block mean > global mean, cross-multiplied
+                    if area and bsum * npx > total * area:
+                        bits |= 1 << (gy * g + gx)
+            # two's-complement into a signed 64-bit LongType
+            if bits >= 1 << 63:
+                bits -= 1 << 64
+            return w, h, bits
+
+        for pdf in batches:
+            out = [ahash(bytes(p)) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "item_id": pdf["item_id"].astype("int64"),
+                    "width": [o[0] for o in out],
+                    "height": [o[1] for o in out],
+                    "ahash": [o[2] for o in out],
+                }
+            )
+
+    return mm.mapInPandas(fn, AHASH_SCHEMA)
+
+
+def ahash_near_dup_pairs(hashed: DataFrame, max_dist: int = 3) -> DataFrame:
+    """(a_id, b_id, dist): image pairs whose aHash Hamming distance is
+    <= max_dist. Banded candidate generation (4 x 16-bit bands): any
+    pair within distance 3 shares at least one fully-equal band
+    (pigeonhole), so candidates come from band-keyed equi-joins —
+    never an all-pairs signature product — and the exact popcount
+    verify (bit_count(xor)) runs only on candidates. The same
+    LSH-shaped plan as the text SimHash operator."""
+    n_bands = 4
+    assert max_dist < n_bands, "pigeonhole needs max_dist < n_bands"
+    bands = hashed.select(
+        F.col("item_id"),
+        F.col("ahash"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_idx"),
+                        F.expr(
+                            f"CAST(shiftright(ahash, {i * 16}) & 65535 AS INT)"
+                        ).alias("band_val"),
+                    )
+                    for i in range(n_bands)
+                ]
+            )
+        ).alias("b"),
+    ).select("item_id", "ahash", "b.band_idx", "b.band_val")
+    cand = (
+        bands.select(
+            F.col("item_id").alias("a_id"),
+            F.col("ahash").alias("a_hash"),
+            "band_idx",
+            "band_val",
+        )
+        .join(
+            bands.select(
+                F.col("item_id").alias("b_id"),
+                F.col("ahash").alias("b_hash"),
+                "band_idx",
+                "band_val",
+            ),
+            ["band_idx", "band_val"],
+        )
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", "a_hash", "b_hash")
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "dist", F.expr("bit_count(a_hash ^ b_hash)").cast("int")
+        )
+        .filter(F.col("dist") <= max_dist)
+        .select("a_id", "b_id", "dist")
     )

@@ -1286,3 +1286,63 @@ def test_pagerank_uniform_on_symmetric_cycle(spark):
     assert len(vals) == 1
     # uniform fixed point: 1_000_000 = 150_000 + 850_000
     assert vals == {1_000_000}
+
+
+def _synth_png(seed: int, w=32, h=32, tweak=None):
+    """Deterministic grayscale PNG whose block STRUCTURE depends on
+    seed (aHash is invariant to uniform brightness shifts, so a
+    structural change — not an additive one — is what distinguishes
+    images); `tweak=(x, y, v)` flips one pixel for the near-dup case."""
+    px = bytearray(
+        ((x // 4) * (seed % 3 + 1) + (y // 4) * (seed * 2 % 5 + 1)) * 23 % 256
+        for y in range(h)
+        for x in range(w)
+    )
+    if tweak:
+        x, y, v = tweak
+        px[y * w + x] = v
+    return multimodal.encode_png(w, h, 1, bytes(px))
+
+
+def test_image_ahash_deterministic_and_robust_to_tiny_edits(spark):
+    """The average hash is bit-identical across runs, nearly unchanged
+    under a one-pixel edit, and far from a different image's hash."""
+    items = [
+        (1, "image", _synth_png(0), {}),
+        (2, "image", _synth_png(0, tweak=(3, 3, 255)), {}),  # near-dup of 1
+        (3, "image", _synth_png(7), {}),  # different image
+    ]
+    mm = spark.createDataFrame(items, multimodal.MULTIMODAL_SCHEMA)
+    h1 = {r.item_id: r.ahash for r in multimodal.image_ahash(mm).collect()}
+    h2 = {r.item_id: r.ahash for r in multimodal.image_ahash(mm).collect()}
+    assert h1 == h2  # deterministic
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    assert ham(h1[1], h1[2]) <= 2
+    assert ham(h1[1], h1[3]) >= 8
+
+
+def test_ahash_near_dup_pairs_equals_brute_force(spark):
+    """Banded candidate generation + popcount verify finds exactly the
+    brute-force Hamming pairs (pigeonhole: dist<=3 over 4 bands)."""
+    items = [(i, "image", _synth_png(i % 4, tweak=(1, 1, i * 9 % 256)), {}) for i in range(12)]
+    mm = spark.createDataFrame(items, multimodal.MULTIMODAL_SCHEMA)
+    hashed = multimodal.image_ahash(mm).persist()
+    got = {
+        (r.a_id, r.b_id, r.dist)
+        for r in multimodal.ahash_near_dup_pairs(hashed, max_dist=3).collect()
+    }
+    hs = {r.item_id: r.ahash for r in hashed.collect()}
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    want = {
+        (a, b, ham(hs[a], hs[b]))
+        for a in hs
+        for b in hs
+        if a < b and ham(hs[a], hs[b]) <= 3
+    }
+    assert got == want and want  # non-trivial: the seed groups collide
