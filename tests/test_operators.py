@@ -1346,3 +1346,49 @@ def test_ahash_near_dup_pairs_equals_brute_force(spark):
         if a < b and ham(hs[a], hs[b]) <= 3
     }
     assert got == want and want  # non-trivial: the seed groups collide
+
+
+def test_audio_energy_hash_and_banded_pairs(spark):
+    """The audio fingerprint is deterministic, invariant to a uniform
+    volume change, robust to a tiny local edit, and the banded pair
+    operator (shared with images) finds exactly the close pairs."""
+    import math
+
+    def tone(freq, n=8000, amp=8000, bursts=()):
+        pcm = bytearray()
+        for i in range(n):
+            v = int(amp * math.sin(2 * math.pi * freq * i / 8000))
+            for lo, hi in bursts:
+                if lo <= i < hi:
+                    v = min(32767, v * 4)
+            pcm += int(v).to_bytes(2, "little", signed=True)
+        return bytes(pcm)
+
+    # bursts create the block structure the energy hash keys on
+    b1 = [(1000 * k, 1000 * k + 500) for k in (1, 3, 5)]
+    b2 = [(1000 * k, 1000 * k + 500) for k in (2, 4, 6)]
+    items = [
+        (1, "audio", multimodal.encode_wav(8000, 1, tone(440, bursts=b1)), {}),
+        # same bursts, half the amplitude: energy RATIOS unchanged
+        (2, "audio", multimodal.encode_wav(8000, 1, tone(440, amp=4000, bursts=b1)), {}),
+        # different burst placement: different structure
+        (3, "audio", multimodal.encode_wav(8000, 1, tone(440, bursts=b2)), {}),
+    ]
+    mm = spark.createDataFrame(items, multimodal.MULTIMODAL_SCHEMA)
+    hashed = multimodal.audio_energy_hash(mm).persist()
+    hs = {r.item_id: r.ahash for r in hashed.collect()}
+    hs2 = {r.item_id: r.ahash for r in multimodal.audio_energy_hash(mm).collect()}
+    assert hs == hs2
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    assert ham(hs[1], hs[2]) <= 2   # volume-invariant
+    assert ham(hs[1], hs[3]) >= 6   # different structure
+    got = {
+        (r.a_id, r.b_id)
+        for r in multimodal.ahash_near_dup_pairs(
+            hashed.select("item_id", "ahash"), max_dist=3
+        ).collect()
+    }
+    assert (1, 2) in got and (1, 3) not in got
