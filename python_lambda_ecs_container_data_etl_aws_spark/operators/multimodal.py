@@ -694,3 +694,111 @@ def audio_energy_hash(mm: DataFrame, windows: int = 64) -> DataFrame:
             )
 
     return mm.mapInPandas(fn, AUDIO_HASH_SCHEMA)
+
+
+# A trivial deterministic "video" container for codec-less
+# environments: 4-byte magic, 4-byte frame count, then length-prefixed
+# PNG frames. Real pipelines swap encode/extract for an av/ffmpeg
+# tier behind the same signatures (the documented codec seam).
+_VID_MAGIC = b"VPN1"
+
+
+def encode_video(frames: list[bytes]) -> bytes:
+    """Pack PNG frames into the deterministic container."""
+    import struct
+
+    out = [_VID_MAGIC, struct.pack(">I", len(frames))]
+    for f in frames:
+        out.append(struct.pack(">I", len(f)))
+        out.append(f)
+    return b"".join(out)
+
+
+SHOT_SCHEMA = StructType(
+    [
+        StructField("item_id", LongType()),
+        StructField("frame_idx", LongType()),
+        StructField("ahash", LongType()),
+        StructField("dist_prev", LongType()),
+        StructField("is_shot_boundary", LongType()),
+    ]
+)
+
+
+def video_shot_boundaries(mm: DataFrame, threshold: int = 16) -> DataFrame:
+    """mapInPandas shot-boundary detection: unpack the frame
+    container, average-hash every frame (the image_ahash kernel), and
+    flag frames whose Hamming distance to the PREVIOUS frame's hash
+    is >= threshold — the scene-segmentation pass a video training
+    pipeline runs before frame sampling, so sampled frames span shots
+    instead of oversampling one static scene. Per-item sequential by
+    nature (frame order), parallel across items; exact integer
+    arithmetic end-to-end, so boundaries are bit-deterministic.
+
+    Non-container payloads raise NotImplementedError (the codec seam:
+    an av/ffmpeg decoder replaces the unpacker, the hashing and
+    boundary rule stay)."""
+    decode = _make_png_decoder()
+    g = 8
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        def ahash_px(payload: bytes) -> int:
+            w, h, ch, px = decode(payload)
+            gray = [sum(px[i : i + ch]) for i in range(0, len(px), ch)]
+            total = sum(gray)
+            npx = w * h
+            bits = 0
+            for gy in range(g):
+                y0, y1 = gy * h // g, (gy + 1) * h // g
+                for gx in range(g):
+                    x0, x1 = gx * w // g, (gx + 1) * w // g
+                    bsum = 0
+                    for y in range(y0, y1):
+                        row = y * w
+                        bsum += sum(gray[row + x0 : row + x1])
+                    area = (y1 - y0) * (x1 - x0)
+                    if area and bsum * npx > total * area:
+                        bits |= 1 << (gy * g + gx)
+            return bits
+
+        def unpack(payload: bytes) -> list[bytes]:
+            b = bytes(payload)
+            if b[:4] != _VID_MAGIC:
+                raise NotImplementedError(
+                    "real video decode requires av/ffmpeg; this "
+                    "environment unpacks the deterministic PNG container"
+                )
+            (n,) = struct.unpack(">I", b[4:8])
+            pos, frames = 8, []
+            for _ in range(n):
+                (ln,) = struct.unpack(">I", b[pos : pos + 4])
+                frames.append(b[pos + 4 : pos + 4 + ln])
+                pos += 4 + ln
+            return frames
+
+        for pdf in batches:
+            ids, idxs, hashes, dists, flags = [], [], [], [], []
+            for item_id, payload in zip(pdf["item_id"], pdf["payload"]):
+                prev = None
+                for i, fr in enumerate(unpack(payload)):
+                    hv = ahash_px(fr)
+                    d = bin(hv ^ prev).count("1") if prev is not None else 0
+                    ids.append(int(item_id))
+                    idxs.append(i)
+                    hashes.append(hv - (1 << 64) if hv >= 1 << 63 else hv)
+                    dists.append(d)
+                    flags.append(1 if (prev is not None and d >= threshold) else 0)
+                    prev = hv
+            yield pd.DataFrame(
+                {
+                    "item_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int64"),
+                    "ahash": pd.Series(hashes, dtype="int64"),
+                    "dist_prev": pd.Series(dists, dtype="int64"),
+                    "is_shot_boundary": pd.Series(flags, dtype="int64"),
+                }
+            )
+
+    return mm.mapInPandas(fn, SHOT_SCHEMA)

@@ -1392,3 +1392,36 @@ def test_audio_energy_hash_and_banded_pairs(spark):
         ).collect()
     }
     assert (1, 2) in got and (1, 3) not in got
+
+
+def test_video_shot_boundaries_detects_scene_cuts(spark):
+    """Two static scenes of 4 frames each with a hard cut between:
+    exactly one boundary, at the first frame of scene 2; within-scene
+    one-pixel jitter stays below threshold; results deterministic."""
+    def frame(seed, jitter=0):
+        px = bytearray(
+            ((x // 4) * (seed % 3 + 1) + (y // 4) * (seed * 2 % 5 + 1)) * 23 % 256
+            for y in range(32)
+            for x in range(32)
+        )
+        if jitter:
+            px[jitter] = 255
+        return multimodal.encode_png(32, 32, 1, bytes(px))
+
+    scene1 = [frame(0, j) for j in (0, 5, 9, 13)]
+    scene2 = [frame(7, j) for j in (0, 5, 9, 13)]
+    vid = multimodal.encode_video(scene1 + scene2)
+    mm = spark.createDataFrame(
+        [(1, "video", vid, {})], multimodal.MULTIMODAL_SCHEMA
+    )
+    rows = sorted(
+        multimodal.video_shot_boundaries(mm, threshold=8).collect(),
+        key=lambda r: r.frame_idx,
+    )
+    assert len(rows) == 8
+    assert [r.is_shot_boundary for r in rows] == [0, 0, 0, 0, 1, 0, 0, 0]
+    rows2 = sorted(
+        multimodal.video_shot_boundaries(mm, threshold=8).collect(),
+        key=lambda r: r.frame_idx,
+    )
+    assert [r.ahash for r in rows] == [r.ahash for r in rows2]
