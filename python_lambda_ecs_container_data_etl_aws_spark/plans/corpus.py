@@ -186,8 +186,8 @@ SELECT source,
        CAST(SUM(CASE WHEN verdict = 'boilerplate_marker' THEN 1 ELSE 0 END) AS BIGINT) AS n_marker,
        CAST(SUM(CASE WHEN verdict = 'low_diversity' THEN 1 ELSE 0 END) AS BIGINT) AS n_lowdiv,
        CAST(SUM(CASE WHEN verdict = 'stopword_lead' THEN 1 ELSE 0 END) AS BIGINT) AS n_stoplead,
-       md5(string_agg(CASE WHEN verdict = 'kept' THEN line_text END, ' '
-                      ORDER BY doc_id, line_idx)) AS kept_md5
+       md5(COALESCE(string_agg(CASE WHEN verdict = 'kept' THEN line_text END, ' '
+                      ORDER BY doc_id, line_idx), '')) AS kept_md5
 FROM attributed GROUP BY source ORDER BY source
 """
 
@@ -267,8 +267,8 @@ SELECT source,
        CAST(SUM(CASE WHEN is_boiler THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
        CAST(COUNT(DISTINCT CASE WHEN is_boiler THEN doc_id END) AS BIGINT)
            AS n_docs_affected,
-       md5(string_agg(CASE WHEN NOT is_boiler THEN line_text END, ' '
-                      ORDER BY doc_id, line_idx)) AS survivors_md5
+       md5(COALESCE(string_agg(CASE WHEN NOT is_boiler THEN line_text END, ' '
+                      ORDER BY doc_id, line_idx), '')) AS survivors_md5
 FROM flagged GROUP BY source ORDER BY source
 """
 
@@ -953,9 +953,15 @@ def q89(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("toks"),
         )
     )
+    # short-side guard: sequence(0, size-3) goes DESCENDING below 3
+    # tokens and indexes toks out of bounds under ANSI mode (the
+    # operators/dedup.shingles hazard) — the oracle's range() is
+    # empty-safe, so guard with CASE to match it exactly
     gen = (
+        "CASE WHEN size(toks) >= 3 THEN "
         "array_distinct(transform(sequence(0, size(toks) - 3), "
-        "i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))"
+        "i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) "
+        "ELSE array() END"
     )
     sh = sides.select(
         "doc_id", "side", F.explode(F.expr(gen)).alias("s")

@@ -578,7 +578,7 @@ def exact_dedup_ingest_stream(
 
     from pyspark.sql import Window
 
-    from ..operators.curate import normalize_text
+    from ..operators.curate import norm_group_key, normalize_text
 
     index_dir = corpus_dir.rstrip("/") + "__normindex"
     src = file_stream(spark, landing_dir, schema, fmt)
@@ -586,15 +586,18 @@ def exact_dedup_ingest_stream(
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        # empty-normalized docs (nothing but strippable characters)
-        # carry no dedup signal: keep them all and never index '' —
-        # an indexed '' would otherwise drop every such doc forever
-        # (same rule as curate_corpus stage 2)
+        # ONE group-key definition (operators/curate.norm_group_key,
+        # shared with q79 and curate_corpus stage 2): empty-normalized
+        # docs get per-doc keys, so each is its own kept group — the
+        # keep-all-empty rule falls out of the plain rn==1 ∧ unseen
+        # condition with no special-case OR. Their 'E'-prefixed keys
+        # never enter the index (an indexed '' hash would drop every
+        # such doc forever).
         nrm = normalize_text(F.col(text_col))
         batch = batch_df.withColumn(
-            "__nmd5", F.md5(nrm.cast("binary"))
+            "__gk", norm_group_key(nrm, F.col(id_col))
         ).withColumn("__empty", nrm == F.lit(""))
-        w = Window.partitionBy("__nmd5").orderBy(id_col)
+        w = Window.partitionBy("__gk").orderBy(id_col)
         batch = batch.withColumn("__rn", F.row_number().over(w))
         others = (
             [
@@ -606,27 +609,34 @@ def exact_dedup_ingest_stream(
             else []
         )
         if others:
-            idx = spark.read.parquet(*others).select("__nmd5").distinct()
+            # on-disk index column stays "__nmd5" (the stored values
+            # are raw md5 hashes — pre-refactor indexes remain valid)
+            idx = (
+                spark.read.parquet(*others)
+                .select(F.col("__nmd5").alias("__gk"))
+                .distinct()
+            )
             batch = batch.join(
-                idx.withColumn("__seen", F.lit(1)), "__nmd5", "left"
+                idx.withColumn("__seen", F.lit(1)), "__gk", "left"
             )
         else:
             batch = batch.withColumn("__seen", F.lit(None).cast("int"))
         survivors = batch.filter(
-            F.col("__empty")
-            | ((F.col("__rn") == 1) & F.col("__seen").isNull())
+            (F.col("__rn") == 1) & F.col("__seen").isNull()
         ).persist()
-        survivors.drop("__nmd5", "__rn", "__seen", "__empty").write.mode(
+        survivors.drop("__gk", "__rn", "__seen", "__empty").write.mode(
             "overwrite"
         ).parquet(os.path.join(corpus_dir, f"batch={batch_id}"))
-        # the '' hash never enters the index (see comment above); a
-        # batch of ONLY empty-norm docs writes no index dir at all —
-        # a zero-row dir would fail parquet schema inference on every
-        # later probe (and a crashed attempt's stale dir is removed so
-        # replay converges)
+        # empty-norm (per-doc 'E'-keyed) groups never enter the index
+        # (see comment above); a batch of ONLY empty-norm docs writes
+        # no index dir at all — a zero-row dir would fail parquet
+        # schema inference on every later probe (and a crashed
+        # attempt's stale dir is removed so replay converges)
         import shutil
 
-        idx_rows = survivors.filter(~F.col("__empty")).select("__nmd5").distinct()
+        idx_rows = survivors.filter(~F.col("__empty")).select(
+            F.col("__gk").alias("__nmd5")
+        ).distinct()
         idx_path = os.path.join(index_dir, f"batch={batch_id}")
         if idx_rows.isEmpty():
             shutil.rmtree(idx_path, ignore_errors=True)

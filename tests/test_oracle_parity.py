@@ -148,3 +148,59 @@ def test_catalog_runs_on_empty_tables(spark, tmp_path):
             crashes.append((name, type(e).__name__))
         spark.catalog.clearCache()
     assert not crashes, crashes
+
+
+def test_source_cardinality_contract():
+    """q86's Spark side enumerates the new-corpus sources src10-src19
+    explicitly (an In() list pushes to the parquet scan; the oracle's
+    CAST(substr()) >= 10 form never would), and several mixture
+    queries assume the src0-src19 universe. If driver testdata ever
+    grows more sources, the enumerated list would silently drop them
+    from the Spark side only — fail loudly here instead."""
+    import glob
+
+    import duckdb
+
+    con = duckdb.connect()
+    expected = {f"src{i}" for i in range(20)}
+    for sf_dir in sorted(glob.glob("/root/testdata/sf*")):
+        got = {
+            r[0]
+            for r in con.execute(
+                f"SELECT DISTINCT source FROM '{sf_dir}/documents.parquet'"
+            ).fetchall()
+        }
+        assert got <= expected, f"{sf_dir}: unexpected sources {got - expected}"
+
+
+def test_q89_survives_short_docs(spark, tmp_path):
+    """A planted 1-2-token doc on q89's sampling residue must not
+    crash the shingle generator (unguarded sequence(0, size-3) goes
+    descending and indexes out of bounds under ANSI mode) and must
+    keep Spark ≡ oracle: such docs have no shingles on either side in
+    both engines."""
+    import duckdb
+
+    from python_lambda_ecs_container_data_etl_aws_spark.plans.corpus import _Q89_MOD
+
+    dst = str(tmp_path / "sf_short")
+    base = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    extra = spark.createDataFrame(
+        [
+            (int(_Q89_MOD) * 1_000_003, "ab", "en", "src0", 2),
+            (int(_Q89_MOD) * 1_000_004, "a b", "en", "src0", 3),
+        ],
+        base.schema,
+    )
+    base.unionByName(extra).coalesce(1).write.parquet(f"{dst}/documents.parquet")
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{dst}/documents.parquet/*.parquet'"
+    )
+    compare(
+        QUERIES["q89_minhash_jaccard_est"](spark, dst),
+        con,
+        ORACLE["q89_minhash_jaccard_est"],
+        "q89_short_docs",
+    )
