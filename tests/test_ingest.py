@@ -238,3 +238,34 @@ def test_upsert_delta_seam(spark, tmp_path):
         (r.k, r.v) for r in upsert(perm, delta, ["k"]).collect()
     )
     assert got == want  # delta wins incl. NULLs; unmatched insert
+
+
+def test_cli_list_and_unknown_query(capsys):
+    """The CLI lists the full catalog and suggests near-matches for
+    typos without touching Spark."""
+    from python_lambda_ecs_container_data_etl_aws_spark.__main__ import main
+    from python_lambda_ecs_container_data_etl_aws_spark.plans import QUERIES
+
+    assert main(["list"]) == 0
+    out = capsys.readouterr().out.strip().split("\n")
+    assert set(out) == set(QUERIES)
+
+    assert main(["run", "q05_report_agregate"]) == 2  # typo
+    err = capsys.readouterr().err
+    assert "q05_report_aggregate" in err  # suggestion
+
+
+def test_cli_run_writes_csv(spark, tmp_path, capsys):
+    """`run --out x.csv` writes a single-file CSV of the query result."""
+    from python_lambda_ecs_container_data_etl_aws_spark.__main__ import main
+
+    out = str(tmp_path / "q01.csv")
+    assert main(
+        ["run", "q01_ingest_count", "--sf-dir", SF_DIR, "--out", out]
+    ) == 0
+    import glob
+
+    part = glob.glob(f"{out}/*.csv") + ([out] if os.path.isfile(out) else [])
+    assert part
+    body = open(part[0]).read().strip().split("\n")
+    assert body[0] == "n_rows" and int(body[1]) > 0
