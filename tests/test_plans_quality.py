@@ -611,7 +611,12 @@ def test_q109_triangle_joins_are_equi_joins(spark):
     # node ids; the only BNLJs are the two 1-row census cross joins
     plan = _plan(spark, "q109_graph_triangles")
     assert "CartesianProduct" not in plan
-    assert plan.count("(BroadcastNestedLoopJoin") <= 2, plan
+    # formatted mode prints each physical node once in the tree AND
+    # once in the details, hence the /2; the only BNLJs allowed are
+    # the two 1-row census cross joins
+    assert plan.count("BroadcastNestedLoopJoin") / 2 <= 2, plan
+    # wedge + closure joins must be equi-joins
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
 
 
 def test_q110_trend_agg_broadcasts_series_start(spark):
