@@ -865,7 +865,13 @@ def prefix_filtered_pairs(
     vocabulary is small — a tiny vocabulary makes token sets
     degenerate and the filter toothless. Integer ceil
     ((t*n + 9) // 10) and a cross-multiplied Jaccard gate keep the
-    whole operator float-free."""
+    whole operator float-free.
+
+    Implemented tier: AllPairs prefix filtering + length-implicit
+    verify. The PPJoin positional filter (tighten the per-candidate
+    overlap bound using prefix positions) is the documented next
+    optimization tier for corpora where candidate density — not the
+    prefix join — dominates (see BASELINE.md's q111 notes)."""
     t10 = threshold_tenths
     # hash every set element to 64 bits ONCE: the set-dedup, all
     # shuffles (df, prefix postings, candidate join) and the in-row

@@ -19,6 +19,11 @@ count is tiny next to the edge count); pass ``broadcast_state=False``
 on a web-scale graph and the same loops run as shuffle hash joins —
 the join keys don't change, so the plans degrade gracefully.
 
+Connected components (the other core graph primitive) lives in
+operators/dedup.py — size-gated driver union-find with a distributed
+min-label-propagation fallback — because near-dup cluster resolution
+is its consumer.
+
 Reference parity: the reference pipeline has no graph stage; these
 extend the Tier-C suite (crawl-seed ranking, clustering diagnostics,
 graph-embedding walk corpora).
