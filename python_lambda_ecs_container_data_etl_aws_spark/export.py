@@ -31,3 +31,24 @@ def export_report_csv(
         parts = glob.glob(os.path.join(out_dir, "part-*.csv*"))
         return parts[0] if parts else out_dir
     return out_dir
+
+
+def export_report_json(
+    df: DataFrame,
+    out_dir: str,
+    single_file: bool = True,
+    compression: str | None = None,
+) -> str:
+    """Write df as JSON Lines — the dashboard-feed twin of the CSV
+    dump (the reference's front end consumes JSON over CloudFront;
+    `4 front-end:*` reads per-report JSON documents). Same single-file
+    contract and gzip option as :func:`export_report_csv`; returns the
+    part-file path (single-file mode) or the directory."""
+    writer = (df.coalesce(1) if single_file else df).write.mode("overwrite")
+    if compression:
+        writer = writer.option("compression", compression)
+    writer.json(out_dir)
+    if single_file:
+        parts = glob.glob(os.path.join(out_dir, "part-*.json*"))
+        return parts[0] if parts else out_dir
+    return out_dir

@@ -269,3 +269,27 @@ def test_cli_run_writes_csv(spark, tmp_path, capsys):
     assert part
     body = open(part[0]).read().strip().split("\n")
     assert body[0] == "n_rows" and int(body[1]) > 0
+
+
+def test_export_report_json_roundtrip(spark, tmp_path):
+    """JSONL export: one file, parseable line-per-row, values intact;
+    gzip variant produces a .gz part readable by Spark."""
+    import gzip
+    import json
+
+    from python_lambda_ecs_container_data_etl_aws_spark.export import export_report_json
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", 2.5)], "id long, k string, v double"
+    )
+    path = export_report_json(df, str(tmp_path / "rep_json"))
+    assert path.endswith(".json")
+    rows = [json.loads(l) for l in open(path)]
+    assert {(r["id"], r["k"], r["v"]) for r in rows} == {(1, "a", 1.5), (2, "b", 2.5)}
+
+    gz = export_report_json(df, str(tmp_path / "rep_json_gz"), compression="gzip")
+    assert gz.endswith(".gz")
+    rows = [json.loads(l) for l in gzip.open(gz, "rt")]
+    assert len(rows) == 2
+    back = spark.read.json(str(tmp_path / "rep_json_gz"))
+    assert back.count() == 2
