@@ -64,6 +64,7 @@ _NEVER_DRIVER_VERIFIED = [
     "q113_random_walks", "q114_hierarchy_rollup", "q115_pivot_report",
     "q116_hopping_windows", "q117_dq_expectations",
     "q118_pareto_frontier", "q119_markov_transitions",
+    "q120_ratio_to_report", "q121_cumulative_distinct_users",
 ]
 _SINGLE_GREEN = [
     # green in exactly one driver round so far; oldest single-green first

@@ -1,4 +1,4 @@
-"""Platform-tier queries q99-q119: the warehouse/graph/retrieval
+"""Platform-tier queries q99-q121: the warehouse/graph/retrieval
 operations that sit AROUND a curation pipeline — seed-quality graph
 ranking, slowly-changing-dimension history, embedding compression,
 series anomaly audit, tokenizer-merge statistics, late-interaction
@@ -70,6 +70,11 @@ retrieval, and the shard manifest a trainer's data loader reads.
   definition — never the O(n^2) anti-join.
 - q119 Markov transitions: per-user LAG sequences -> (from, to)
   counts + integer ppm row probabilities.
+- q120 ratio-to-report: percent-of-total in integer ppm via broadcast
+  totals — never a percent window over the fact table.
+- q121 cumulative distinct users: the first-seen transform — the
+  scalable rewrite of the unsupported COUNT(DISTINCT) OVER cumulative
+  window; the only running sum spans the |days|-sized relation.
 
 The reference pipeline (CSV -> MySQL/DynamoDB loads) stops at q08's
 upsert; these extend the Tier-C suite with oracle-backed contracts.
@@ -1677,4 +1682,122 @@ def q119(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("CAST((n * 1000000) div tn AS BIGINT)").alias("ppm"),
         )
         .orderBy("from_type", "to_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# q120 ratio-to-report — each (nation, year) order revenue as a share
+# of its nation's total, in integer parts-per-million (the classic
+# OLAP RATIO_TO_REPORT / percent-of-total report). Revenue quantizes
+# to BIGINT cents before any totaling, and the share is one
+# truncating division — no float sums anywhere.
+#
+# Scale shape: one (nation, year) aggregate, then the |nations|-sized
+# totals broadcast back — never an unpartitioned percent-of-total
+# window over the fact table.
+
+ORACLE["q120_ratio_to_report"] = """
+WITH r AS (
+    SELECT c.c_nationkey AS nation,
+           CAST(strftime(o_orderdate, '%Y') AS INT) AS y,
+           CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS rev_cents
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY 1, 2
+),
+tot AS (SELECT nation, CAST(SUM(rev_cents) AS BIGINT) AS t FROM r GROUP BY 1)
+SELECT r.nation, r.y, r.rev_cents,
+       CAST(r.rev_cents * 1000000 // tot.t AS BIGINT) AS share_ppm
+FROM r JOIN tot USING (nation)
+ORDER BY nation, y
+"""
+
+
+@_q("q120_ratio_to_report")
+def q120(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.year("o_orderdate").cast("int").alias("y"),
+        F.floor(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"),
+        F.col("c_nationkey").alias("nation"),
+    )
+    r = (
+        o.join(F.broadcast(c), "o_custkey")
+        .groupBy("nation", "y")
+        .agg(F.sum("cents").cast("bigint").alias("rev_cents"))
+    )
+    tot = r.groupBy("nation").agg(F.sum("rev_cents").cast("bigint").alias("t"))
+    return (
+        r.join(F.broadcast(tot), "nation")
+        .select(
+            "nation",
+            "y",
+            "rev_cents",
+            F.expr("CAST((rev_cents * 1000000) div t AS BIGINT)").alias(
+                "share_ppm"
+            ),
+        )
+        .orderBy("nation", "y")
+    )
+
+
+# --------------------------------------------------------------------------
+# q121 cumulative distinct users — per day, how many DISTINCT users
+# have been seen up to and including that day. The naive
+# COUNT(DISTINCT) OVER (ORDER BY day) is unsupported/unscalable; the
+# scalable idiom is the FIRST-SEEN transform: a user contributes to
+# the cumulative count exactly from their first-event day onward, so
+# cumulative_distinct(day) = Σ first_seen_counts over days <= day —
+# a per-user min, a small per-day aggregate, and one running sum over
+# the |days|-sized relation.
+
+ORACLE["q121_cumulative_distinct_users"] = """
+WITH fs AS (
+    SELECT user_id,
+           MIN(strftime(CAST(CAST(ts AS TIMESTAMP) AS DATE), '%Y-%m-%d'))
+               AS first_day
+    FROM events GROUP BY 1
+),
+days AS (
+    SELECT DISTINCT strftime(CAST(CAST(ts AS TIMESTAMP) AS DATE), '%Y-%m-%d')
+        AS day
+    FROM events
+),
+nf AS (SELECT first_day AS day, CAST(COUNT(*) AS BIGINT) AS n_new
+       FROM fs GROUP BY 1)
+SELECT d.day,
+       CAST(COALESCE(nf.n_new, 0) AS BIGINT) AS n_new_users,
+       CAST(SUM(COALESCE(nf.n_new, 0))
+            OVER (ORDER BY d.day ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS n_cum_users
+FROM days d LEFT JOIN nf USING (day)
+ORDER BY d.day
+"""
+
+
+@_q("q121_cumulative_distinct_users")
+def q121(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select("user_id", "ts_us")
+    day_of = F.to_date(F.timestamp_micros(F.col("ts_us"))).cast("string")
+    fs = (
+        e.select("user_id", day_of.alias("day"))
+        .groupBy("user_id")
+        .agg(F.min("day").alias("first_day"))
+    )
+    days = e.select(day_of.alias("day")).distinct()
+    nf = fs.groupBy(F.col("first_day").alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_new")
+    )
+    # the running sum's window spans the |days|-sized relation (~one
+    # row per calendar day), not the event stream — an unpartitioned
+    # frame over tens of rows, not billions
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        days.join(nf, "day", "left")
+        .select("day", F.coalesce("n_new", F.lit(0)).cast("bigint").alias("n_new_users"))
+        .withColumn("n_cum_users", F.sum("n_new_users").over(w).cast("bigint"))
+        .orderBy("day")
     )

@@ -706,3 +706,25 @@ def test_q119_markov_lag_then_agg_broadcast_totals(spark):
     plan = _plan(spark, "q119_markov_transitions")
     assert "SortMergeJoin" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_q120_share_totals_broadcast(spark):
+    # per-nation totals broadcast back into the revenue relation —
+    # never a percent-of-total window over the fact table
+    plan = _plan(spark, "q120_ratio_to_report")
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "windowspecdefinition" not in plan
+
+
+def test_q121_first_seen_transform_windows_days_not_events(spark):
+    # the running sum must read the |days|-sized relation: the only
+    # window input is the post-aggregate join of days x new-user
+    # counts, and events contribute through per-user/per-day aggs
+    plan = _plan(spark, "q121_cumulative_distinct_users")
+    # one unpartitioned window is expected — over ~|days| rows
+    assert "windowspecdefinition" in plan
+    # the window sits above aggregates, not the raw scan: no Exchange
+    # directly from the events scan into the Window (events pass
+    # through HashAggregate first)
+    assert "HashAggregate" in plan
