@@ -1173,3 +1173,37 @@ def test_stream_stream_left_outer_join_emits_unmatched_after_watermark(
     assert (3, m(0), None) in got   # no purchase at all
     # each unmatched view appears exactly once
     assert len([r for r in got if r[2] is None and r[0] in (2, 3)]) == 2
+
+
+def test_cdc_apply_stream_fresh_checkpoint_replay_is_idempotent(spark, tmp_path):
+    """Re-processing the ENTIRE landing history into an existing table
+    (lost checkpoint → availableNow replays everything) must reproduce
+    the identical state: duplicate rows collapse in the latest-wins
+    window and tombstones still outrank replayed older changes."""
+    landing = str(tmp_path / "cdc_landing")
+    table = str(tmp_path / "cdc_table")
+
+    _cdc_arrive(spark, landing, [(1, 100, 0, "I"), (2, 200, 0, "I"), (9, 900, 0, "I")])
+    runner.cdc_apply_stream(spark, landing, CDC_SCHEMA, table, str(tmp_path / "ck1"))
+    _cdc_arrive(spark, landing, [(1, 150, 1, "U"), (2, 0, 2, "D")])
+    runner.cdc_apply_stream(spark, landing, CDC_SCHEMA, table, str(tmp_path / "ck1"))
+
+    def snapshot():
+        return sorted(
+            (r.k, r.qp, r.seq, r.op)
+            for r in runner.read_cdc_table(spark, table).collect()
+        )
+
+    before = snapshot()
+    assert before == [(1, 150, 1, "U"), (9, 900, 0, "I")]
+    # lost checkpoint: a fresh one replays ALL landing files into the
+    # already-populated table
+    runner.cdc_apply_stream(spark, landing, CDC_SCHEMA, table, str(tmp_path / "ck2"))
+    assert snapshot() == before
+    # and the tombstone survived the replay (key 2 still absent)
+    import pyspark.sql.functions as SF
+
+    raw = spark.read.parquet(*[
+        os.path.join(table, e) for e in os.listdir(table) if e.startswith("bucket=")
+    ])
+    assert raw.filter((SF.col("k") == 2) & (SF.col("op") == "D")).count() == 1
