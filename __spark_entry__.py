@@ -65,6 +65,7 @@ _NEVER_DRIVER_VERIFIED = [
     "q116_hopping_windows", "q117_dq_expectations",
     "q118_pareto_frontier", "q119_markov_transitions",
     "q120_ratio_to_report", "q121_cumulative_distinct_users",
+    "q122_lexicon_sentiment", "q123_series_similarity",
 ]
 _SINGLE_GREEN = [
     # green in exactly one driver round so far; oldest single-green first

@@ -11,6 +11,6 @@ from . import cleaning as _cln  # noqa: F401  (registers q55-q57, q64, q69-q71)
 from . import training as _trn  # noqa: F401  (registers q58-q63, q65-q66)
 from . import mining as _mng  # noqa: F401  (registers q72-q79)
 from . import corpus as _crp  # noqa: F401  (registers q80-q98)
-from . import platform as _plt  # noqa: F401  (registers q99-q121)
+from . import platform as _plt  # noqa: F401  (registers q99-q123)
 
 __all__ = ["QUERIES", "ORACLE"]

@@ -1,4 +1,4 @@
-"""Platform-tier queries q99-q121: the warehouse/graph/retrieval
+"""Platform-tier queries q99-q123: the warehouse/graph/retrieval
 operations that sit AROUND a curation pipeline — seed-quality graph
 ranking, slowly-changing-dimension history, embedding compression,
 series anomaly audit, tokenizer-merge statistics, late-interaction
@@ -75,6 +75,11 @@ retrieval, and the shard manifest a trainer's data loader reads.
 - q121 cumulative distinct users: the first-seen transform — the
   scalable rewrite of the unsupported COUNT(DISTINCT) OVER cumulative
   window; the only running sum spans the |days|-sized relation.
+- q122 lexicon sentiment: broadcast lexicon join + one aggregate
+  (the EDBT 2016 Spark sentiment job shape, PAPERS.md).
+- q123 series similarity search: exact-integer Pearson components
+  over daily-count series pairs — rankable by cross-multiplication,
+  overflow-safe where a ppm r² would hit the BIGINT ceiling.
 
 The reference pipeline (CSV -> MySQL/DynamoDB loads) stops at q08's
 upsert; these extend the Tier-C suite with oracle-backed contracts.
@@ -1801,3 +1806,167 @@ def q121(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("n_cum_users", F.sum("n_new_users").over(w).cast("bigint"))
         .orderBy("day")
     )
+
+
+# --------------------------------------------------------------------------
+# q122 lexicon sentiment — large-scale lexicon-scored sentiment (the
+# EDBT 2016 "Large Scale Sentiment Analysis on Twitter with Spark"
+# job shape, PAPERS.md): per document, the count of positive- and
+# negative-lexicon tokens and the integer score difference, labeled
+# by sign. The lexicon is one literal relation rendered into BOTH
+# engines (the registry-rule-table pattern), so the whole scorer is
+# a broadcast join + one aggregate — no UDF, no model file.
+
+_SENT_POS = ["alpha", "bravo", "charlie", "delta", "echo", "golf"]
+_SENT_NEG = ["zulu", "yankee", "xray", "whiskey", "victor"]
+
+
+def _lex_sql() -> str:
+    rows = [f"('{w}', 1)" for w in _SENT_POS] + [
+        f"('{w}', -1)" for w in _SENT_NEG
+    ]
+    return "(VALUES " + ", ".join(rows) + ") AS lex(term, pol)"
+
+
+ORACLE["q122_lexicon_sentiment"] = f"""
+WITH tok AS (
+    SELECT doc_id, u.t AS term
+    FROM documents, UNNEST(string_split(lower(text), ' ')) AS u(t)
+),
+hit AS (
+    SELECT tok.doc_id, lex.pol
+    FROM tok JOIN {_lex_sql()} ON tok.term = lex.term
+),
+sc AS (
+    SELECT doc_id,
+           CAST(COALESCE(SUM(CASE WHEN pol = 1 THEN 1 END), 0) AS BIGINT) AS n_pos,
+           CAST(COALESCE(SUM(CASE WHEN pol = -1 THEN 1 END), 0) AS BIGINT) AS n_neg
+    FROM hit GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(COALESCE(sc.n_pos, 0) AS BIGINT) AS n_pos,
+       CAST(COALESCE(sc.n_neg, 0) AS BIGINT) AS n_neg,
+       CAST(COALESCE(sc.n_pos, 0) - COALESCE(sc.n_neg, 0) AS BIGINT) AS score,
+       CASE WHEN COALESCE(sc.n_pos, 0) > COALESCE(sc.n_neg, 0) THEN 'pos'
+            WHEN COALESCE(sc.n_pos, 0) < COALESCE(sc.n_neg, 0) THEN 'neg'
+            ELSE 'neu' END AS label
+FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
+ORDER BY d.doc_id
+"""
+
+
+@_q("q122_lexicon_sentiment")
+def q122(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    lex = spark.createDataFrame(
+        [(w, 1) for w in _SENT_POS] + [(w, -1) for w in _SENT_NEG],
+        "term string, pol int",
+    )
+    tok = d.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("term")
+    )
+    sc = (
+        tok.join(F.broadcast(lex), "term")
+        .groupBy("doc_id")
+        .agg(
+            F.coalesce(F.sum(F.when(F.col("pol") == 1, 1)), F.lit(0))
+            .cast("bigint")
+            .alias("n_pos"),
+            F.coalesce(F.sum(F.when(F.col("pol") == -1, 1)), F.lit(0))
+            .cast("bigint")
+            .alias("n_neg"),
+        )
+    )
+    n_pos = F.coalesce("n_pos", F.lit(0)).cast("bigint")
+    n_neg = F.coalesce("n_neg", F.lit(0)).cast("bigint")
+    return (
+        d.select("doc_id")
+        .join(sc, "doc_id", "left")
+        .select(
+            "doc_id",
+            n_pos.alias("n_pos"),
+            n_neg.alias("n_neg"),
+            (n_pos - n_neg).alias("score"),
+            F.when(n_pos > n_neg, "pos")
+            .when(n_pos < n_neg, "neg")
+            .otherwise("neu")
+            .alias("label"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# q123 series similarity search — which event-type pairs move
+# together? Pearson correlation over each pair's daily-count series,
+# ranked WITHOUT floats: for aligned series x, y with n days,
+#   num  = n*Σxy − Σx*Σy          (the covariance numerator)
+#   denx = n*Σx² − (Σx)², deny = n*Σy² − (Σy)²
+# emitted as exact linear-scale BIGINT components plus sign(num):
+# r² = num²/(denx·deny), so pairs rank exactly by cross-multiplying
+# the components — emitting num²·1e6//(denx·deny) directly would
+# overflow BIGINT once daily counts reach ~1e5 (num² ~ 1e20), the
+# kind of silent scale ceiling this catalog bans. The distributed
+# time-series similarity-search shape of EDBT 2019 / SIGMOD 2020 in
+# PAPERS.md, reduced to its relational skeleton; |types| is small,
+# so the pair join runs over the aggregated (type, day) relation.
+
+ORACLE["q123_series_similarity"] = """
+WITH day AS (
+    SELECT event_type,
+           strftime(CAST(CAST(ts AS TIMESTAMP) AS DATE), '%Y-%m-%d') AS day,
+           CAST(COUNT(*) AS BIGINT) AS c
+    FROM events GROUP BY 1, 2
+),
+pair AS (
+    SELECT a.event_type AS ta, b.event_type AS tb,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(a.c) AS BIGINT) AS sx, CAST(SUM(b.c) AS BIGINT) AS sy,
+           CAST(SUM(a.c * b.c) AS BIGINT) AS sxy,
+           CAST(SUM(a.c * a.c) AS BIGINT) AS sxx,
+           CAST(SUM(b.c * b.c) AS BIGINT) AS syy
+    FROM day a JOIN day b ON a.day = b.day AND a.event_type < b.event_type
+    GROUP BY 1, 2
+)
+SELECT ta, tb, n,
+       CAST(n * sxy - sx * sy AS BIGINT) AS num,
+       CAST(n * sxx - sx * sx AS BIGINT) AS denx,
+       CAST(n * syy - sy * sy AS BIGINT) AS deny,
+       CASE WHEN n * sxy - sx * sy > 0 THEN 1
+            WHEN n * sxy - sx * sy < 0 THEN -1 ELSE 0 END AS direction
+FROM pair ORDER BY ta, tb
+"""
+
+
+@_q("q123_series_similarity")
+def q123(spark: SparkSession, sf_dir: str) -> DataFrame:
+    day = _event_day_counts(spark, sf_dir)
+    a = day.select(
+        F.col("event_type").alias("ta"), "day", F.col("c").alias("xa")
+    )
+    b = day.select(
+        F.col("event_type").alias("tb"), "day", F.col("c").alias("xb")
+    )
+    pair = (
+        a.join(b, "day")
+        .filter(F.col("ta") < F.col("tb"))
+        .groupBy("ta", "tb")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("xa").cast("bigint").alias("sx"),
+            F.sum("xb").cast("bigint").alias("sy"),
+            F.sum(F.col("xa") * F.col("xb")).cast("bigint").alias("sxy"),
+            F.sum(F.col("xa") * F.col("xa")).cast("bigint").alias("sxx"),
+            F.sum(F.col("xb") * F.col("xb")).cast("bigint").alias("syy"),
+        )
+    )
+    num = F.expr("n * sxy - sx * sy")
+    return pair.select(
+        "ta",
+        "tb",
+        "n",
+        num.cast("bigint").alias("num"),
+        F.expr("n * sxx - sx * sx").cast("bigint").alias("denx"),
+        F.expr("n * syy - sy * sy").cast("bigint").alias("deny"),
+        F.when(num > 0, 1).when(num < 0, -1).otherwise(0).alias("direction"),
+    ).orderBy("ta", "tb")

@@ -728,3 +728,20 @@ def test_q121_first_seen_transform_windows_days_not_events(spark):
     # directly from the events scan into the Window (events pass
     # through HashAggregate first)
     assert "HashAggregate" in plan
+
+
+def test_q122_lexicon_broadcasts_into_token_stream(spark):
+    # the literal lexicon relation broadcasts into the exploded token
+    # stream; scoring is one (doc) aggregate — no SMJ, no Python
+    plan = _plan(spark, "q122_lexicon_sentiment")
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_q123_pair_join_runs_on_aggregated_days(spark):
+    # the pair self-join keys on day over the AGGREGATED (type, day)
+    # relation — events contribute through the day-count aggregate
+    # first, never a raw-event self-join
+    plan = _plan(spark, "q123_series_similarity")
+    assert "CartesianProduct" not in plan
+    assert "partial_count" in plan
