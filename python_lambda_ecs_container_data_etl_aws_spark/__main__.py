@@ -72,10 +72,13 @@ def main(argv: list[str] | None = None) -> int:
         if args.out.endswith(".csv"):
             from .export import export_report_csv
 
-            export_report_csv(df, args.out)
+            # print the actual part-file path: the out argument names
+            # a DIRECTORY Spark writes into, and downstream tools
+            # pointed at the printed path expect a readable file
+            print(f"wrote {export_report_csv(df, args.out)}")
         else:
             df.write.mode("overwrite").parquet(args.out)
-        print(f"wrote {args.out}")
+            print(f"wrote {args.out}")
         return 0
     df.show(args.limit, truncate=False)
     return 0

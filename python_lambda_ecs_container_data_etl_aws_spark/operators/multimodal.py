@@ -281,84 +281,102 @@ def _make_png_decoder():
     NESTED function: cloudpickle serializes nested functions by value,
     so a mapInPandas closure can capture the returned decoder without
     referencing any module-level name (the repo-cwd pickling gotcha).
-    Pillow when the worker has it, stdlib PNG inflate+unfilter
-    otherwise — shared by decode_png_features and image_ahash."""
-    import struct
-    import zlib  # noqa: F401  (kept for parity with the closure env)
 
-    try:
+    The Pillow-vs-stdlib decision is made LAZILY, on first call —
+    i.e. on the EXECUTOR, not the driver. Deciding at build time would
+    bake the driver's environment into the pickled closure: a driver
+    with Pillow but Pillow-less workers would ship a closure holding a
+    PIL module reference that fails to deserialize, and the inverse
+    skew would silently downgrade capable workers to the PNG-only
+    fallback."""
+
+    def _pil_decode(payload: bytes) -> tuple[int, int, int, bytes]:  # pragma: no cover
+        import io
+
         from PIL import Image as _Img  # type: ignore
 
-        def decode(payload: bytes) -> tuple[int, int, int, bytes]:  # pragma: no cover
-            import io
+        im = _Img.open(io.BytesIO(payload))
+        px = im.tobytes()
+        return im.width, im.height, len(im.getbands()), px
 
-            im = _Img.open(io.BytesIO(payload))
-            px = im.tobytes()
-            return im.width, im.height, len(im.getbands()), px
+    def _stdlib_decode(payload: bytes) -> tuple[int, int, int, bytes]:
+        import struct
+        import zlib
 
-    except ImportError:
+        sig = b"\x89PNG\r\n\x1a\n"
+        if payload[: len(sig)] != sig:
+            raise ValueError("not a PNG payload")
+        pos, width, height, ch, idat = len(sig), 0, 0, 0, []
+        nch = {0: 1, 2: 3, 4: 2, 6: 4}
+        while pos + 8 <= len(payload):
+            (length,) = struct.unpack(">I", payload[pos : pos + 4])
+            ctype = payload[pos + 4 : pos + 8]
+            data = payload[pos + 8 : pos + 8 + length]
+            pos += 12 + length
+            if ctype == b"IHDR":
+                width, height, depth, color, _, _, il = struct.unpack(
+                    ">IIBBBBB", data
+                )
+                if depth != 8 or il != 0 or color not in nch:
+                    raise NotImplementedError("unsupported PNG shape")
+                ch = nch[color]
+            elif ctype == b"IDAT":
+                idat.append(data)
+            elif ctype == b"IEND":
+                break
+        raw = zlib.decompress(b"".join(idat))
+        stride = width * ch
+        out = bytearray()
+        prev = bytearray(stride)
+        p = 0
+        for _ in range(height):
+            ft = raw[p]
+            row = bytearray(raw[p + 1 : p + 1 + stride])
+            p += 1 + stride
+            if ft == 1:
+                for i in range(ch, stride):
+                    row[i] = (row[i] + row[i - ch]) & 0xFF
+            elif ft == 2:
+                for i in range(stride):
+                    row[i] = (row[i] + prev[i]) & 0xFF
+            elif ft == 3:
+                for i in range(stride):
+                    left = row[i - ch] if i >= ch else 0
+                    row[i] = (row[i] + ((left + prev[i]) >> 1)) & 0xFF
+            elif ft == 4:
+                for i in range(stride):
+                    a = row[i - ch] if i >= ch else 0
+                    b = prev[i]
+                    c = prev[i - ch] if i >= ch else 0
+                    pr = a + b - c
+                    pa, pb, pc = abs(pr - a), abs(pr - b), abs(pr - c)
+                    row[i] = (
+                        row[i]
+                        + (
+                            a
+                            if pa <= pb and pa <= pc
+                            else b if pb <= pc else c
+                        )
+                    ) & 0xFF
+            elif ft != 0:
+                raise ValueError(f"bad PNG filter byte {ft}")
+            out += row
+            prev = row
+        return width, height, ch, bytes(out)
 
-        def decode(payload: bytes) -> tuple[int, int, int, bytes]:
-            sig = b"\x89PNG\r\n\x1a\n"
-            if payload[: len(sig)] != sig:
-                raise ValueError("not a PNG payload")
-            pos, width, height, ch, idat = len(sig), 0, 0, 0, []
-            nch = {0: 1, 2: 3, 4: 2, 6: 4}
-            while pos + 8 <= len(payload):
-                (length,) = struct.unpack(">I", payload[pos : pos + 4])
-                ctype = payload[pos + 4 : pos + 8]
-                data = payload[pos + 8 : pos + 8 + length]
-                pos += 12 + length
-                if ctype == b"IHDR":
-                    width, height, depth, color, _, _, il = struct.unpack(
-                        ">IIBBBBB", data
-                    )
-                    if depth != 8 or il != 0 or color not in nch:
-                        raise NotImplementedError("unsupported PNG shape")
-                    ch = nch[color]
-                elif ctype == b"IDAT":
-                    idat.append(data)
-                elif ctype == b"IEND":
-                    break
-            raw = zlib.decompress(b"".join(idat))
-            stride = width * ch
-            out = bytearray()
-            prev = bytearray(stride)
-            p = 0
-            for _ in range(height):
-                ft = raw[p]
-                row = bytearray(raw[p + 1 : p + 1 + stride])
-                p += 1 + stride
-                if ft == 1:
-                    for i in range(ch, stride):
-                        row[i] = (row[i] + row[i - ch]) & 0xFF
-                elif ft == 2:
-                    for i in range(stride):
-                        row[i] = (row[i] + prev[i]) & 0xFF
-                elif ft == 3:
-                    for i in range(stride):
-                        left = row[i - ch] if i >= ch else 0
-                        row[i] = (row[i] + ((left + prev[i]) >> 1)) & 0xFF
-                elif ft == 4:
-                    for i in range(stride):
-                        a = row[i - ch] if i >= ch else 0
-                        b = prev[i]
-                        c = prev[i - ch] if i >= ch else 0
-                        pr = a + b - c
-                        pa, pb, pc = abs(pr - a), abs(pr - b), abs(pr - c)
-                        row[i] = (
-                            row[i]
-                            + (
-                                a
-                                if pa <= pb and pa <= pc
-                                else b if pb <= pc else c
-                            )
-                        ) & 0xFF
-                elif ft != 0:
-                    raise ValueError(f"bad PNG filter byte {ft}")
-                out += row
-                prev = row
-            return width, height, ch, bytes(out)
+    state: dict = {}
+
+    def decode(payload: bytes) -> tuple[int, int, int, bytes]:
+        dec = state.get("f")
+        if dec is None:
+            try:  # pragma: no cover - Pillow absent in this container
+                import PIL  # noqa: F401  (probe only)
+
+                dec = _pil_decode
+            except ImportError:
+                dec = _stdlib_decode
+            state["f"] = dec
+        return dec(payload)
 
     return decode
 
@@ -513,6 +531,40 @@ AHASH_SCHEMA = StructType(
 )
 
 
+def _make_ahash_kernel(decode, grid: int):
+    """Build the grid-raster average-hash kernel over a decoder: ONE
+    implementation of the exact-integer block-vs-global-mean rule,
+    shared by :func:`image_ahash` and :func:`video_shot_boundaries`
+    (any drift between the two would silently desynchronize video
+    shot hashes from image dedup hashes). Returns
+    payload → (width, height, unsigned-bits)."""
+    g = int(grid)
+
+    def kernel(payload: bytes) -> tuple[int, int, int]:
+        w, h, ch, px = decode(payload)
+        # integer grayscale: per-pixel channel sum (monotone in
+        # luminance for our purposes, exact, and channel-agnostic)
+        gray = [sum(px[i : i + ch]) for i in range(0, len(px), ch)]
+        total = sum(gray)
+        npx = w * h
+        bits = 0
+        for gy in range(g):
+            y0, y1 = gy * h // g, (gy + 1) * h // g
+            for gx in range(g):
+                x0, x1 = gx * w // g, (gx + 1) * w // g
+                bsum = 0
+                for y in range(y0, y1):
+                    row = y * w
+                    bsum += sum(gray[row + x0 : row + x1])
+                area = (y1 - y0) * (x1 - x0)
+                # block mean > global mean, cross-multiplied
+                if area and bsum * npx > total * area:
+                    bits |= 1 << (gy * g + gx)
+        return w, h, bits
+
+    return kernel
+
+
 def image_ahash(mm: DataFrame, grid: int = 8) -> DataFrame:
     """mapInPandas perceptual AVERAGE hash: decode each PNG payload,
     integer-grayscale it, partition into a grid x grid block raster
@@ -524,34 +576,17 @@ def image_ahash(mm: DataFrame, grid: int = 8) -> DataFrame:
     bits, unrelated images in ~32.
 
     Decoder shared with :func:`decode_png_features` via
-    `_make_png_decoder` (captured by value — executor-safe)."""
-    decode = _make_png_decoder()
-    g = int(grid)
+    `_make_png_decoder`; the grid kernel shared with
+    :func:`video_shot_boundaries` via `_make_ahash_kernel` (both
+    captured by value — executor-safe)."""
+    kernel = _make_ahash_kernel(_make_png_decoder(), grid)
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         def ahash(payload: bytes) -> tuple[int, int, int]:
-            w, h, ch, px = decode(payload)
-            # integer grayscale: per-pixel channel sum (monotone in
-            # luminance for our purposes, exact, and channel-agnostic)
-            gray = [
-                sum(px[i : i + ch]) for i in range(0, len(px), ch)
-            ]
-            total = sum(gray)
-            npx = w * h
-            bits = 0
-            for gy in range(g):
-                y0, y1 = gy * h // g, (gy + 1) * h // g
-                for gx in range(g):
-                    x0, x1 = gx * w // g, (gx + 1) * w // g
-                    bsum = 0
-                    for y in range(y0, y1):
-                        row = y * w
-                        bsum += sum(gray[row + x0 : row + x1])
-                    area = (y1 - y0) * (x1 - x0)
-                    # block mean > global mean, cross-multiplied
-                    if area and bsum * npx > total * area:
-                        bits |= 1 << (gy * g + gx)
-            # two's-complement into a signed 64-bit LongType
+            w, h, bits = kernel(payload)
+            # two's-complement into a signed 64-bit LongType (inline:
+            # a module-level helper captured here would pickle by
+            # REFERENCE and break off-repo executors)
             if bits >= 1 << 63:
                 bits -= 1 << 64
             return w, h, bits
@@ -597,7 +632,14 @@ def ahash_near_dup_pairs(hashed: DataFrame, max_dist: int = 3) -> DataFrame:
             )
         ).alias("b"),
     ).select("item_id", "ahash", "b.band_idx", "b.band_val")
-    cand = (
+    # the popcount verify runs BEFORE the pair distinct (two integer
+    # ops per raw band collision vs shuffling every spurious collision
+    # through a distinct — the simhash_pairs ordering), and the
+    # signature relation persists because the banded self-join
+    # consumes it on both sides: without it an expensive upstream
+    # (image_ahash's Python PNG decode) would run twice
+    bands = bands.persist()
+    return (
         bands.select(
             F.col("item_id").alias("a_id"),
             F.col("ahash").alias("a_hash"),
@@ -614,15 +656,10 @@ def ahash_near_dup_pairs(hashed: DataFrame, max_dist: int = 3) -> DataFrame:
             ["band_idx", "band_val"],
         )
         .filter(F.col("a_id") < F.col("b_id"))
-        .select("a_id", "b_id", "a_hash", "b_hash")
-        .distinct()
-    )
-    return (
-        cand.withColumn(
-            "dist", F.expr("bit_count(a_hash ^ b_hash)").cast("int")
-        )
+        .withColumn("dist", F.expr("bit_count(a_hash ^ b_hash)").cast("int"))
         .filter(F.col("dist") <= max_dist)
         .select("a_id", "b_id", "dist")
+        .distinct()
     )
 
 
@@ -663,9 +700,19 @@ def audio_energy_hash(mm: DataFrame, windows: int = 64) -> DataFrame:
                     raise NotImplementedError("only 16-bit PCM WAV")
                 rate, ch, n = w.getframerate(), w.getnchannels(), w.getnframes()
                 import array
+                import sys
 
                 pcm = array.array("h")
                 pcm.frombytes(w.readframes(n))
+                # WAV PCM is little-endian; native-order array on a
+                # big-endian host would byte-swap every sample and
+                # break the cross-machine determinism contract
+                if sys.byteorder != "little":  # pragma: no cover
+                    pcm.byteswap()
+            # a truncated payload can deliver fewer frames than the
+            # header claims: clamp to the data actually present
+            # instead of IndexError-ing the whole task
+            n = min(n, len(pcm) // ch) if ch else 0
             # per-frame energy: sum of |sample| across channels
             energy = [
                 sum(abs(pcm[f * ch + c]) for c in range(ch)) for f in range(n)
@@ -738,30 +785,12 @@ def video_shot_boundaries(mm: DataFrame, threshold: int = 16) -> DataFrame:
     Non-container payloads raise NotImplementedError (the codec seam:
     an av/ffmpeg decoder replaces the unpacker, the hashing and
     boundary rule stay)."""
-    decode = _make_png_decoder()
-    g = 8
+    # the SHARED image kernel (one implementation — drift here would
+    # desynchronize video shot hashes from image dedup hashes)
+    kernel = _make_ahash_kernel(_make_png_decoder(), 8)
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import struct
-
-        def ahash_px(payload: bytes) -> int:
-            w, h, ch, px = decode(payload)
-            gray = [sum(px[i : i + ch]) for i in range(0, len(px), ch)]
-            total = sum(gray)
-            npx = w * h
-            bits = 0
-            for gy in range(g):
-                y0, y1 = gy * h // g, (gy + 1) * h // g
-                for gx in range(g):
-                    x0, x1 = gx * w // g, (gx + 1) * w // g
-                    bsum = 0
-                    for y in range(y0, y1):
-                        row = y * w
-                        bsum += sum(gray[row + x0 : row + x1])
-                    area = (y1 - y0) * (x1 - x0)
-                    if area and bsum * npx > total * area:
-                        bits |= 1 << (gy * g + gx)
-            return bits
 
         def unpack(payload: bytes) -> list[bytes]:
             b = bytes(payload)
@@ -783,7 +812,7 @@ def video_shot_boundaries(mm: DataFrame, threshold: int = 16) -> DataFrame:
             for item_id, payload in zip(pdf["item_id"], pdf["payload"]):
                 prev = None
                 for i, fr in enumerate(unpack(payload)):
-                    hv = ahash_px(fr)
+                    hv = kernel(fr)[2]
                     d = bin(hv ^ prev).count("1") if prev is not None else 0
                     ids.append(int(item_id))
                     idxs.append(i)

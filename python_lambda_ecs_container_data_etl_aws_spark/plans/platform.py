@@ -1699,7 +1699,12 @@ def q119(spark: SparkSession, sf_dir: str) -> DataFrame:
 #
 # Scale shape: one (nation, year) aggregate, then the |nations|-sized
 # totals broadcast back — never an unpartitioned percent-of-total
-# window over the fact table.
+# window over the fact table. The ppm is computed as TWO-STEP exact
+# long division — ppm = (r*1000 div t)*1000 + ((r*1000 mod t)*1000)
+# div t — because the naive r*1,000,000 numerator would cross 2^63
+# once a nation-year's revenue reaches ~$92e12 cents-scale; the
+# two-step form is algebraically exact (floor(a*10^6/t) decomposed
+# base-10^3) with headroom to r <= 9.2e15.
 
 ORACLE["q120_ratio_to_report"] = """
 WITH r AS (
@@ -1712,7 +1717,9 @@ WITH r AS (
 ),
 tot AS (SELECT nation, CAST(SUM(rev_cents) AS BIGINT) AS t FROM r GROUP BY 1)
 SELECT r.nation, r.y, r.rev_cents,
-       CAST(r.rev_cents * 1000000 // tot.t AS BIGINT) AS share_ppm
+       CAST((r.rev_cents * 1000 // tot.t) * 1000
+            + ((r.rev_cents * 1000 % tot.t) * 1000) // tot.t
+           AS BIGINT) AS share_ppm
 FROM r JOIN tot USING (nation)
 ORDER BY nation, y
 """
@@ -1741,9 +1748,10 @@ def q120(spark: SparkSession, sf_dir: str) -> DataFrame:
             "nation",
             "y",
             "rev_cents",
-            F.expr("CAST((rev_cents * 1000000) div t AS BIGINT)").alias(
-                "share_ppm"
-            ),
+            F.expr(
+                "CAST(((rev_cents * 1000) div t) * 1000"
+                " + (((rev_cents * 1000) % t) * 1000) div t AS BIGINT)"
+            ).alias("share_ppm"),
         )
         .orderBy("nation", "y")
     )

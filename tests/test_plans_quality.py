@@ -724,10 +724,12 @@ def test_q121_first_seen_transform_windows_days_not_events(spark):
     plan = _plan(spark, "q121_cumulative_distinct_users")
     # one unpartitioned window is expected — over ~|days| rows
     assert "windowspecdefinition" in plan
-    # the window sits above aggregates, not the raw scan: no Exchange
-    # directly from the events scan into the Window (events pass
-    # through HashAggregate first)
-    assert "HashAggregate" in plan
+    # events reach the window ONLY through the per-user min-day
+    # aggregate: a user_id-keyed exchange must exist (a regression to
+    # a raw running sum over events would have no per-user shuffle)
+    assert "hashpartitioning(user_id" in plan, plan
+    # and the day-keyed aggregates exist on both branches
+    assert "hashpartitioning(day" in plan, plan
 
 
 def test_q122_lexicon_broadcasts_into_token_stream(spark):
