@@ -8,13 +8,17 @@ order-insensitive value-hash → CORRECTNESS_r{N}.json).
 
 from __future__ import annotations
 
+import glob
+import json
 import os
+import re
 import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+_HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, _HERE)
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
@@ -23,10 +27,17 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # stopped exactly at insertion position 50). Order the catalog so the
 # hard signal lands where it matters most:
 #   1. q01-q16 — the SURVEY §2.10 core contract, always first.
-#   2. Queries with no driver-green row yet (new this round, or outside
-#      round 2's window): they must earn a CORRECTNESS row now.
-#   3. Single-green (round-2-only) families.
+#   2. Queries with no driver CORRECTNESS row yet: they must earn one now.
+#   3. Single-green families, oldest green round first (they earn a
+#      second, more recent row as window slots allow).
 #   4. Multi-round-green families last — they have the deepest history.
+#
+# Round-5 change (round-4 verdict item 3): tiers 2-4 are DERIVED from
+# the CORRECTNESS_r*.json artifacts committed in this repo, not
+# hand-maintained lists — a forgotten manual rotation can no longer
+# silently strand a query outside the window. A brand-new query is
+# "never verified" by construction (absent from every artifact) and
+# slots in right after the contract, in catalog registration order.
 _CONTRACT = [
     "q01_ingest_count", "q02_canonical_projection", "q03_filename_routing",
     "q04_recency_window", "q05_report_aggregate", "q06_multi_geo_param",
@@ -35,68 +46,74 @@ _CONTRACT = [
     "q13_snapshot_reconcile", "q14_tumbling_window", "q15_rollup_drilldown",
     "q16_rank_and_lag",
 ]
-_NEVER_DRIVER_VERIFIED = [
-    # round-3 reds: rows+schema matched, hash tripped on a DuckDB HUGEINT
-    # canonicalization drift in the ORACLE SQL (round-3 verdict item 1);
-    # the oracles now CAST to BIGINT — keep both in the window until a
-    # fully-green CORRECTNESS row exists.
-    #
-    # OVERFLOW DISCIPLINE: the window holds 50; with 16 contract slots
-    # fixed, at most 34 unverified names fit. When this list outgrows
-    # that, the TAIL entries land at positions 51+ and wait for the
-    # next round's rotation — the guard test pins that overflow is
-    # only ever the tail of this list and only when the window is
-    # fully packed with contract + unverified names.
-    "q46_pack_contexts", "q56_pii_scrub",
-    # new in round 4
-    "q80_line_quality_filter", "q81_boilerplate_lines", "q82_domain_cap",
-    "q83_vocab_encode", "q84_dsir_importance",
-    "q85_kmeans_assign", "q86_crosscorpus_neardup", "q87_length_curriculum",
-    "q88_pack_index", "q89_minhash_jaccard_est",
-    "q90_url_filter", "q91_pii_density_hist", "q92_incremental_boilerplate",
-    "q93_gapfill_locf", "q94_repeated_spans", "q95_entity_blocking",
-    "q96_cdc_apply", "q97_hard_negatives", "q98_knn_label_disagreement",
-    "q99_domain_pagerank", "q100_scd2_history", "q101_int8_quantize",
-    "q102_anomaly_zscore", "q103_bpe_pair_stats", "q104_multivector_maxsim",
-    "q105_shard_manifest", "q106_borda_fusion", "q107_feature_hash_embed",
-    "q108_token_budget_alloc", "q109_graph_triangles",
-    "q110_trend_slopes", "q111_setsim_prefix_join", "q112_inverted_index",
-    "q113_random_walks", "q114_hierarchy_rollup", "q115_pivot_report",
-    "q116_hopping_windows", "q117_dq_expectations",
-    "q118_pareto_frontier", "q119_markov_transitions",
-    "q120_ratio_to_report", "q121_cumulative_distinct_users",
-    "q122_lexicon_sentiment", "q123_series_similarity",
-]
-_SINGLE_GREEN = [
-    # green in exactly one driver round so far; oldest single-green first
-    # (round-2-only names), then the 27 queries whose first green row was
-    # round 3 — whatever fits in the remaining window slots earns a second
-    # row this round.
-    "q67_event_funnel", "q68_cohort_retention", "q37_audit_rollup",
-    "q38_event_envelope", "q39_tz_wallclock", "q40_token_topk",
-    "q41_doclen_histogram", "q42_asof_view_before_purchase",
-    "q43_range_join_windows",
-    "q45_split_assign", "q47_neardup_clusters", "q48_label_centroids",
-    "q49_quality_funnel", "q50_mixture_sample", "q55_repetition_signals",
-    "q57_token_freq_score", "q58_sliding_windows", "q59_tfidf_topterms",
-    "q60_seeded_shuffle", "q61_epoch_mixture", "q62_quality_classifier",
-    "q63_group_sample", "q64_segment_dedup", "q65_rademacher_projection",
-    "q66_projected_knn", "q69_cooccurrence_lift",
-    "q70_incremental_segment_dedup", "q71_containment_pairs",
-    "q72_source_cap", "q73_bigram_lm_score", "q74_semantic_dedup_survivors",
-    "q75_quality_percentile_hist", "q76_stratified_sample",
-    "q77_shingle_novelty", "q78_cluster_best_doc", "q79_normalized_dedup",
-]
+
+
+def _row_is_green(row: dict) -> bool:
+    """A CORRECTNESS row counts as driver-verified when the full
+    hash contract held — or, for by-design rows-only queries (the
+    driver records ``err: "no_oracle"``), when the query executed and
+    produced a row count."""
+    if row.get("err") == "no_oracle":
+        rows = row.get("spark_rows")
+        return rows is not None and rows >= 0
+    return bool(
+        row.get("rows_match")
+        and row.get("schema_match")
+        and row.get("hash_match")
+        and row.get("err") is None
+    )
+
+
+def _green_rounds() -> dict[str, list[int]]:
+    """name -> sorted list of driver rounds with a green row."""
+    greens: dict[str, list[int]] = {}
+    for path in sorted(glob.glob(os.path.join(_HERE, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as f:
+                data = json.load(f)
+        except (OSError, ValueError):
+            continue
+        for name, row in data.items():
+            if isinstance(row, dict) and _row_is_green(row):
+                greens.setdefault(name, []).append(rnd)
+    return {k: sorted(v) for k, v in greens.items()}
+
+
+def _tiers(catalog: dict) -> tuple[list[str], list[str], list[str]]:
+    """Split non-contract catalog names into (never_verified,
+    single_green, multi_green) per the artifact history.
+
+    OVERFLOW DISCIPLINE: the window holds 50; with 16 contract slots
+    fixed, at most 34 never-verified names fit. When more exist, the
+    TAIL (newest registrations) lands at positions 51+ and waits for
+    the next round's rotation — the guard test pins that overflow is
+    only ever the tail, never a silent middle drop.
+    """
+    greens = _green_rounds()
+    contract = set(_CONTRACT)
+    rest = [n for n in catalog if n not in contract]
+    never = [n for n in rest if n not in greens]  # catalog order
+    single = sorted(
+        (n for n in rest if len(greens.get(n, [])) == 1),
+        key=lambda n: (greens[n][0], n),  # oldest green round first
+    )
+    multi = sorted(n for n in rest if len(greens.get(n, [])) >= 2)
+    return never, single, multi
 
 
 def _driver_order(catalog: dict) -> dict:
     """Reorder a catalog dict so the driver's 50-query window covers the
     contract + every query lacking a green CORRECTNESS row."""
+    never, single, multi = _tiers(catalog)
     out = {}
-    for name in _CONTRACT + _NEVER_DRIVER_VERIFIED + _SINGLE_GREEN:
+    for name in _CONTRACT + never + single + multi:
         if name in catalog:
             out[name] = catalog[name]
-    for name in sorted(catalog):  # multi-green remainder, stable order
+    for name in sorted(catalog):  # safety: anything missed, stable order
         if name not in out:
             out[name] = catalog[name]
     return out

@@ -67,13 +67,7 @@ def test_embedding_dimension_contract():
         assert (lo, hi) == (64, 64), f"{sf_dir}: embedding dims [{lo},{hi}] != 64"
 
 
-def test_driver_window_covers_contract_and_unverified():
-    """The driver hash-checks only the FIRST 50 queries() entries: the
-    window must always contain the q01-q16 contract plus every query
-    that has no green CORRECTNESS row yet (window-rotation discipline,
-    __spark_entry__.py). A new query appended to the catalog but not
-    registered in the rotation lists would silently miss its driver
-    verification — fail here instead."""
+def _load_entry_module():
     import importlib.util
 
     spec = importlib.util.spec_from_file_location(
@@ -81,42 +75,72 @@ def test_driver_window_covers_contract_and_unverified():
     )
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
-    win = list(mod.queries())[:50]
+    return mod
+
+
+def test_driver_window_covers_contract_and_unverified():
+    """The driver hash-checks only the FIRST 50 queries() entries: the
+    window must always contain the q01-q16 contract plus every query
+    that has no green CORRECTNESS row yet (window-rotation discipline,
+    __spark_entry__.py). Round 5: the tiers are DERIVED from the
+    committed CORRECTNESS_r*.json artifacts, so verify the derivation's
+    invariants rather than hand-maintained lists."""
+    mod = _load_entry_module()
+    never, single, multi = mod._tiers(QUERIES)
+    ordered = list(mod.queries())
+    win = ordered[:50]
+    # driver order is a permutation of the catalog — nothing dropped
+    assert sorted(ordered) == sorted(QUERIES), "driver order loses queries"
+    # tiers partition the non-contract catalog
+    contract = set(mod._CONTRACT)
+    assert contract <= set(QUERIES), "contract names missing from catalog"
+    noncontract = set(QUERIES) - contract
+    assert set(never) | set(single) | set(multi) == noncontract
+    assert not (set(never) & set(single)) and not (set(single) & set(multi))
+    # contract always heads the window
     missing_contract = [n for n in mod._CONTRACT if n not in win]
-    missing_unverified = [n for n in mod._NEVER_DRIVER_VERIFIED if n not in win]
     assert not missing_contract, f"window misses contract={missing_contract}"
-    # unverified names may overflow the window ONLY when it is fully
-    # packed with contract + unverified entries, and the overflow must
-    # be exactly the TAIL of the rotation list (deferred to next round
-    # by the documented overflow discipline, never silently dropped
-    # from the middle)
+    # never-verified names may overflow the window ONLY when it is
+    # fully packed with contract + never-verified entries, and the
+    # overflow must be exactly the TAIL of the (catalog-registration-
+    # ordered) never list — deferred to next round, never silently
+    # dropped from the middle
+    missing_unverified = [n for n in never if n not in win]
     if missing_unverified:
-        assert len(mod._CONTRACT) + len(mod._NEVER_DRIVER_VERIFIED) > 50, (
+        assert len(mod._CONTRACT) + len(never) > 50, (
             f"window has free slots yet misses unverified={missing_unverified}"
         )
-        assert missing_unverified == mod._NEVER_DRIVER_VERIFIED[
-            -len(missing_unverified):
-        ], f"overflow is not the rotation tail: {missing_unverified}"
-        assert all(n not in win for n in mod._SINGLE_GREEN), (
+        assert missing_unverified == never[-len(missing_unverified):], (
+            f"overflow is not the rotation tail: {missing_unverified}"
+        )
+        assert all(n not in win for n in single), (
             "single-green entries occupy window slots while unverified overflow"
         )
-    # every registered name must exist in the catalog (no stale rotation
-    # entries pointing at renamed queries)
-    cat = set(QUERIES)
-    stale = [
-        n
-        for n in mod._CONTRACT + mod._NEVER_DRIVER_VERIFIED + mod._SINGLE_GREEN
-        if n not in cat
-    ]
-    assert not stale, f"rotation lists reference unknown queries: {stale}"
-    # and any catalog query absent from ALL rotation lists must already
-    # be multi-green (sorted remainder) — new queries belong in
-    # _NEVER_DRIVER_VERIFIED
-    listed = set(mod._CONTRACT + mod._NEVER_DRIVER_VERIFIED + mod._SINGLE_GREEN)
-    new_unlisted = [n for n in cat - listed if n >= "q80"]
-    assert not new_unlisted, (
-        f"round-4+ queries missing from the rotation lists: {new_unlisted}"
+    # single-green entries in the window are the OLDEST greens first —
+    # the ones with the longest gap since their last driver row
+    in_win_singles = [n for n in win if n in set(single)]
+    assert in_win_singles == single[: len(in_win_singles)], (
+        "window singles are not the oldest-green prefix"
     )
+
+
+def test_green_round_derivation_matches_artifacts():
+    """Spot-check _green_rounds against known artifact history: the
+    round-3 reds q46/q56 must show green only in round 4; rows-only
+    queries (q27/q35, err='no_oracle') count as verified; contract
+    queries are green in every round."""
+    mod = _load_entry_module()
+    greens = mod._green_rounds()
+    assert greens["q46_pack_contexts"] == [4]
+    assert greens["q56_pii_scrub"] == [4]
+    assert 1 in greens["q27_ann_lsh_topk"] and 2 in greens["q27_ann_lsh_topk"]
+    assert 1 in greens["q35_ann_ivf_topk"]
+    assert greens["q01_ingest_count"] == [1, 2, 3, 4] or set(
+        greens["q01_ingest_count"]
+    ) >= {1, 2, 3, 4}
+    # round-1's q26 red (no_oracle then) still yields a verified row —
+    # rows-only semantics — plus hash greens from round 2 on
+    assert {1, 2} <= set(greens["q26_simhash_neardup"])
 
 
 def test_catalog_runs_on_empty_tables(spark, tmp_path):
