@@ -22,6 +22,19 @@ Layout
                   text analysis, multimodal column plumbing
 - ``streaming`` : Structured Streaming runner (file source, watermark,
                   completion hook)
+
+Cache ownership convention
+--------------------------
+Operators that ``persist()`` an intermediate consumed on multiple
+branches of the RETURNED lazy plan (banded self-joins, iterative rank
+loops, shared edge aggregations) cannot unpersist it themselves — the
+caller's action is what materializes the plan. Lifetime is therefore
+caller-owned: run the consuming action, then release with
+``spark.catalog.clearCache()`` (or targeted ``unpersist()``). Every
+long-lived harness in this repo does so between queries (``bench.py``,
+the ``__main__`` CLI, the parity/scale test suites). Operators whose
+cached state dies BEFORE return (iteration N-1 labels in
+``operators/dedup.connected_components``) unpersist it eagerly.
 """
 
 __version__ = "0.1.0"

@@ -79,8 +79,13 @@ def main(argv: list[str] | None = None) -> int:
         else:
             df.write.mode("overwrite").parquet(args.out)
             print(f"wrote {args.out}")
+        spark.catalog.clearCache()
         return 0
     df.show(args.limit, truncate=False)
+    # getOrCreate() shares one session across repeated in-process
+    # main() calls (tests, embedding callers): release this query's
+    # operator-owned caches so runs don't accumulate cached blocks
+    spark.catalog.clearCache()
     return 0
 
 

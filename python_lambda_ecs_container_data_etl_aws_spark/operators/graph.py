@@ -19,6 +19,12 @@ count is tiny next to the edge count); pass ``broadcast_state=False``
 on a web-scale graph and the same loops run as shuffle hash joins —
 the join keys don't change, so the plans degrade gracefully.
 
+Cache lifetime: the ``persist()`` calls here cache relations consumed
+by multiple branches of the RETURNED lazy plan (the rank loop, both
+sides of the wedge join), so the operator cannot release them itself —
+per the package cache-ownership convention, callers run their action
+and then ``spark.catalog.clearCache()`` (all repo harnesses do).
+
 Connected components (the other core graph primitive) lives in
 operators/dedup.py — size-gated driver union-find with a distributed
 min-label-propagation fallback — because near-dup cluster resolution

@@ -118,39 +118,70 @@ def _png_decode(payload: bytes) -> tuple[int, int, int, bytes]:
         elif ctype == b"IEND":
             break
     raw = zlib.decompress(b"".join(idat))
+    return width, height, ch, _np_unfilter(raw, width, height, ch)
+
+
+def _np_unfilter(raw: bytes, width: int, height: int, ch: int) -> bytes:
+    """Invert PNG row filters with numpy: Up is one whole-row modular
+    add, Sub a per-lane cumulative sum; Average/Paeth carry a true
+    left-to-right dependence, so they walk pixel POSITIONS with the
+    channel lanes vectorized (ch ops per step instead of 1). The
+    all-filter-0 stream (this module's own encoder) is a zero-copy
+    reshape. A per-byte interpreted loop here was the wall-clock
+    dominator of any real image corpus (round-4 advisor finding)."""
+    import numpy as np
+
     stride = width * ch
-    out = bytearray()
-    prev = bytearray(stride)
-    p = 0
-    for _ in range(height):
-        ft = raw[p]
-        row = bytearray(raw[p + 1 : p + 1 + stride])
-        p += 1 + stride
-        if ft == 1:  # Sub
-            for i in range(ch, stride):
-                row[i] = (row[i] + row[i - ch]) & 0xFF
-        elif ft == 2:  # Up
-            for i in range(stride):
-                row[i] = (row[i] + prev[i]) & 0xFF
+    arr = np.frombuffer(raw, dtype=np.uint8)[: height * (1 + stride)]
+    arr = arr.reshape(height, 1 + stride)
+    fts, rows = arr[:, 0], arr[:, 1:]
+    bad = set(np.unique(fts)) - {0, 1, 2, 3, 4}
+    if bad:
+        raise ValueError(f"bad PNG filter byte {min(bad)}")
+    if not fts.any():
+        return rows.tobytes()
+    out = np.empty((height, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(height):
+        ft, row = int(fts[y]), rows[y]
+        if ft == 0:
+            cur = row.copy()
+        elif ft == 1:  # Sub: per-lane prefix sum mod 256
+            lanes = row.reshape(-1, ch).astype(np.int64)
+            cur = (lanes.cumsum(axis=0) & 0xFF).astype(np.uint8).reshape(-1)
+        elif ft == 2:  # Up: uint8 addition wraps mod 256
+            cur = row + prev
         elif ft == 3:  # Average
-            for i in range(stride):
-                left = row[i - ch] if i >= ch else 0
-                row[i] = (row[i] + ((left + prev[i]) >> 1)) & 0xFF
-        elif ft == 4:  # Paeth
-            for i in range(stride):
-                a = row[i - ch] if i >= ch else 0
-                b = prev[i]
-                c = prev[i - ch] if i >= ch else 0
-                pr = a + b - c
-                pa, pb, pc = abs(pr - a), abs(pr - b), abs(pr - c)
-                row[i] = (
-                    row[i] + (a if pa <= pb and pa <= pc else b if pb <= pc else c)
-                ) & 0xFF
-        elif ft != 0:
-            raise ValueError(f"bad PNG filter byte {ft}")
-        out += row
-        prev = row
-    return width, height, ch, bytes(out)
+            cur = np.empty(stride, dtype=np.uint8)
+            ri = row.astype(np.int32)
+            pi = prev.astype(np.int32)
+            left = np.zeros(ch, dtype=np.int32)
+            for x in range(0, stride, ch):
+                sl = slice(x, x + ch)
+                left = (ri[sl] + ((left + pi[sl]) >> 1)) & 0xFF
+                cur[sl] = left
+        else:  # Paeth
+            cur = np.empty(stride, dtype=np.uint8)
+            ri = row.astype(np.int32)
+            pi = prev.astype(np.int32)
+            left = np.zeros(ch, dtype=np.int32)
+            ul = np.zeros(ch, dtype=np.int32)
+            for x in range(0, stride, ch):
+                sl = slice(x, x + ch)
+                up = pi[sl]
+                pr = left + up - ul
+                pa = np.abs(pr - left)
+                pb = np.abs(pr - up)
+                pc = np.abs(pr - ul)
+                pred = np.where(
+                    (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, up, ul)
+                )
+                left = (ri[sl] + pred) & 0xFF
+                cur[sl] = left
+                ul = up
+        out[y] = cur
+        prev = cur
+    return out.tobytes()
 
 
 def encode_png(width: int, height: int, channels: int, pixels: bytes) -> bytes:
@@ -325,44 +356,66 @@ def _make_png_decoder():
             elif ctype == b"IEND":
                 break
         raw = zlib.decompress(b"".join(idat))
+        # numpy unfilter — self-contained copy of module-level
+        # _np_unfilter (a reference to the module name would pickle by
+        # reference and die on off-repo executors)
+        import numpy as np
+
         stride = width * ch
-        out = bytearray()
-        prev = bytearray(stride)
-        p = 0
-        for _ in range(height):
-            ft = raw[p]
-            row = bytearray(raw[p + 1 : p + 1 + stride])
-            p += 1 + stride
-            if ft == 1:
-                for i in range(ch, stride):
-                    row[i] = (row[i] + row[i - ch]) & 0xFF
-            elif ft == 2:
-                for i in range(stride):
-                    row[i] = (row[i] + prev[i]) & 0xFF
-            elif ft == 3:
-                for i in range(stride):
-                    left = row[i - ch] if i >= ch else 0
-                    row[i] = (row[i] + ((left + prev[i]) >> 1)) & 0xFF
-            elif ft == 4:
-                for i in range(stride):
-                    a = row[i - ch] if i >= ch else 0
-                    b = prev[i]
-                    c = prev[i - ch] if i >= ch else 0
-                    pr = a + b - c
-                    pa, pb, pc = abs(pr - a), abs(pr - b), abs(pr - c)
-                    row[i] = (
-                        row[i]
-                        + (
-                            a
-                            if pa <= pb and pa <= pc
-                            else b if pb <= pc else c
-                        )
-                    ) & 0xFF
-            elif ft != 0:
-                raise ValueError(f"bad PNG filter byte {ft}")
-            out += row
-            prev = row
-        return width, height, ch, bytes(out)
+        arr = np.frombuffer(raw, dtype=np.uint8)[: height * (1 + stride)]
+        arr = arr.reshape(height, 1 + stride)
+        fts, rows = arr[:, 0], arr[:, 1:]
+        bad = set(np.unique(fts)) - {0, 1, 2, 3, 4}
+        if bad:
+            raise ValueError(f"bad PNG filter byte {min(bad)}")
+        if not fts.any():
+            return width, height, ch, rows.tobytes()
+        out = np.empty((height, stride), dtype=np.uint8)
+        prev = np.zeros(stride, dtype=np.uint8)
+        for y in range(height):
+            ft, row = int(fts[y]), rows[y]
+            if ft == 0:
+                cur = row.copy()
+            elif ft == 1:  # Sub: per-lane prefix sum mod 256
+                lanes = row.reshape(-1, ch).astype(np.int64)
+                cur = (
+                    (lanes.cumsum(axis=0) & 0xFF).astype(np.uint8).reshape(-1)
+                )
+            elif ft == 2:  # Up: uint8 addition wraps mod 256
+                cur = row + prev
+            elif ft == 3:  # Average
+                cur = np.empty(stride, dtype=np.uint8)
+                ri = row.astype(np.int32)
+                pi = prev.astype(np.int32)
+                left = np.zeros(ch, dtype=np.int32)
+                for x in range(0, stride, ch):
+                    sl = slice(x, x + ch)
+                    left = (ri[sl] + ((left + pi[sl]) >> 1)) & 0xFF
+                    cur[sl] = left
+            else:  # Paeth
+                cur = np.empty(stride, dtype=np.uint8)
+                ri = row.astype(np.int32)
+                pi = prev.astype(np.int32)
+                left = np.zeros(ch, dtype=np.int32)
+                ul = np.zeros(ch, dtype=np.int32)
+                for x in range(0, stride, ch):
+                    sl = slice(x, x + ch)
+                    up = pi[sl]
+                    pr = left + up - ul
+                    pa = np.abs(pr - left)
+                    pb = np.abs(pr - up)
+                    pc = np.abs(pr - ul)
+                    pred = np.where(
+                        (pa <= pb) & (pa <= pc),
+                        left,
+                        np.where(pb <= pc, up, ul),
+                    )
+                    left = (ri[sl] + pred) & 0xFF
+                    cur[sl] = left
+                    ul = up
+            out[y] = cur
+            prev = cur
+        return width, height, ch, out.tobytes()
 
     state: dict = {}
 
@@ -541,21 +594,29 @@ def _make_ahash_kernel(decode, grid: int):
     g = int(grid)
 
     def kernel(payload: bytes) -> tuple[int, int, int]:
+        import numpy as np
+
         w, h, ch, px = decode(payload)
         # integer grayscale: per-pixel channel sum (monotone in
-        # luminance for our purposes, exact, and channel-agnostic)
-        gray = [sum(px[i : i + ch]) for i in range(0, len(px), ch)]
-        total = sum(gray)
+        # luminance for our purposes, exact, and channel-agnostic);
+        # block sums come from an int64 integral image — the O(w*h)
+        # work is vectorized, leaving g*g Python-int comparisons
+        # (exact: cumsum stays < 2^63 for any real image, and the
+        # cross-multiplied compare runs on unbounded Python ints)
+        a = np.frombuffer(px, dtype=np.uint8).astype(np.int64)
+        gray = a.reshape(h, w, ch).sum(axis=2)
+        ii = np.zeros((h + 1, w + 1), dtype=np.int64)
+        ii[1:, 1:] = gray.cumsum(axis=0).cumsum(axis=1)
+        total = int(ii[h, w])
         npx = w * h
+        ys = [gy * h // g for gy in range(g + 1)]
+        xs = [gx * w // g for gx in range(g + 1)]
         bits = 0
         for gy in range(g):
-            y0, y1 = gy * h // g, (gy + 1) * h // g
+            y0, y1 = ys[gy], ys[gy + 1]
             for gx in range(g):
-                x0, x1 = gx * w // g, (gx + 1) * w // g
-                bsum = 0
-                for y in range(y0, y1):
-                    row = y * w
-                    bsum += sum(gray[row + x0 : row + x1])
+                x0, x1 = xs[gx], xs[gx + 1]
+                bsum = int(ii[y1, x1] - ii[y0, x1] - ii[y1, x0] + ii[y0, x0])
                 area = (y1 - y0) * (x1 - x0)
                 # block mean > global mean, cross-multiplied
                 if area and bsum * npx > total * area:

@@ -1099,7 +1099,17 @@ def cdc_apply_stream(
     a late or duplicated OLD change can never resurrect a deleted key
     (the tombstone's higher sequence number always outranks it).
     Readers use :func:`read_cdc_table`, which heals crashed swaps and
-    hides tombstones."""
+    hides tombstones.
+
+    Consistency caveat: bucket swaps are individually atomic
+    (old-or-new, never destroyed) but not jointly — all touched
+    buckets are STAGED first and then swapped in one rename-only
+    pass, so the cross-bucket tear window is a few renames wide, yet
+    a reader racing those renames (or a crash between them, until the
+    checkpoint replays the batch) can see some buckets folded and
+    others not. "After every micro-batch the table equals ..." holds
+    for quiescent reads after the batch commits, eventually under
+    crash-replay."""
     import os
     import shutil
 
@@ -1134,6 +1144,13 @@ def cdc_apply_stream(
         w = Window.partitionBy(key_col).orderBy(
             F.col(seq_col).desc(), F.col(op_col)
         )
+        # Two-phase apply: stage EVERY touched bucket first (the
+        # expensive Spark writes), then swap them in one tight
+        # rename-only pass. A concurrent read_cdc_table can still
+        # observe a torn cross-bucket snapshot, but the tear window
+        # shrinks from the whole batch's compute time to a few
+        # consecutive directory renames.
+        staged = []
         for b in touched:
             bdir = os.path.join(table_dir, f"bucket={b}")
             merged = batch.filter(F.col("__bucket") == b).drop("__bucket")
@@ -1147,6 +1164,8 @@ def cdc_apply_stream(
             staging = bdir + "__staging"
             shutil.rmtree(staging, ignore_errors=True)
             latest.coalesce(1).write.mode("overwrite").parquet(staging)
+            staged.append((staging, bdir))
+        for staging, bdir in staged:
             _swap_dir(staging, bdir)
         batch.unpersist()
 
