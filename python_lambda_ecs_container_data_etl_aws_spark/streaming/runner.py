@@ -72,6 +72,42 @@ def tumbling_counts(
     )
 
 
+def hopping_counts(
+    events: DataFrame,
+    time_col: str = "event_time",
+    length: str = "30 minutes",
+    hop: str = "10 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Overlapping-window counts/sums — q116's streaming twin, run on
+    the SAME native ``F.window(slideDuration=...)`` expression the
+    batch plan uses (each event lands in length/hop windows; the
+    engine fans out inside the scan stage, then one (type, window)
+    streaming aggregate with watermark-bounded state). Value sums are
+    quantized to BIGINT cents exactly as in the batch/oracle pair, so
+    closed windows are hash-comparable against the batch computation
+    (``test_stream_hopping_agrees_with_batch``)."""
+    return (
+        events.withWatermark(time_col, watermark)
+        .groupBy(
+            F.col("event_type"),
+            F.window(F.col(time_col), length, hop).alias("w"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.floor(F.col("value") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("qsum"),
+        )
+        .select(
+            "event_type",
+            F.unix_micros(F.col("w.start")).alias("win_start_us"),
+            "n_events",
+            "qsum",
+        )
+    )
+
+
 def session_counts(
     events: DataFrame,
     time_col: str = "event_time",

@@ -28,6 +28,14 @@ EVENT_SCHEMA = StructType(
     ]
 )
 
+# q116-twin schema: the landing files carry `value` too; readers using
+# the narrower EVENT_SCHEMA project it away at the scan
+from pyspark.sql.types import DoubleType  # noqa: E402
+
+EVENT_SCHEMA_V = StructType(
+    EVENT_SCHEMA.fields + [StructField("value", DoubleType())]
+)
+
 
 @pytest.fixture(scope="module")
 def event_batches(spark, tmp_path_factory):
@@ -42,6 +50,7 @@ def event_batches(spark, tmp_path_factory):
             F.timestamp_micros(F.col("ts_us")).alias("event_time"),
             "user_id",
             "event_type",
+            "value",
         )
     )
     n = e.count()
@@ -87,6 +96,48 @@ def test_stream_tumbling_agrees_with_batch(spark, event_batches, tmp_path):
     assert got, "stream should close at least one window"
     for w, n in got.items():
         assert batch[w] == n, f"window {w}: stream={n} batch={batch[w]}"
+
+
+def test_stream_hopping_agrees_with_batch(spark, event_batches, tmp_path):
+    """q116's streaming twin: every hopping window the stream CLOSED
+    must match the batch computation on BOTH the count and the
+    quantized value sum (the full q116 measure set). Completes the
+    windowed-family pattern: tumbling (q14), session (q34), hopping
+    (q116) each have an executed streaming counterpart."""
+    landing, e, _ = event_batches
+    stream = runner.file_stream(spark, landing, EVENT_SCHEMA_V, fmt="parquet",
+                                max_files_per_trigger=1)
+    agg = runner.hopping_counts(stream)
+    runner.run_stream_to_memory(agg, "hop_counts", str(tmp_path / "ck_hop"))
+    got = {
+        (r.event_type, r.win_start_us): (r.n_events, r.qsum)
+        for r in spark.table("hop_counts").collect()
+    }
+    batch = {
+        (r.event_type, r.win_start_us): (r.n_events, r.qsum)
+        for r in (
+            e.groupBy(
+                "event_type",
+                F.window("event_time", "30 minutes", "10 minutes").alias("w"),
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum(F.floor(F.col("value") * 100).cast("bigint"))
+                .cast("bigint")
+                .alias("qsum"),
+            )
+            .select(
+                "event_type",
+                F.unix_micros("w.start").alias("win_start_us"),
+                "n_events",
+                "qsum",
+            )
+            .collect()
+        )
+    }
+    assert got, "stream should close at least one hopping window"
+    for key, vals in got.items():
+        assert batch[key] == vals, f"window {key}: stream={vals} batch={batch[key]}"
 
 
 def test_stateful_user_counts_across_batches(spark, event_batches, tmp_path):
