@@ -12,5 +12,6 @@ from . import training as _trn  # noqa: F401  (registers q58-q63, q65-q66)
 from . import mining as _mng  # noqa: F401  (registers q72-q79)
 from . import corpus as _crp  # noqa: F401  (registers q80-q98)
 from . import platform as _plt  # noqa: F401  (registers q99-q123)
+from . import evalsuite as _evl  # noqa: F401  (registers q124-q133)
 
 __all__ = ["QUERIES", "ORACLE"]
