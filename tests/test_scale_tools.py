@@ -1209,3 +1209,77 @@ def test_whole_table_stranded_aside_detected(spark, tmp_path):
     with _pt.warns(UserWarning, match="stranded swap aside"):
         read_permanent(spark, wh, "priceindex")
     assert os.path.isdir(aside)
+
+
+def test_synth_sf_replication_invariants(tmp_path):
+    """tools/synth_sf.py keyed replication: referential integrity
+    holds across replicas, per-replica document near-dup structure is
+    preserved while cross-replica shingles are salted apart, and
+    embedding rolls keep intra-replica geometry (norms) exactly."""
+    import sys
+
+    import duckdb
+
+    sys.path.insert(0, "/root/repo/tools")
+    from synth_sf import synth
+
+    dst = str(tmp_path / "sf2x")
+    synth(SF_DIR, dst, factor=2)
+    con = duckdb.connect()
+    # row counts: fixed dims stay, facts double
+    for t, mult in [
+        ("region", 1), ("nation", 1), ("customer", 2), ("supplier", 2),
+        ("part", 2), ("orders", 2), ("lineitem", 2), ("events", 2),
+        ("documents", 2), ("embeddings", 2),
+    ]:
+        src_n = con.execute(
+            f"SELECT COUNT(*) FROM '{SF_DIR}/{t}.parquet'"
+        ).fetchone()[0]
+        dst_n = con.execute(
+            f"SELECT COUNT(*) FROM '{dst}/{t}.parquet'"
+        ).fetchone()[0]
+        assert dst_n == mult * src_n, (t, src_n, dst_n)
+    # referential integrity across the replica boundary
+    assert con.execute(
+        f"SELECT COUNT(*) FROM '{dst}/lineitem.parquet' l "
+        f"LEFT JOIN '{dst}/orders.parquet' o ON l.l_orderkey = o.o_orderkey "
+        "WHERE o.o_orderkey IS NULL"
+    ).fetchone()[0] == 0
+    assert con.execute(
+        f"SELECT COUNT(*) FROM '{dst}/orders.parquet' o "
+        f"LEFT JOIN '{dst}/customer.parquet' c ON o.o_custkey = c.c_custkey "
+        "WHERE c.c_custkey IS NULL"
+    ).fetchone()[0] == 0
+    # keys stay unique after offsetting
+    for t, k in [("orders", "o_orderkey"), ("documents", "doc_id"),
+                 ("embeddings", "vec_id"), ("events", "event_id")]:
+        n, nd = con.execute(
+            f"SELECT COUNT(*), COUNT(DISTINCT {k}) FROM '{dst}/{t}.parquet'"
+        ).fetchone()
+        assert n == nd, (t, n, nd)
+    # documents: n_chars tracks the salted text; exact-dup cluster
+    # structure must NOT merge across replicas (salts differ)
+    assert con.execute(
+        f"SELECT COUNT(*) FROM '{dst}/documents.parquet' "
+        "WHERE n_chars != length(text)"
+    ).fetchone()[0] == 0
+    src_dups = con.execute(
+        "SELECT COALESCE(SUM(c - 1), 0) FROM (SELECT COUNT(*) AS c FROM "
+        f"'{SF_DIR}/documents.parquet' GROUP BY md5(text))"
+    ).fetchone()[0]
+    dst_dups = con.execute(
+        "SELECT COALESCE(SUM(c - 1), 0) FROM (SELECT COUNT(*) AS c FROM "
+        f"'{dst}/documents.parquet' GROUP BY md5(text))"
+    ).fetchone()[0]
+    assert dst_dups == 2 * src_dups, (src_dups, dst_dups)
+    # embeddings: the roll preserves the component multiset per vector
+    nvec = con.execute(
+        f"SELECT MAX(vec_id) + 1 FROM '{SF_DIR}/embeddings.parquet'"
+    ).fetchone()[0]
+    bad = con.execute(
+        f"SELECT COUNT(*) FROM '{dst}/embeddings.parquet' d "
+        f"JOIN '{SF_DIR}/embeddings.parquet' s "
+        f"ON d.vec_id % {nvec} = s.vec_id "
+        "WHERE list_sort(d.embedding) != list_sort(s.embedding)"
+    ).fetchone()[0]
+    assert bad == 0
