@@ -363,3 +363,78 @@ def test_pareto_window_form_equals_brute_force_dominance(pts, spark):
         )
     }
     assert got == want
+
+
+@given(
+    scored=st.lists(
+        st.tuples(st.integers(-5, 5), st.booleans()),
+        min_size=1,
+        max_size=30,
+    )
+)
+@settings(max_examples=10, deadline=None)
+def test_auc_rank_sum_equals_pair_counting(scored, spark):
+    """q125's grouped rank-sum AUC must equal the textbook pairwise
+    definition (concordant + half-ties over pos*neg pairs) on
+    arbitrary score/label multisets — including all-tied scores,
+    single-class inputs (den=0), and heavy duplication."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    f = spark.createDataFrame(
+        [(int(s), int(p)) for s, p in scored], "score long, pos long"
+    )
+    g = f.groupBy("score").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("pos").cast("bigint").alias("p"),
+    )
+    below_w = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, -1)
+    c = g.withColumn(
+        "below", F.coalesce(F.sum("n").over(below_w), F.lit(0)).cast("bigint")
+    )
+    row = c.agg(
+        F.coalesce(F.sum("p"), F.lit(0)).alias("n_pos"),
+        F.coalesce(F.sum(F.col("n") - F.col("p")), F.lit(0)).alias("n_neg"),
+        F.coalesce(
+            F.sum(F.col("p") * (2 * F.col("below") + F.col("n") + 1)), F.lit(0)
+        ).alias("sum2r"),
+    ).collect()[0]
+    got_num = row.sum2r - row.n_pos * (row.n_pos + 1)
+    got_den = 2 * row.n_pos * row.n_neg
+    # brute force: 2*(concordant) + 1*(tied) over all pos x neg pairs
+    pos = [s for s, p in scored if p]
+    neg = [s for s, p in scored if not p]
+    want_num = sum(
+        2 if sp > sn else (1 if sp == sn else 0) for sp in pos for sn in neg
+    )
+    assert (got_num, got_den) == (want_num, 2 * len(pos) * len(neg))
+
+
+@given(
+    gaps=st.lists(st.integers(0, 100), min_size=1, max_size=25)
+)
+@settings(max_examples=10, deadline=None)
+def test_median_lower_middle_pick_matches_python(gaps, spark):
+    """q133's row_number median pick must select the lower-middle
+    order statistic of the gap multiset (duplicates included)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    f = spark.createDataFrame(
+        [(1, i, int(g)) for i, g in enumerate(gaps)],
+        "user_id long, event_id long, g long",
+    )
+    w_rank = Window.partitionBy("user_id").orderBy("g", "event_id")
+    w_all = Window.partitionBy("user_id")
+    got = (
+        f.select(
+            "g",
+            F.row_number().over(w_rank).alias("rn"),
+            F.count(F.lit(1)).over(w_all).alias("n"),
+        )
+        .filter(F.col("rn") == F.expr("(n + 1) div 2"))
+        .collect()
+    )
+    assert len(got) == 1
+    want = sorted(gaps)[(len(gaps) + 1) // 2 - 1]
+    assert got[0].g == want
