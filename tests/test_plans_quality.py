@@ -747,3 +747,67 @@ def test_q123_pair_join_runs_on_aggregated_days(spark):
     plan = _plan(spark, "q123_series_similarity")
     assert "CartesianProduct" not in plan
     assert "partial_count" in plan
+
+
+def test_q124_weighted_sample_prunes_to_window_group_limit(spark):
+    # the per-group top-K must push down as a two-level
+    # WindowGroupLimit (partial pre-shuffle + final) so map tasks keep
+    # only K rows per group; the race key is a scan-stage projection
+    plan = _plan(spark, "q124_weighted_group_sample")
+    assert plan.count("WindowGroupLimit") >= 2, plan
+    assert "Join" not in plan
+
+
+def test_q125_auc_windows_distinct_scores_not_corpus(spark):
+    # the rank-sum running total must read the DISTINCT-SCORE
+    # relation: the corpus contributes only through the score
+    # aggregate (a score-keyed exchange), and the single
+    # unpartitioned window sits above it
+    plan = _plan(spark, "q125_classifier_auc")
+    assert "hashpartitioning(score" in plan, plan
+    assert "windowspecdefinition" in plan
+
+
+def test_q127_chunk_fanout_stays_in_scan_stage(spark):
+    # sequence+explode fan-out happens inside the scan stage; the only
+    # exchange is the display sort's range partitioning
+    plan = _plan(spark, "q127_rag_chunks")
+    assert "Generate" in plan
+    assert "Join" not in plan
+    assert "hashpartitioning" not in plan, plan
+
+
+def test_q128_tvd_joins_hash_keys_and_broadcasts_totals(spark):
+    # the (source,token)->global join carries 8-byte xxhash64 keys and
+    # per-source/global totals broadcast — no SMJ, no cartesian fact
+    plan = _plan(spark, "q128_source_token_tvd")
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "xxhash64" in plan
+
+
+def test_q129_pit_join_is_key_equi_not_range_fanout(spark):
+    # the as-of probe joins on the KEY with the validity range as a
+    # filter — a pure range condition would nested-loop the history
+    plan = _plan(spark, "q129_pit_asof_join")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_q131_overlap_builds_on_distinct_hash_keys(spark):
+    # the self-join runs over the DISTINCT (source, token-hash)
+    # relation with set sizes broadcast back
+    plan = _plan(spark, "q131_source_overlap")
+    assert "SortMergeJoin" not in plan
+    assert "xxhash64" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q133_gap_windows_share_one_user_shuffle(spark):
+    # lag, rank, count and max windows must all reuse ONE
+    # user_id-keyed exchange — chained windows with no intermediate
+    # shuffle (and nothing unpartitioned)
+    plan = _plan(spark, "q133_interevent_gaps")
+    assert plan.count("hashpartitioning(user_id") == 1, plan
+    assert "SinglePartition" not in plan, plan
