@@ -228,3 +228,42 @@ def test_q89_survives_short_docs(spark, tmp_path):
         ORACLE["q89_minhash_jaccard_est"],
         "q89_short_docs",
     )
+
+
+def test_tier_derivation_on_synthetic_future_artifacts(tmp_path):
+    """Simulate a future round: after CORRECTNESS_r05 lands green rows
+    for the current never-verified names, the derivation must promote
+    them to single-green (ordered by first green round) and keep
+    multi-green names out of the priority tiers."""
+    import json
+
+    mod = _load_entry_module()
+    g = lambda: {"rows_match": True, "schema_match": True,  # noqa: E731
+                 "hash_match": True, "spark_rows": 1, "oracle_rows": 1,
+                 "err": None}
+    (tmp_path / "CORRECTNESS_r01.json").write_text(
+        json.dumps({"qA": g(), "qB": g()})
+    )
+    (tmp_path / "CORRECTNESS_r02.json").write_text(
+        json.dumps({"qB": g(), "qC": g(),
+                    "qR": {"rows_match": None, "schema_match": None,
+                           "hash_match": None, "spark_rows": 7,
+                           "oracle_rows": None, "err": "no_oracle"},
+                    "qX": {"rows_match": True, "schema_match": True,
+                           "hash_match": False, "spark_rows": 3,
+                           "oracle_rows": 3, "err": None}})
+    )
+    old = mod._HERE
+    try:
+        mod._HERE = str(tmp_path)
+        catalog = {k: None for k in ["qN2", "qB", "qA", "qC", "qR", "qX", "qN1"]}
+        never, single, multi = mod._tiers(catalog)
+        # qX's red row gives it NO green round -> still never-verified,
+        # in catalog registration order with the brand-new names
+        assert never == ["qN2", "qX", "qN1"]
+        # singles order by FIRST green round (qA r1 before qC/qR r2),
+        # name-tiebreak within a round; rows-only qR counts as green
+        assert single == ["qA", "qC", "qR"]
+        assert multi == ["qB"]
+    finally:
+        mod._HERE = old
