@@ -358,7 +358,15 @@ def q08(spark: SparkSession, sf_dir: str) -> DataFrame:
 # per-partition offsets, sources/chunking.add_autoid) — identical ids
 # to a global ROW_NUMBER over the same unique ordering, without the
 # single-partition sort the oracle SQL implies.
-ORACLE["q09_autoid_rownumber"] = """
+# checksum terms are modded BEFORE multiplying and summing: the raw
+# SUM(autoid * l_orderkey) overflows BIGINT at ~6M rows (found by the
+# round-5 sf1 scale tier — DuckDB silently widens to HUGEINT, Spark
+# ANSI throws). (a%M)*(b%M) < 1e18 stays in range and the modded-term
+# sum is exact to ~9e9 rows; past that, the next rung is a two-level
+# grouped aggregation modding the partial sums.
+_Q09_M = 1_000_000_007
+
+ORACLE["q09_autoid_rownumber"] = f"""
 WITH t AS (
     SELECT CAST(ROW_NUMBER() OVER (ORDER BY l_orderkey, l_linenumber) AS BIGINT) AS autoid,
            l_orderkey
@@ -368,7 +376,8 @@ SELECT COUNT(*) AS n_rows,
        CAST(MIN(autoid) AS BIGINT) AS min_id,
        CAST(MAX(autoid) AS BIGINT) AS max_id,
        CAST(SUM(autoid) AS BIGINT) AS sum_id,
-       CAST(SUM(autoid * l_orderkey) AS BIGINT) AS checksum
+       CAST(SUM(((autoid % {_Q09_M}) * (l_orderkey % {_Q09_M})) % {_Q09_M})
+            AS BIGINT) AS checksum
 FROM t
 """
 
@@ -384,7 +393,10 @@ def q09(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("autoid").alias("min_id"),
         F.max("autoid").alias("max_id"),
         F.sum("autoid").alias("sum_id"),
-        F.sum(F.col("autoid") * F.col("l_orderkey")).alias("checksum"),
+        F.sum(
+            (F.col("autoid") % _Q09_M) * (F.col("l_orderkey") % _Q09_M)
+            % _Q09_M
+        ).alias("checksum"),
     )
 
 

@@ -30,6 +30,16 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Scan-split sizing: the default 4 MiB openCostInBytes models HDFS
+    # file-open latency and floors maxSplitBytes at 4 MiB — on local
+    # SSD/page-cache a small single-file table (the driver testdata
+    # layout) then scans as 1-4 tasks no matter the core count, and
+    # CPU-heavy scan-stage work (shingling, signatures: ~100x the cost
+    # per byte of a plain scan) serializes. 512 KiB lets
+    # totalBytes/defaultParallelism govern instead, so splits track
+    # cores; the 128 MiB maxPartitionBytes cap still rules big files.
+    # Found by the round-5 sf1 scale tier (single-task 65 s stages).
+    "spark.sql.files.openCostInBytes": "524288",
     # InferFiltersFromGenerate copies the generator's child expression
     # into an inferred `size(e) > 0 AND isnotnull(e)` filter. When the
     # child is a computed higher-order expression (our shingle / n-gram

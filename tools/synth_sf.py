@@ -15,14 +15,19 @@ Design rules (all deterministic, no RNG):
   preserved. region/nation stay fixed — TPC-H semantics (and the
   catalog's broadcast-dim assumption) keep small dims constant as SF
   grows.
-- **documents**: replica 0 is verbatim; replica i>0 interleaves a
-  replica-specific salt token after every 5th word and recomputes
-  n_chars. Within a replica the near-duplicate structure is IDENTICAL
-  to the source corpus; across replicas the salts kill shingle
-  overlap — so dedup candidate/pair counts scale ~linearly with the
-  factor instead of quadratically (verbatim replication would turn
-  every source dup-cluster of size k into one of size factor*k and
-  inflate pair counts ~factor^2, making scaling exponents unreadable).
+- **documents**: replica 0 is verbatim; replica i>0 applies a
+  BIJECTIVE token rename (every word w -> w_r<i>) and recomputes
+  n_chars. A bijection preserves the near-duplicate structure within
+  a replica EXACTLY (exact dups, shingle sets, simhash bags, BPE
+  stats all isomorphic to the source corpus) while cross-replica
+  lexical overlap is ZERO at both shingle and bag-of-words level —
+  so every text-similarity family's candidate/pair counts scale
+  ~linearly with the factor instead of quadratically. (The first cut
+  interleaved salt tokens instead; that killed shingle overlap but
+  left ~80% bag overlap, and the sf1 bench caught simhash banding
+  going quadratic across replicas — 65 s on q26.) Vocabulary grows
+  ~linearly with the factor, the Heaps'-law direction a real corpus
+  takes.
 - **embeddings**: replica i rolls each 64-dim vector by i positions.
   A roll is an orthogonal transform applied uniformly within the
   replica, so intra-replica pairwise cosines (kNN structure, near-dup
@@ -44,8 +49,13 @@ import argparse
 import os
 
 TABLES_COPY = ["region", "nation"]
-# table -> [(column, key-domain size column offset multiplier source)]
-SALT_EVERY = 5
+# parquet row-group sizing: the driver testdata ships single-file
+# single-row-group tables, which Spark cannot split — CPU-heavy scan
+# stages (shingling, signatures) then run on ONE task no matter the
+# core count. Synthesized tiers write many row groups so scans
+# parallelize the way a real multi-file 100 TB layout would.
+ROW_GROUPS = {"documents": 4096, "embeddings": 2048}
+DEFAULT_ROW_GROUP = 65536
 
 
 def _key_sizes(con, src: str) -> dict[str, int]:
@@ -82,6 +92,13 @@ def synth(src: str, dst: str, factor: int) -> None:
             f"TO '{dst}/{t}.parquet' (FORMAT PARQUET)"
         )
 
+    def _copy(table: str, sql: str) -> None:
+        rg = ROW_GROUPS.get(table, DEFAULT_ROW_GROUP)
+        con.execute(
+            f"COPY ({sql}) TO '{dst}/{table}.parquet' "
+            f"(FORMAT PARQUET, ROW_GROUP_SIZE {rg})"
+        )
+
     # keyed replication: every replica shifts each key domain by i*|D|
     rep = f"range({factor}) r(i)"
     facts = {
@@ -116,25 +133,19 @@ def synth(src: str, dst: str, factor: int) -> None:
             FROM '{src}/events.parquet', {rep}""",
     }
     for t, sql in facts.items():
-        con.execute(f"COPY ({sql}) TO '{dst}/{t}.parquet' (FORMAT PARQUET)")
+        _copy(t, sql)
 
     _synth_documents(con, src, dst, factor, sz["doc"])
     _synth_embeddings(con, src, dst, factor, sz["vec"])
     con.close()
 
 
-def _salt_text(text: str, i: int) -> str:
-    """Interleave the replica salt after every SALT_EVERY-th word —
-    kills cross-replica shingle overlap, preserves intra-replica
-    structure verbatim."""
-    words = text.split(" ")
-    tok = f"_r{i}_"
-    out = []
-    for j, w in enumerate(words):
-        out.append(w)
-        if (j + 1) % SALT_EVERY == 0:
-            out.append(tok)
-    return " ".join(out)
+def _rename_tokens(text: str, i: int) -> str:
+    """Bijective per-replica token rename (w -> w_r<i>): intra-replica
+    text structure is isomorphic to the source corpus, cross-replica
+    lexical overlap is zero at shingle AND bag-of-words level."""
+    sfx = f"_r{i}"
+    return " ".join(w + sfx for w in text.split(" "))
 
 
 def _synth_documents(con, src: str, dst: str, factor: int, ndoc: int) -> None:
@@ -148,15 +159,15 @@ def _synth_documents(con, src: str, dst: str, factor: int, ndoc: int) -> None:
         base.assign(n_chars=base["text"].str.len().astype("int64"))
     ]
     for i in range(1, factor):
-        salted = base["text"].map(lambda t, _i=i: _salt_text(t, _i))
+        renamed = base["text"].map(lambda t, _i=i: _rename_tokens(t, _i))
         frames.append(
             pd.DataFrame(
                 {
                     "doc_id": base["doc_id"] + i * ndoc,
-                    "text": salted,
+                    "text": renamed,
                     "lang": base["lang"],
                     "source": base["source"],
-                    "n_chars": salted.str.len().astype("int64"),
+                    "n_chars": renamed.str.len().astype("int64"),
                 }
             )
         )
@@ -164,7 +175,8 @@ def _synth_documents(con, src: str, dst: str, factor: int, ndoc: int) -> None:
     con.register("docs_out", allf)
     con.execute(
         f"COPY (SELECT doc_id, text, lang, source, n_chars FROM docs_out "
-        f"ORDER BY doc_id) TO '{dst}/documents.parquet' (FORMAT PARQUET)"
+        f"ORDER BY doc_id) TO '{dst}/documents.parquet' "
+        f"(FORMAT PARQUET, ROW_GROUP_SIZE {ROW_GROUPS['documents']})"
     )
     con.unregister("docs_out")
 
@@ -196,7 +208,8 @@ def _synth_embeddings(con, src: str, dst: str, factor: int, nvec: int) -> None:
     con.execute(
         f"COPY (SELECT vec_id, CAST(embedding AS FLOAT[]) AS embedding, "
         f"CAST(label AS INTEGER) AS label FROM emb_out ORDER BY vec_id) "
-        f"TO '{dst}/embeddings.parquet' (FORMAT PARQUET)"
+        f"TO '{dst}/embeddings.parquet' "
+        f"(FORMAT PARQUET, ROW_GROUP_SIZE {ROW_GROUPS['embeddings']})"
     )
     con.unregister("emb_out")
 
