@@ -47,3 +47,13 @@ def test_cli_run_out_csv(tmp_path, capsys):
 def test_cli_unknown_query_suggests(capsys):
     assert main(["run", "q01_ingest_cnt"]) == 2
     assert "did you mean" in capsys.readouterr().err
+
+
+def test_cli_verify_match(spark, capsys):
+    assert main(["verify", "q05_report_aggregate", "--sf-dir", SF_DIR]) == 0
+    assert "MATCH" in capsys.readouterr().out
+
+
+def test_cli_verify_rows_only(spark, capsys):
+    assert main(["verify", "q27_ann_lsh_topk", "--sf-dir", SF_DIR]) == 0
+    assert "rows-only" in capsys.readouterr().out
