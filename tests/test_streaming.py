@@ -1258,3 +1258,37 @@ def test_cdc_apply_stream_fresh_checkpoint_replay_is_idempotent(spark, tmp_path)
         os.path.join(table, e) for e in os.listdir(table) if e.startswith("bucket=")
     ])
     assert raw.filter((SF.col("k") == 2) & (SF.col("op") == "D")).count() == 1
+
+
+def test_cdc_apply_stream_cleans_stale_staging_leftovers(spark, tmp_path):
+    """A crash between STAGING a bucket and swapping it (the round-5
+    two-phase apply) leaves a bucket=K__staging directory behind. On
+    replay the sink must discard the stale staging output (the batch
+    re-runs from the checkpoint) and converge to the correct state,
+    and the table directory must hold no staging/aside residue."""
+    landing = str(tmp_path / "cdc_landing")
+    table = str(tmp_path / "cdc_table")
+    ck = str(tmp_path / "ck_cdc")
+
+    _cdc_arrive(spark, landing, [(1, 100, 0, "I"), (2, 200, 0, "I")])
+    runner.cdc_apply_stream(spark, landing, CDC_SCHEMA, table, ck)
+
+    # simulate a crash mid-batch: a fully-written staging dir for
+    # bucket 1 that never swapped in (contents would-be-next state)
+    stale = os.path.join(table, "bucket=1__staging")
+    os.makedirs(stale)
+    with open(os.path.join(stale, "garbage.parquet"), "w") as f:
+        f.write("not parquet")
+
+    # next batch touches bucket 1 again: the stale dir must be
+    # replaced by the real staging write, then swapped cleanly
+    _cdc_arrive(spark, landing, [(1, 111, 1, "U"), (9, 900, 1, "I")])
+    runner.cdc_apply_stream(spark, landing, CDC_SCHEMA, table, ck)
+
+    got = {(r.k, r.qp) for r in runner.read_cdc_table(spark, table).collect()}
+    assert got == {(1, 111), (2, 200), (9, 900)}
+    residue = [
+        e for e in os.listdir(table)
+        if e.endswith("__staging") or e.endswith("__old")
+    ]
+    assert residue == [], residue
