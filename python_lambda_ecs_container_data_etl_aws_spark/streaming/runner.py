@@ -133,6 +133,40 @@ def session_counts(
     )
 
 
+def first_seen_daily_counts(
+    events: DataFrame,
+    time_col: str = "event_time",
+    watermark: str = "45 days",
+) -> DataFrame:
+    """q121's streaming twin — cumulative-distinct-users run as CHAINED
+    STATEFUL OPERATORS (Spark 4): streaming ``dropDuplicates(user_id)``
+    keeps each user's FIRST arrival, then a 1-day window counts
+    first-seen users per day in append mode (a day emits once the
+    watermark passes its end). The cumulative series is the running
+    sum q121's reader applies over this |days|-sized output — the
+    stream never materializes a running distinct count, mirroring the
+    batch first-seen transform exactly.
+
+    The watermark horizon bounds BOTH admissible event-time disorder
+    AND the dedup state's retention: a duplicate arriving more than
+    ``watermark`` after its user's first event finds the state evicted
+    and double-counts. Size the horizon to the feed's maximum
+    first-to-repeat lag (the equivalence test covers the whole fixture
+    span and advances emission with a terminal flush event, the same
+    pattern as the left-outer interval-join test)."""
+    firsts = events.withWatermark(time_col, watermark).dropDuplicates(
+        ["user_id"]
+    )
+    return (
+        firsts.groupBy(F.window(F.col(time_col), "1 day").alias("w"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_new_users"))
+        .select(
+            F.unix_micros(F.col("w.start")).alias("day_start_us"),
+            "n_new_users",
+        )
+    )
+
+
 def dedup_within_watermark(
     events: DataFrame,
     keys: list[str],

@@ -1292,3 +1292,66 @@ def test_cdc_apply_stream_cleans_stale_staging_leftovers(spark, tmp_path):
         if e.endswith("__staging") or e.endswith("__old")
     ]
     assert residue == [], residue
+
+
+def test_stream_first_seen_daily_agrees_with_batch(spark, event_batches, tmp_path):
+    """q121's streaming twin: chained stateful dropDuplicates + daily
+    window. A terminal flush event (far-future ts, fresh user) advances
+    the watermark so every real day closes; emitted per-day new-user
+    counts — and their running sum — must equal the batch first-seen
+    transform (per-user min day)."""
+    import datetime as dt
+
+    landing, e, _ = event_batches
+    # copy the ordered fixture into a private landing dir and append
+    # the flush file LAST (maxFilesPerTrigger=1 drains in file order)
+    land2 = str(tmp_path / "landing_fs")
+    spark.read.parquet(landing).coalesce(1).write.mode("append").parquet(land2)
+    hi = e.agg(F.max("event_time")).collect()[0][0]
+    flush_ts = hi + dt.timedelta(days=365)
+    spark.createDataFrame(
+        [(10**12, flush_ts, 10**12, "flush", 0.0)], EVENT_SCHEMA_V
+    ).coalesce(1).write.mode("append").parquet(land2)
+
+    stream = runner.file_stream(spark, land2, EVENT_SCHEMA, fmt="parquet",
+                                max_files_per_trigger=1)
+    agg = runner.first_seen_daily_counts(stream, watermark="45 days")
+    runner.run_stream_to_memory(agg, "first_seen", str(tmp_path / "ck_fs"))
+    got = {
+        r.day_start_us: r.n_new_users
+        for r in spark.table("first_seen").collect()
+        if r.n_new_users  # flush user's own far-future day may close too
+    }
+    batch = {
+        r.day_start_us: r.n_new_users
+        for r in (
+            e.groupBy("user_id")
+            .agg(F.min(F.to_date("event_time")).alias("first_day"))
+            .groupBy("first_day")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_new_users"))
+            .select(
+                F.unix_micros(F.col("first_day").cast("timestamp")).alias(
+                    "day_start_us"
+                ),
+                "n_new_users",
+            )
+            .collect()
+        )
+    }
+    flush_day = {
+        k for k in got if k not in batch
+    }
+    assert len(flush_day) <= 1  # at most the flush user's own day
+    real = {k: v for k, v in got.items() if k in batch}
+    assert real == batch, (real, batch)
+    # cumulative series (the q121 output) agrees by construction
+    days = sorted(batch)
+    acc, cum_batch = 0, {}
+    for d in days:
+        acc += batch[d]
+        cum_batch[d] = acc
+    acc2, cum_stream = 0, {}
+    for d in days:
+        acc2 += real[d]
+        cum_stream[d] = acc2
+    assert cum_stream == cum_batch
