@@ -30,6 +30,15 @@ def duck_connect(sf_dir: str):
     from .catalog import TABLE_NAMES
 
     con = duckdb.connect()
+    # Bound the oracle's buffer pool: a long parity sweep runs hundreds
+    # of oracle queries in ONE process beside the Spark driver, and an
+    # unbounded pool produced a std::bad_alloc 28 minutes into the sf3
+    # sweep (the same query passed standalone). A fixed generous limit
+    # keeps the sweep's memory footprint flat.
+    try:
+        con.execute("SET memory_limit='24GB'")
+    except Exception:
+        pass
     for t in TABLE_NAMES:
         con.execute(
             f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
