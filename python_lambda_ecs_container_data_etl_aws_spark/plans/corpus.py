@@ -1624,26 +1624,60 @@ FROM final
 
 def cdc_log(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(k, qp, seq, op) — the Spark twin of CDC_LOG_CTE: the base
-    snapshot plus the synthesized I/U/D change feed, shared by q96 and
-    q100 (SCD2, plans/platform.py)."""
+    snapshot plus the synthesized I/U/D change feed, shared by q96,
+    q100 (SCD2) and q129 (PIT probe), plans/platform.py+evalsuite.py.
+
+    ONE scan of the fact: each order row emits its change events as an
+    array of conditional structs exploded inline (null entries dropped
+    by a plain post-explode filter — codegen-friendly, not an
+    interpreted HOF). The previous form unioned four filtered scans
+    over a persisted copy of the fact; a fact-sized persist is a
+    non-starter at 100 TB and the 4x scan multiplies I/O — the oracle
+    CTE keeps the UNION ALL form (DuckDB reads the parquet once per
+    branch from page cache; results are identical, parity-pinned)."""
     o = load_table(spark, sf_dir, "orders").select(
         F.col("o_orderkey").alias("k"),
         F.floor(F.col("o_totalprice") * 100).cast("bigint").alias("qp0"),
-    ).persist()
-    base = o.filter(F.col("k") % 5 != 4).select(
-        "k", F.col("qp0").alias("qp"), F.lit(0).alias("seq"), F.lit("I").alias("op")
     )
-    upd = o.filter(F.col("k") % 3 == 0).select(
-        "k", (F.col("qp0") * 2).alias("qp"), F.lit(1).alias("seq"), F.lit("U").alias("op")
+    ev = F.array(
+        F.when(
+            F.col("k") % 5 != 4,
+            F.struct(
+                F.col("qp0").alias("qp"),
+                F.lit(0).alias("seq"),
+                F.lit("I").alias("op"),
+            ),
+        ),
+        F.when(
+            F.col("k") % 3 == 0,
+            F.struct(
+                (F.col("qp0") * 2).alias("qp"),
+                F.lit(1).alias("seq"),
+                F.lit("U").alias("op"),
+            ),
+        ),
+        F.when(
+            F.col("k") % 5 == 4,
+            F.struct(
+                F.col("qp0").alias("qp"),
+                F.lit(1).alias("seq"),
+                F.lit("I").alias("op"),
+            ),
+        ),
+        F.when(
+            F.col("k") % 7 == 0,
+            F.struct(
+                F.lit(0).cast("bigint").alias("qp"),
+                F.lit(2).alias("seq"),
+                F.lit("D").alias("op"),
+            ),
+        ),
     )
-    ins = o.filter(F.col("k") % 5 == 4).select(
-        "k", F.col("qp0").alias("qp"), F.lit(1).alias("seq"), F.lit("I").alias("op")
+    return (
+        o.select("k", F.explode(ev).alias("e"))
+        .filter(F.col("e").isNotNull())
+        .select("k", "e.qp", "e.seq", "e.op")
     )
-    dele = o.filter(F.col("k") % 7 == 0).select(
-        "k", F.lit(0).cast("bigint").alias("qp"), F.lit(2).alias("seq"),
-        F.lit("D").alias("op"),
-    )
-    return base.unionByName(upd).unionByName(ins).unionByName(dele)
 
 
 @_q("q96_cdc_apply")
