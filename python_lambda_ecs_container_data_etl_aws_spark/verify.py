@@ -36,7 +36,15 @@ def duck_connect(sf_dir: str):
     # sweep (the same query passed standalone). A fixed generous limit
     # keeps the sweep's memory footprint flat.
     try:
+        import tempfile
+
         con.execute("SET memory_limit='24GB'")
+        # spills go OUTSIDE the repo: DuckDB's default temp_directory is
+        # the cwd-relative '.tmp', which pollutes the working tree (and
+        # a deleted-mid-run spill dir killed an sf3 sweep with
+        # IOExceptions)
+        spill = tempfile.mkdtemp(prefix="duckdb_spill_")
+        con.execute(f"SET temp_directory='{spill}'")
     except Exception:
         pass
     for t in TABLE_NAMES:
