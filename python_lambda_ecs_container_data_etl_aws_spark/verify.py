@@ -38,7 +38,7 @@ def duck_connect(sf_dir: str):
     try:
         import tempfile
 
-        con.execute("SET memory_limit='24GB'")
+        con.execute("SET memory_limit='48GB'")
         # spills go OUTSIDE the repo: DuckDB's default temp_directory is
         # the cwd-relative '.tmp', which pollutes the working tree (and
         # a deleted-mid-run spill dir killed an sf3 sweep with
