@@ -897,12 +897,25 @@ def prefix_filtered_pairs(
         # shrinking the prefix by one for most set sizes — a
         # false-negative bug the hypothesis completeness test catches
         .filter(F.expr(f"rk <= n - ({t10} * n + 9) div 10 + 1"))
-        .select(id_col, "__h")
+        .select(id_col, "__h", "n")
     )
+    # AllPairs LENGTH filter at candidate generation: J(a,b) <=
+    # min(|a|,|b|)/max(|a|,|b|), so a pair can pass only when
+    # 10*min >= t10*max. Carrying n (8 bytes) on the postings prunes
+    # size-mismatched pairs BEFORE the distinct shuffle and the two
+    # array-attach verify joins — pure pruning, no false negatives.
     cand = (
-        pfx.select(F.col(id_col).alias("a_id"), "__h")
-        .join(pfx.select(F.col(id_col).alias("b_id"), "__h"), "__h")
-        .filter(F.col("a_id") < F.col("b_id"))
+        pfx.select(F.col(id_col).alias("a_id"), "__h", F.col("n").alias("na"))
+        .join(
+            pfx.select(
+                F.col(id_col).alias("b_id"), "__h", F.col("n").alias("nb")
+            ),
+            "__h",
+        )
+        .filter(
+            (F.col("a_id") < F.col("b_id"))
+            & (10 * F.least("na", "nb") >= t10 * F.greatest("na", "nb"))
+        )
         .select("a_id", "b_id")
         .distinct()
     )

@@ -485,11 +485,17 @@ def test_q95_blocking_join_no_cartesian(spark):
 
 
 def test_q96_cdc_apply_is_one_key_window(spark):
-    # latest-seq-wins is one per-key window over the unioned log;
-    # no joins at all
+    # latest-seq-wins is one per-key window over a change log built in
+    # ONE fact scan (conditional-struct array exploded inline) — no
+    # unioned re-scans of the fact, no joins, and the rn=1 filter is
+    # WindowGroupLimit-pruned on the map side
     plan = _plan(spark, "q96_cdc_apply")
-    assert "Join" not in plan
-    assert "Window" in plan and "Union" in plan
+    assert "Join" not in plan and "Union" not in plan
+    # formatted explain prints each scan twice (tree + node detail);
+    # one Location line == one physical scan
+    assert plan.count("Location: InMemoryFileIndex") == 1
+    assert "Generate" in plan
+    assert "Window" in plan and "WindowGroupLimit" in plan
 
 
 def test_q82_domain_cap_windowgrouplimit_prunes_hot_domains(spark):
