@@ -867,11 +867,11 @@ def prefix_filtered_pairs(
     ((t*n + 9) // 10) and a cross-multiplied Jaccard gate keep the
     whole operator float-free.
 
-    Implemented tier: AllPairs prefix filtering + length-implicit
-    verify. The PPJoin positional filter (tighten the per-candidate
-    overlap bound using prefix positions) is the documented next
-    optimization tier for corpora where candidate density — not the
-    prefix join — dominates (see BASELINE.md's q111 notes)."""
+    Implemented tiers: AllPairs prefix filtering, the AllPairs length
+    filter (size-ratio bound at candidate generation), and the PPJoin
+    positional filter (per-match overlap upper bound from prefix
+    positions, minimized per pair) — all exact prunes applied before
+    the array-attach verify joins (see BASELINE.md's q111 notes)."""
     t10 = threshold_tenths
     # hash every set element to 64 bits ONCE: the set-dedup, all
     # shuffles (df, prefix postings, candidate join) and the in-row
@@ -897,18 +897,41 @@ def prefix_filtered_pairs(
         # shrinking the prefix by one for most set sizes — a
         # false-negative bug the hypothesis completeness test catches
         .filter(F.expr(f"rk <= n - ({t10} * n + 9) div 10 + 1"))
-        .select(id_col, "__h", "n")
+        .select(id_col, "__h", "n", "rk")
     )
-    # AllPairs LENGTH filter at candidate generation: J(a,b) <=
-    # min(|a|,|b|)/max(|a|,|b|), so a pair can pass only when
-    # 10*min >= t10*max. Carrying n (8 bytes) on the postings prunes
-    # size-mismatched pairs BEFORE the distinct shuffle and the two
-    # array-attach verify joins — pure pruning, no false negatives.
+    # Two candidate-pruning filters, both exact (no false negatives):
+    #
+    # 1. AllPairs LENGTH filter: J(a,b) <= min(|a|,|b|)/max(|a|,|b|),
+    #    so a pair can pass only when 10*min >= t10*max — applied
+    #    per-match, BEFORE the per-pair shuffle.
+    # 2. PPJoin POSITIONAL filter: a match on hash h at positions
+    #    (ra, rb) of the two canonically-sorted sets bounds the
+    #    intersection — shared elements ordered before h sit below ra
+    #    AND below rb, shared elements after h above both — so
+    #    inter <= least(ra,rb) + least(na-ra, nb-rb). Every match
+    #    yields a valid bound; MIN over a pair's matches is the
+    #    tightest. The pair survives only if that bound can still
+    #    reach the threshold: J >= t10/10 <=> (10+t10)*inter >=
+    #    t10*(na+nb). The groupBy replaces the former `.distinct()`
+    #    (same 16-byte-key shuffle, three tiny agg columns), so the
+    #    positional prune costs nothing extra and cuts the pairs the
+    #    two array-attach verify joins must materialize.
+    ub = F.least("ra", "rb") + F.least(
+        F.col("na") - F.col("ra"), F.col("nb") - F.col("rb")
+    )
     cand = (
-        pfx.select(F.col(id_col).alias("a_id"), "__h", F.col("n").alias("na"))
+        pfx.select(
+            F.col(id_col).alias("a_id"),
+            "__h",
+            F.col("n").alias("na"),
+            F.col("rk").alias("ra"),
+        )
         .join(
             pfx.select(
-                F.col(id_col).alias("b_id"), "__h", F.col("n").alias("nb")
+                F.col(id_col).alias("b_id"),
+                "__h",
+                F.col("n").alias("nb"),
+                F.col("rk").alias("rb"),
             ),
             "__h",
         )
@@ -916,8 +939,14 @@ def prefix_filtered_pairs(
             (F.col("a_id") < F.col("b_id"))
             & (10 * F.least("na", "nb") >= t10 * F.greatest("na", "nb"))
         )
+        .groupBy("a_id", "b_id")
+        .agg(
+            F.min(ub).alias("ub"),
+            F.first("na").alias("na"),
+            F.first("nb").alias("nb"),
+        )
+        .filter((10 + t10) * F.col("ub") >= t10 * (F.col("na") + F.col("nb")))
         .select("a_id", "b_id")
-        .distinct()
     )
     # verify: attach each side's sorted hash ARRAY and intersect
     # in-row — near-dup corpora make |candidates| × |set|
