@@ -879,20 +879,30 @@ def prefix_filtered_pairs(
     # the catalog-wide hash-key convention (q22/q44/q71/q77),
     # collisions negligible at 2^-64 and bounded to one
     # candidate/intersection miscount
-    th = (
-        ts.select(id_col, F.xxhash64(token_col).alias("__h"))
-        .distinct()
+    th = ts.select(id_col, F.xxhash64(token_col).alias("__h")).distinct()
+    # df stays a groupBy + equi-join (NOT a window over __h): the
+    # aggregate gets map-side partial combine and AQE can skew-split
+    # the join, so one stop-shingle-hot hash cannot pile a whole
+    # posting list into a single task at scale. The per-SET numbers
+    # (rk, n) DO come from windows — an id partition is bounded by
+    # set size, and computing n beside rk in the same exchange
+    # replaces the former separate size-aggregate + broadcast join.
+    # ``thw`` leaves that window hash-partitioned by id, so the
+    # verify stage's per-set array aggregation below reuses the
+    # exchange for free.
+    # (df, hash) is a GLOBAL canonical order — the prefix property
+    # only needs every set sorted by the same total order.
+    df_rel = th.groupBy("__h").agg(F.count(F.lit(1)).alias("df"))
+    w_id = Window.partitionBy(id_col)
+    w_rk = Window.partitionBy(id_col).orderBy("df", "__h")
+    thw = (
+        th.join(df_rel, "__h")
+        .withColumn("rk", F.row_number().over(w_rk))
+        .withColumn("n", F.count(F.lit(1)).over(w_id).cast("bigint"))
         .persist()
     )
-    sz = th.groupBy(id_col).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
-    df_rel = th.groupBy("__h").agg(F.count(F.lit(1)).alias("df"))
-    # (df, hash) is a GLOBAL canonical order — the prefix property
-    # only needs every set sorted by the same total order
-    w = Window.partitionBy(id_col).orderBy("df", "__h")
     pfx = (
-        th.join(df_rel, "__h")
-        .withColumn("rk", F.row_number().over(w))
-        .join(F.broadcast(sz), id_col)
+        thw
         # integer ceil: `/` here would be FLOAT division, silently
         # shrinking the prefix by one for most set sizes — a
         # false-negative bug the hypothesis completeness test catches
@@ -953,7 +963,9 @@ def prefix_filtered_pairs(
     # token-explode joins the dominant cost (16M rows at sf0.1),
     # while two array-attach joins + an in-row set op stay
     # |candidates|-sized
-    sets = th.groupBy(id_col).agg(
+    # aggregating thw (already hash-partitioned by id from the window
+    # stage) needs NO new exchange — Catalyst sees the partitioning
+    sets = thw.groupBy(id_col).agg(
         F.sort_array(F.collect_list("__h")).alias("arr"),
         F.count(F.lit(1)).cast("bigint").alias("n"),
     )
