@@ -13,5 +13,6 @@ from . import mining as _mng  # noqa: F401  (registers q72-q79)
 from . import corpus as _crp  # noqa: F401  (registers q80-q98)
 from . import platform as _plt  # noqa: F401  (registers q99-q123)
 from . import evalsuite as _evl  # noqa: F401  (registers q124-q133)
+from . import analysis as _ana  # noqa: F401  (registers q134-q145)
 
 __all__ = ["QUERIES", "ORACLE"]
