@@ -817,3 +817,111 @@ def test_q133_gap_windows_share_one_user_shuffle(spark):
     plan = _plan(spark, "q133_interevent_gaps")
     assert plan.count("hashpartitioning(user_id") == 1, plan
     assert "SinglePartition" not in plan, plan
+
+
+def test_q134_fuzzy_join_is_variant_keyed_never_nested_loop(spark):
+    # the edit-distance join must reach candidates through the
+    # deletion-variant equi key — an all-pairs levenshtein would show
+    # up as a nested-loop/cartesian over the name relation
+    plan = _plan(spark, "q134_fuzzy_name_pairs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "levenshtein" in plan
+
+
+def test_q135_twa_single_user_shuffle(spark):
+    # lead window + aggregate share one user_id exchange
+    plan = _plan(spark, "q135_time_weighted_avg")
+    assert plan.count("hashpartitioning(user_id") == 1, plan
+    assert "Join" not in plan
+
+
+def test_q136_calibration_windows_distinct_scores_not_corpus(spark):
+    # q125 discipline: the corpus sees one scan + one score-keyed
+    # aggregate; the bin-cut windows run over the distinct-score
+    # histogram (the only permissible SinglePartition)
+    plan = _plan(spark, "q136_calibration_bins")
+    assert "hashpartitioning(score" in plan, plan
+    assert "Join" not in plan
+
+
+def test_q137_gini_ranks_type_relation_not_corpus(spark):
+    # ranks must consume the (source, token) aggregate: exchanges are
+    # keyed on (source, tok) then source — never unpartitioned
+    plan = _plan(spark, "q137_source_gini")
+    assert "SinglePartition" not in plan, plan
+    assert "hashpartitioning(source" in plan, plan
+    assert "Join" not in plan
+
+
+def test_q138_dispersion_aggregates_before_label_rollup(spark):
+    # per-(label,pos) moments first, label rollup second; the explode
+    # is the only Generate and nothing joins
+    plan = _plan(spark, "q138_centroid_dispersion")
+    assert "hashpartitioning(label" in plan, plan
+    assert "SinglePartition" not in plan, plan
+    assert "Join" not in plan
+
+
+def test_q139_winsorize_bounds_broadcast_back(spark):
+    # the per-supplier bounds relation (one row per key) broadcasts
+    # back to the raw scan — never an SMJ over lineitem
+    plan = _plan(spark, "q139_winsorized_stats")
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_q140_mad_windows_share_one_user_shuffle(spark):
+    # both order-statistic picks ride the same user_id partitioning as
+    # window maxima — no medians join, one keyed exchange, no
+    # unpartitioned window
+    plan = _plan(spark, "q140_mad_outliers")
+    assert plan.count("hashpartitioning(user_id") == 1, plan
+    assert "Join" not in plan
+    assert "SinglePartition" not in plan, plan
+
+
+def test_q141_weighted_median_pick_prunes_to_group_limit(spark):
+    # pick = 1 must push down as a WindowGroupLimit so only the first
+    # qualifying row per part survives the final window sort
+    plan = _plan(spark, "q141_weighted_median")
+    assert "WindowGroupLimit" in plan, plan
+    assert "Join" not in plan
+    assert "SinglePartition" not in plan, plan
+
+
+def test_q142_rank_drift_pivots_without_join(spark):
+    # the two half rank lists combine through a tok-keyed MAX(CASE)
+    # aggregate — no self-join of the rank relation; the top-20 filter
+    # prunes each half to a WindowGroupLimit
+    plan = _plan(spark, "q142_rank_drift")
+    assert "Join" not in plan
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_q143_sweepline_preaggregates_boundaries(spark):
+    # boundary deltas group by (priority, instant) BEFORE the running
+    # sum: the ordered window consumes the aggregated relation
+    plan = _plan(spark, "q143_peak_concurrency")
+    assert "hashpartitioning(o_orderpriority" in plan, plan
+    assert "SinglePartition" not in plan, plan
+    assert "Join" not in plan
+
+
+def test_q144_islands_single_user_shuffle(spark):
+    # running-max, island cumsum and both aggregates share one
+    # user_id exchange
+    plan = _plan(spark, "q144_interval_coverage")
+    assert plan.count("hashpartitioning(user_id") == 1, plan
+    assert "Join" not in plan
+    assert "SinglePartition" not in plan, plan
+
+
+def test_q145_path_motif_is_one_groupby_no_window(spark):
+    # the per-user path builds inside one groupBy (sorted-struct
+    # fold); no window, no join — the only SinglePartition is the
+    # final 4-column scalar aggregate
+    plan = _plan(spark, "q145_path_motif")
+    assert "Join" not in plan
+    assert "Window" not in plan, plan
+    assert plan.count("hashpartitioning(user_id") == 1, plan
