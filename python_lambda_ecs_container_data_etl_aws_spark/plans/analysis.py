@@ -487,7 +487,11 @@ def q139(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # q140 MAD outliers — median/MAD robust screen per user. Two order-
 # statistic picks (value median, then deviation median) via the q133
-# row_number idiom; both joins are key-equi on user_id.
+# row_number idiom. The Spark build broadcasts each pick back as a
+# MAX(CASE WHEN rn = pick) window over the SAME user_id partitioning
+# instead of joining a medians relation back — every window and the
+# final aggregate reuse ONE user-keyed exchange (the oracle's join
+# form computes identical values).
 
 ORACLE["q140_mad_outliers"] = """
 WITH e AS (SELECT user_id, event_id, CAST(floor(value * 1000) AS BIGINT) AS vm
@@ -525,32 +529,29 @@ def q140(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_all = Window.partitionBy("user_id")
     r1 = e.select(
         "user_id",
+        "event_id",
         "vm",
         F.row_number().over(w_rank).alias("rn"),
         F.count(F.lit(1)).over(w_all).alias("n"),
     )
-    med = r1.where(F.col("rn") == F.expr("(n + 1) div 2")).select(
-        "user_id", F.col("vm").alias("med")
-    )
-    d = e.join(med, "user_id").select(
-        "user_id",
-        "event_id",
+    # the n rows per user are the same relation for both medians: pick
+    # values propagate as per-partition window maxima, never a join
+    d = r1.withColumn(
         "med",
-        F.abs(F.col("vm") - F.col("med")).alias("dev"),
-    )
+        F.max(
+            F.when(F.col("rn") == F.expr("(n + 1) div 2"), F.col("vm"))
+        ).over(w_all),
+    ).withColumn("dev", F.abs(F.col("vm") - F.col("med")))
     w_rank2 = Window.partitionBy("user_id").orderBy("dev", "event_id")
-    r2 = d.select(
-        "user_id",
-        "dev",
-        F.row_number().over(w_rank2).alias("rn2"),
-        F.count(F.lit(1)).over(w_all).alias("n2"),
-    )
-    mad = r2.where(F.col("rn2") == F.expr("(n2 + 1) div 2")).select(
-        "user_id", F.col("dev").alias("mad")
+    r2 = d.withColumn("rn2", F.row_number().over(w_rank2))
+    withmad = r2.withColumn(
+        "mad",
+        F.max(
+            F.when(F.col("rn2") == F.expr("(n + 1) div 2"), F.col("dev"))
+        ).over(w_all),
     )
     return (
-        d.join(mad, "user_id")
-        .groupBy("user_id")
+        withmad.groupBy("user_id")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n"),
             F.max("med").cast("bigint").alias("med_milli"),
