@@ -438,3 +438,43 @@ def test_median_lower_middle_pick_matches_python(gaps, spark):
     assert len(got) == 1
     want = sorted(gaps)[(len(gaps) + 1) // 2 - 1]
     assert got[0].g == want
+
+
+def test_q144_islands_equal_native_session_windows(spark):
+    """q144's gaps-and-islands interval union is EXACTLY Spark's native
+    session-window semantics with the same gap: an island of
+    overlapping [t, t+G) intervals is a session_window(G) group
+    (start = first event, end = last event + G), so per-user island
+    counts and union lengths must match the built-in — the batch
+    contract the streaming session tier (q34 twin) inherits."""
+    from pyspark.sql import functions as F
+
+    from python_lambda_ecs_container_data_etl_aws_spark.plans import QUERIES
+    from tests.conftest import SF_DIR
+
+    got = {
+        r.user_id: (r.n_islands, r.covered_us)
+        for r in QUERIES["q144_interval_coverage"](spark, SF_DIR).collect()
+    }
+    from python_lambda_ecs_container_data_etl_aws_spark.catalog import load_events
+
+    e = load_events(spark, SF_DIR).select(
+        "user_id", F.timestamp_micros(F.col("ts_us")).alias("ts")
+    )
+    native = (
+        e.groupBy(
+            "user_id",
+            F.session_window("ts", "30 minutes").alias("w"),
+        )
+        .count()
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_islands"),
+            F.sum(
+                F.unix_micros(F.col("w.end")) - F.unix_micros(F.col("w.start"))
+            ).alias("covered_us"),
+        )
+        .collect()
+    )
+    want = {r.user_id: (r.n_islands, r.covered_us) for r in native}
+    assert got == want
