@@ -284,19 +284,23 @@ def q147(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_all = Window.orderBy("score").rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
     )
-    c = g.select(
-        "score",
-        "n",
-        "p",
-        F.coalesce(F.sum("n").over(w_below), F.lit(0))
-        .cast("bigint")
-        .alias("below_n"),
-        F.coalesce(F.sum("p").over(w_below), F.lit(0))
-        .cast("bigint")
-        .alias("below_p"),
-        F.sum("n").over(w_all).cast("bigint").alias("ntot"),
-        F.sum("p").over(w_all).cast("bigint").alias("ptot"),
-    ).withColumn("bin", F.expr("below_n * 10 div ntot + 1"))
+    c = (
+        g.select(
+            "score",
+            "n",
+            "p",
+            F.coalesce(F.sum("n").over(w_below), F.lit(0))
+            .cast("bigint")
+            .alias("below_n"),
+            F.coalesce(F.sum("p").over(w_below), F.lit(0))
+            .cast("bigint")
+            .alias("below_p"),
+            F.sum("n").over(w_all).cast("bigint").alias("ntot"),
+            F.sum("p").over(w_all).cast("bigint").alias("ptot"),
+        )
+        .withColumn("bin", F.expr("below_n * 10 div ntot + 1"))
+        .persist()  # both sides of the thr self-join: one corpus scan
+    )
     thr = c.groupBy("bin").agg(F.min("score").alias("thr_score")).select(
         F.col("bin").alias("bin_t"), "thr_score"
     )
@@ -499,8 +503,8 @@ def q150(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_events(spark, sf_dir)
     ut = e.groupBy("user_id", "event_type").agg(
         F.min("ts_us").alias("first_us"), F.max("ts_us").alias("last_us")
-    )
-    n_users = e.agg(
+    ).persist()  # feeds both pair-join sides AND the user count: one scan
+    n_users = ut.agg(
         F.countDistinct("user_id").cast("bigint").alias("n_users")
     )
     a = ut.select(
@@ -588,7 +592,7 @@ def q151(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tv = e.groupBy("event_type", "vm").agg(
         F.count(F.lit(1)).cast("bigint").alias("c")
-    )
+    ).persist()  # grid-sized; feeds gv/ty/n_g/probe from one corpus scan
     # global grid with cumulative counts: one ordered window over the
     # bounded value grid (same shape class as q125/q136's logit scans)
     gv = (

@@ -17,6 +17,16 @@ def _plan(spark, name: str) -> str:
     )
 
 
+def _nnodes(plan: str, node: str) -> int:
+    # formatted mode prints each node twice (tree + detail section);
+    # count only the numbered detail headers
+    return len(re.findall(r"\(\d+\) " + node + r"[ \n]", plan))
+
+
+def _nscans(plan: str) -> int:
+    return _nnodes(plan, "Scan parquet")
+
+
 def test_q05_dims_broadcast_and_filters_pushed(spark):
     plan = _plan(spark, "q05_report_aggregate")
     assert "SortMergeJoin" not in plan
@@ -925,3 +935,132 @@ def test_q145_path_motif_is_one_groupby_no_window(spark):
     assert "Join" not in plan
     assert "Window" not in plan, plan
     assert plan.count("hashpartitioning(user_id") == 1, plan
+
+
+def test_q146_retrieval_eval_broadcasts_anchors_and_prunes_topk(spark):
+    # the bounded anchor set broadcasts against the streaming corpus
+    # (the only nested-loop is that bounded attach); the per-anchor
+    # top-10 pushes down as a WindowGroupLimit; the label-population
+    # join broadcasts the |labels|-sized relation
+    plan = _plan(spark, "q146_retrieval_mrr")
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "WindowGroupLimit" in plan, plan
+    assert "SinglePartition" not in plan, plan
+
+
+def test_q147_pr_curve_windows_distinct_scores_not_corpus(spark):
+    # q125/q136 discipline: the corpus sees one scan + one score-keyed
+    # aggregate; suffix-sum windows run over the distinct-logit
+    # histogram, and the threshold join broadcasts back into the
+    # CACHED histogram (InMemoryTableScan on both consumers)
+    plan = _plan(spark, "q147_pr_curve")
+    assert "hashpartitioning(score" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert _nscans(plan) <= 1, plan
+    assert "InMemoryTableScan" in plan, plan
+
+
+def test_q148_chisq_windows_run_on_cell_relation(spark):
+    # marginal windows consume the |types| x 7 contingency relation,
+    # never raw events: the only corpus exchange is the cell groupBy,
+    # and nothing joins
+    plan = _plan(spark, "q148_chisq_independence")
+    assert "Join" not in plan
+    assert "hashpartitioning(event_type" in plan, plan
+
+
+def test_q149_phonetic_join_is_vocab_keyed_equi(spark):
+    # the self-join runs on the cached DISTINCT vocabulary keyed by
+    # the phonetic block — never nested-loop, never corpus-sized
+    plan = _plan(spark, "q149_phonetic_blocking")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "levenshtein" in plan
+    assert "InMemoryTableScan" in plan, plan
+    assert _nscans(plan) <= 1, plan
+
+
+def test_q150_pair_join_runs_on_user_type_aggregate(spark):
+    # the GSP pair join consumes the (user, type) first/last aggregate
+    # (cached; raw events scanned once) — the only nested-loop is the
+    # 1-row n_users scalar attach
+    plan = _plan(spark, "q150_seq_pattern_support")
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan, plan
+    assert _nscans(plan) <= 1, plan
+    assert "hashpartitioning(user_id" in plan, plan
+
+
+def test_q151_ks_windows_run_on_value_grid(spark):
+    # the corpus reduces to the centi-quantized (type, value) grid
+    # before any window: cached once, consumed four times; the
+    # supremum pick prunes to a WindowGroupLimit
+    plan = _plan(spark, "q151_ks_drift")
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan, plan
+    assert _nscans(plan) <= 1, plan
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_q152_cusum_single_user_shuffle(spark):
+    # count/sum/rank/cumsum window specs and the peak pick all ride
+    # ONE user_id exchange; no join, no unpartitioned window
+    plan = _plan(spark, "q152_cusum_changepoint")
+    assert plan.count("hashpartitioning(user_id") == 1, plan
+    assert "Join" not in plan
+    assert "SinglePartition" not in plan, plan
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_q153_three_lags_one_window_pass(spark):
+    # lag-1/2/3 come from one ordered window (three LEADs in a single
+    # Window node); the explode happens in the same stage and the
+    # final aggregate re-keys on (user_id, lag)
+    plan = _plan(spark, "q153_lag_autocorr")
+    assert "Join" not in plan
+    assert _nnodes(plan, "Window") == 1, plan
+    assert "SinglePartition" not in plan, plan
+
+
+def test_q154_readability_is_scan_plus_one_aggregate(spark):
+    # pure codegen expressions over one corpus scan + one grouped
+    # aggregate: no window, no join, no single-partition stage
+    plan = _plan(spark, "q154_readability")
+    assert "Join" not in plan
+    assert "Window" not in plan, plan
+    assert "SinglePartition" not in plan, plan
+    assert _nscans(plan) == 1, plan
+
+
+def test_q155_conversion_probe_is_user_keyed(spark):
+    # the purchase probe joins the per-user first-view aggregate on
+    # user_id (hash join, never nested-loop/SMJ at this size); order
+    # statistics ride wk-keyed windows
+    plan = _plan(spark, "q155_conversion_latency")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "hashpartitioning(wk" in plan, plan
+    assert "SinglePartition" not in plan, plan
+
+
+def test_q156_grouping_sets_one_expand_dims_broadcast(spark):
+    # the four grouping sets come from ONE Expand over the joined base
+    # (never four scans); customer/nation broadcast
+    plan = _plan(spark, "q156_grouping_sets")
+    assert _nnodes(plan, "Expand") == 1, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert _nnodes(plan, "BroadcastHashJoin") == 3, plan
+    assert _nscans(plan) == 4, plan
+
+
+def test_q157_unpivot_melts_source_sized_relation(spark):
+    # the melt (Expand) consumes the |sources|-sized wide aggregate,
+    # after the corpus reduced: one scan, one source-keyed exchange
+    plan = _plan(spark, "q157_metric_unpivot")
+    assert "Join" not in plan
+    assert _nnodes(plan, "Expand") == 1, plan
+    assert _nscans(plan) == 1, plan
+    assert "hashpartitioning(source" in plan, plan
