@@ -1,0 +1,500 @@
+"""Business-analytics queries q158-q161: the revenue/behavior jobs a
+reporting tier runs beside the corpus-curation tiers — association
+rules over order baskets, RFM customer segmentation, seasonal-naive
+forecast evaluation, and an A/B experiment readout. The reference's
+report routes (3.(2) mysql-lambda report queries) parameterize
+grouped revenue aggregates; these four are the standard analyses the
+same star schema feeds one step downstream.
+
+- q158 market-basket association rules: directional brand->brand
+  rules over per-order part-brand baskets with support, confidence
+  and lift (ppm). The APRIORI property prunes infrequent items
+  BEFORE the pair join — at 100 TB the pair space is bounded by the
+  frequent-item set squared, never the raw item vocabulary. q69 is
+  the distributional (PMI) cousin on document tokens; this is the
+  transactional rule miner with directed confidence.
+- q159 RFM segmentation: per-customer recency/frequency/monetary
+  quintiles -> 125 segment cells with counts and exact money sums.
+  Quintile cuts use the q136 distinct-value-histogram discipline
+  (bin = below*5 div n + 1) on BOUNDED value grids: recency is
+  bounded by the date range, frequency by per-customer order counts
+  (TPC-H holds these fixed as SF grows), monetary by the
+  hundred-dollar quantization of the price range — so no cut ever
+  sorts the customer relation globally.
+- q160 seasonal-naive forecast eval: per event_type, MASE components
+  of the lag-7 (seasonal) forecast against the lag-1 (naive) walk on
+  the DENSIFIED daily-count grid (types x full day range,
+  zero-filled — q151's boundedness argument: the grid is |days|
+  sized, not corpus sized). Exact integer absolute-error sums; the
+  ratio is one truncating ppm division.
+- q161 A/B experiment readout: users hash into two arms (md5-parity
+  — the engine-portable split, q45/q124 family), conversion = any
+  purchase event; emits one row with per-arm counts, conversion ppm,
+  relative lift ppm, and the 2x2 chi-square statistic (milli). The
+  chi-square product chain crosses BIGINT near ~3e9 users, so both
+  engines compute it in 128-bit integers (Spark decimal(38,0),
+  DuckDB HUGEINT) and emit BIGINT — the documented q128-style
+  escape, applied preemptively.
+
+All cross-engine arithmetic is BIGINT (or the decimal(38,0) escape
+above) with non-negative division operands (Spark `div` truncates,
+DuckDB `//` floors — they agree only on non-negatives; lift and MASE
+numerators are absolute values or counts by construction).
+
+Reference parity: the reference's report API (SURVEY.md §2 A3/A4;
+`3.(2) mysql-lambda-ecs-container-etl.py` report routes) stops at
+grouped revenue sums; this family is catalog surface beyond the
+reference, kept oracle-backed under the same contract.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_events, load_table
+from .core import ORACLE, _q
+from .evalsuite import _md5i_spark, _md5i_sql
+
+_DAY_US = 86400 * 1_000_000
+
+# --------------------------------------------------------------------------
+# q158 market-basket association rules — brand baskets per order,
+# apriori-pruned directional rules. min-support = 0.5% of orders
+# (supp * 200 >= n_orders), applied to ITEMS before the pair join and
+# to PAIRS after: the pair relation never materializes an infrequent
+# item's candidates. lift_ppm computes in two divisions
+# (conf_ppm * n_orders div supp_cons) to stay under 2^63 until
+# n_orders ~ 9e12 (absolute SF ~6e6 — documented headroom).
+
+ORACLE["q158_basket_rules"] = """
+WITH ob AS (
+    SELECT DISTINCT l_orderkey AS o, p_brand AS item
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+),
+n AS (SELECT CAST(COUNT(DISTINCT o) AS BIGINT) AS n_orders FROM ob),
+it AS (SELECT item, CAST(COUNT(*) AS BIGINT) AS supp FROM ob GROUP BY item),
+freq AS (SELECT item, supp FROM it CROSS JOIN n WHERE supp * 200 >= n_orders),
+pr AS (
+    SELECT a.item AS ante, b.item AS cons, CAST(COUNT(*) AS BIGINT) AS supp_ab
+    FROM ob a
+    JOIN freq fa ON fa.item = a.item
+    JOIN ob b ON a.o = b.o AND a.item <> b.item
+    JOIN freq fb ON fb.item = b.item
+    GROUP BY 1, 2
+)
+SELECT ante, cons, supp_ab,
+       fa.supp AS supp_ante, fb.supp AS supp_cons,
+       CAST(supp_ab * 1000000 // fa.supp AS BIGINT) AS conf_ppm,
+       CAST((supp_ab * 1000000 // fa.supp) * n_orders // fb.supp AS BIGINT)
+           AS lift_ppm
+FROM pr
+JOIN freq fa ON fa.item = pr.ante
+JOIN freq fb ON fb.item = pr.cons
+CROSS JOIN n
+WHERE supp_ab * 200 >= n_orders
+ORDER BY ante, cons
+"""
+
+
+@_q("q158_basket_rules")
+def q158(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    pt = load_table(spark, sf_dir, "part")
+    ob = (
+        li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
+        .select(F.col("l_orderkey").alias("o"), F.col("p_brand").alias("item"))
+        .distinct()
+        .persist()  # feeds n_orders, item supports, and both pair sides
+    )
+    n = ob.agg(F.countDistinct("o").cast("bigint").alias("n_orders"))
+    it = ob.groupBy("item").agg(F.count(F.lit(1)).cast("bigint").alias("supp"))
+    freq = (
+        it.crossJoin(F.broadcast(n))  # 1-row scalar attach
+        .filter(F.expr("supp * 200 >= n_orders"))
+        .select("item", "supp")
+    )
+    # apriori prune BEFORE the pair join: each basket side keeps only
+    # frequent items (broadcast semi joins — freq is at most |items|)
+    a = ob.join(F.broadcast(freq.select("item")), "item", "semi").select(
+        "o", F.col("item").alias("ante")
+    )
+    b = ob.join(F.broadcast(freq.select("item")), "item", "semi").select(
+        F.col("o").alias("o_b"), F.col("item").alias("cons")
+    )
+    pr = (
+        a.join(b, (a.o == b.o_b) & (F.col("ante") != F.col("cons")))
+        .groupBy("ante", "cons")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("supp_ab"))
+    )
+    fa = freq.select(F.col("item").alias("item_a"), F.col("supp").alias("supp_ante"))
+    fb = freq.select(F.col("item").alias("item_b"), F.col("supp").alias("supp_cons"))
+    return (
+        pr.join(F.broadcast(fa), pr.ante == fa.item_a)
+        .join(F.broadcast(fb), pr.cons == fb.item_b)
+        .crossJoin(F.broadcast(n))  # 1-row scalar attach
+        .filter(F.expr("supp_ab * 200 >= n_orders"))
+        .select(
+            "ante",
+            "cons",
+            "supp_ab",
+            "supp_ante",
+            "supp_cons",
+            F.expr("supp_ab * 1000000 div supp_ante")
+            .cast("bigint")
+            .alias("conf_ppm"),
+            F.expr(
+                "(supp_ab * 1000000 div supp_ante) * n_orders div supp_cons"
+            )
+            .cast("bigint")
+            .alias("lift_ppm"),
+        )
+        .orderBy("ante", "cons")
+    )
+
+
+# --------------------------------------------------------------------------
+# q159 RFM segmentation — recency (days since last order, relative to
+# the global max order day), frequency (order count), monetary (total
+# price in cents). Each metric cuts into quintiles on its DISTINCT
+# value histogram (bin = below*5 div n_cust + 1 — q136's equal-
+# frequency discipline, ties share a bin deterministically); monetary
+# quantizes to hundred-dollar buckets first so its grid is bounded by
+# the PRICE RANGE, not the customer count. Bin 1 = most recent /
+# fewest orders / lowest spend; dashboards relabel, the engine keeps
+# raw ascending bins portable.
+
+ORACLE["q159_rfm_segments"] = """
+WITH c AS (
+    SELECT o_custkey,
+           CAST(MAX(epoch_us(CAST(o_orderdate AS TIMESTAMP)) // 86400000000)
+               AS BIGINT) AS last_day,
+           CAST(COUNT(*) AS BIGINT) AS f,
+           CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS m_cents
+    FROM orders GROUP BY o_custkey
+),
+g AS (SELECT CAST(MAX(last_day) AS BIGINT) AS gmax,
+             CAST(COUNT(*) AS BIGINT) AS n_cust FROM c),
+rfm AS (
+    SELECT o_custkey, gmax - last_day AS r, f, m_cents,
+           m_cents // 10000 AS m_b, n_cust
+    FROM c CROSS JOIN g
+),
+rh AS (SELECT r AS v, COUNT(*) AS cnt FROM rfm GROUP BY r),
+rcut AS (SELECT v, CAST(COALESCE(SUM(cnt) OVER (ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS below FROM rh),
+fh AS (SELECT f AS v, COUNT(*) AS cnt FROM rfm GROUP BY f),
+fcut AS (SELECT v, CAST(COALESCE(SUM(cnt) OVER (ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS below FROM fh),
+mh AS (SELECT m_b AS v, COUNT(*) AS cnt FROM rfm GROUP BY m_b),
+mcut AS (SELECT v, CAST(COALESCE(SUM(cnt) OVER (ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS below FROM mh),
+seg AS (
+    SELECT rfm.o_custkey, rfm.m_cents,
+           rcut.below * 5 // rfm.n_cust + 1 AS r_bin,
+           fcut.below * 5 // rfm.n_cust + 1 AS f_bin,
+           mcut.below * 5 // rfm.n_cust + 1 AS m_bin
+    FROM rfm
+    JOIN rcut ON rcut.v = rfm.r
+    JOIN fcut ON fcut.v = rfm.f
+    JOIN mcut ON mcut.v = rfm.m_b
+)
+SELECT CAST(r_bin AS BIGINT) AS r_bin, CAST(f_bin AS BIGINT) AS f_bin,
+       CAST(m_bin AS BIGINT) AS m_bin,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(m_cents) AS BIGINT) AS sum_cents
+FROM seg GROUP BY 1, 2, 3 ORDER BY r_bin, f_bin, m_bin
+"""
+
+
+@_q("q159_rfm_segments")
+def q159(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = o.groupBy("o_custkey").agg(
+        F.max(
+            F.expr(
+                f"unix_micros(CAST(o_orderdate AS TIMESTAMP)) div {_DAY_US}"
+            )
+        )
+        .cast("bigint")
+        .alias("last_day"),
+        F.count(F.lit(1)).cast("bigint").alias("f"),
+        F.sum(F.expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+        .cast("bigint")
+        .alias("m_cents"),
+    ).persist()  # feeds the global scalar AND the rfm relation: one scan
+    g = c.agg(
+        F.max("last_day").cast("bigint").alias("gmax"),
+        F.count(F.lit(1)).cast("bigint").alias("n_cust"),
+    )
+    rfm = (
+        c.crossJoin(F.broadcast(g))  # 1-row scalar attach
+        .select(
+            "o_custkey",
+            F.expr("gmax - last_day").alias("r"),
+            "f",
+            "m_cents",
+            F.expr("m_cents div 10000").alias("m_b"),
+            "n_cust",
+        )
+        .persist()  # feeds three histograms + the final assignment
+    )
+
+    def _cut(col: str) -> DataFrame:
+        h = rfm.groupBy(F.col(col).alias("v")).agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
+        w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+        return h.select(
+            "v",
+            F.coalesce(F.sum("cnt").over(w), F.lit(0))
+            .cast("bigint")
+            .alias("below"),
+        )
+
+    rcut = _cut("r").withColumnsRenamed({"v": "rv", "below": "r_below"})
+    fcut = _cut("f").withColumnsRenamed({"v": "fv", "below": "f_below"})
+    mcut = _cut("m_b").withColumnsRenamed({"v": "mv", "below": "m_below"})
+    seg = (
+        rfm.join(F.broadcast(rcut), rfm.r == rcut.rv)
+        .join(F.broadcast(fcut), rfm.f == fcut.fv)
+        .join(F.broadcast(mcut), rfm.m_b == mcut.mv)
+        .select(
+            "m_cents",
+            F.expr("r_below * 5 div n_cust + 1").alias("r_bin"),
+            F.expr("f_below * 5 div n_cust + 1").alias("f_bin"),
+            F.expr("m_below * 5 div n_cust + 1").alias("m_bin"),
+        )
+    )
+    return (
+        seg.groupBy("r_bin", "f_bin", "m_bin")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            F.sum("m_cents").cast("bigint").alias("sum_cents"),
+        )
+        .select(
+            F.col("r_bin").cast("bigint").alias("r_bin"),
+            F.col("f_bin").cast("bigint").alias("f_bin"),
+            F.col("m_bin").cast("bigint").alias("m_bin"),
+            "n_customers",
+            "sum_cents",
+        )
+        .orderBy("r_bin", "f_bin", "m_bin")
+    )
+
+
+# --------------------------------------------------------------------------
+# q160 seasonal-naive forecast eval — MASE components per event_type
+# on the densified daily grid: seasonal forecast = count 7 days back,
+# naive walk = count 1 day back; both errors sum over grid positions
+# where the lag-7 reference exists (idx >= 8). The grid is |days| x
+# |types| (bounded by the DATE RANGE), zero-filled, so sparse days
+# contribute exact zeros rather than silently shrinking the lag
+# distance. mase_ppm < 1e6 means the seasonal model beats the naive
+# walk.
+
+ORACLE["q160_forecast_eval"] = f"""
+WITH d AS (
+    SELECT event_type,
+           epoch_us(CAST(ts AS TIMESTAMP)) // {_DAY_US} AS day,
+           CAST(COUNT(*) AS BIGINT) AS c
+    FROM events GROUP BY 1, 2
+),
+span AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM d),
+grid AS (
+    SELECT t.event_type, g.day, COALESCE(d.c, 0) AS c,
+           CAST(g.day - s.d0 + 1 AS BIGINT) AS idx
+    FROM (SELECT DISTINCT event_type FROM d) t
+    CROSS JOIN span s
+    CROSS JOIN (SELECT unnest(range((SELECT d0 FROM span),
+                                    (SELECT d1 FROM span) + 1)) AS day) g
+    LEFT JOIN d ON d.event_type = t.event_type AND d.day = g.day
+),
+l AS (
+    SELECT event_type, idx, c,
+           LAG(c, 7) OVER w AS c7, LAG(c, 1) OVER w AS c1
+    FROM grid WINDOW w AS (PARTITION BY event_type ORDER BY idx)
+),
+s AS (
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_scored,
+           CAST(SUM(abs(c - c7)) AS BIGINT) AS seas_abs_err,
+           CAST(SUM(abs(c - c1)) AS BIGINT) AS naive_abs_err
+    FROM l WHERE idx >= 8 GROUP BY event_type
+)
+SELECT event_type, n_scored, seas_abs_err, naive_abs_err,
+       CAST(CASE WHEN naive_abs_err = 0 THEN 0
+            ELSE seas_abs_err * 1000000 // naive_abs_err END AS BIGINT)
+           AS mase_ppm
+FROM s ORDER BY event_type
+"""
+
+
+@_q("q160_forecast_eval")
+def q160(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_events(spark, sf_dir).select(
+        "event_type", F.expr(f"ts_us div {_DAY_US}").alias("day")
+    )
+    d = e.groupBy("event_type", "day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    ).persist()  # feeds the type list, the day span, and the grid probe
+    span = d.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    days = span.select(
+        F.explode(F.sequence("d0", "d1")).alias("day"), "d0"
+    )
+    types = d.select("event_type").distinct()
+    grid = (
+        days.crossJoin(F.broadcast(types))  # |days| x |types| densification
+        .join(d, ["event_type", "day"], "left")
+        .select(
+            "event_type",
+            F.expr("day - d0 + 1").cast("bigint").alias("idx"),
+            F.coalesce("c", F.lit(0)).alias("c"),
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("idx")
+    lagged = grid.select(
+        "event_type",
+        "idx",
+        "c",
+        F.lag("c", 7).over(w).alias("c7"),
+        F.lag("c", 1).over(w).alias("c1"),
+    )
+    s = (
+        lagged.where(F.col("idx") >= 8)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_scored"),
+            F.sum(F.expr("abs(c - c7)")).cast("bigint").alias("seas_abs_err"),
+            F.sum(F.expr("abs(c - c1)")).cast("bigint").alias("naive_abs_err"),
+        )
+    )
+    return s.select(
+        "event_type",
+        "n_scored",
+        "seas_abs_err",
+        "naive_abs_err",
+        F.when(F.col("naive_abs_err") == 0, F.lit(0))
+        .otherwise(F.expr("seas_abs_err * 1000000 div naive_abs_err"))
+        .cast("bigint")
+        .alias("mase_ppm"),
+    ).orderBy("event_type")
+
+
+# --------------------------------------------------------------------------
+# q161 A/B experiment readout — md5-parity arm split (deterministic,
+# engine-portable), conversion = any purchase event. One scalar row:
+# per-arm user/conversion counts, conversion ppm, relative lift of
+# arm B over arm A (ppm), and the 2x2 chi-square statistic in milli
+# computed in 128-bit integers (decimal(38,0) / HUGEINT) because
+# N*(ad-bc)^2 crosses 2^63 near ~3e9 users.
+
+ORACLE["q161_abtest_readout"] = f"""
+WITH u AS (
+    SELECT user_id,
+           {_md5i_sql('ab1|', 'user_id')} % 2 AS arm,
+           MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+    FROM events GROUP BY user_id
+),
+t AS (
+    SELECT CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+           CAST(SUM(CASE WHEN arm = 0 THEN conv ELSE 0 END) AS BIGINT) AS c_a,
+           CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+           CAST(SUM(CASE WHEN arm = 1 THEN conv ELSE 0 END) AS BIGINT) AS c_b
+    FROM u
+),
+p AS (
+    SELECT n_a, c_a, n_b, c_b,
+           CASE WHEN n_a = 0 THEN 0 ELSE c_a * 1000000 // n_a END AS ppm_a,
+           CASE WHEN n_b = 0 THEN 0 ELSE c_b * 1000000 // n_b END AS ppm_b
+    FROM t
+)
+SELECT n_a, c_a, n_b, c_b,
+       CAST(ppm_a AS BIGINT) AS conv_ppm_a,
+       CAST(ppm_b AS BIGINT) AS conv_ppm_b,
+       CAST(CASE WHEN ppm_a = 0 THEN 0
+            ELSE ppm_b * 1000000 // ppm_a END AS BIGINT) AS lift_ppm,
+       CAST(CASE WHEN n_a = 0 OR n_b = 0 OR c_a + c_b = 0
+                 OR n_a + n_b - c_a - c_b = 0 THEN 0
+            ELSE CAST(1000 AS HUGEINT) * (n_a + n_b)
+                 * (CAST(c_a AS HUGEINT) * (n_b - c_b)
+                    - CAST(c_b AS HUGEINT) * (n_a - c_a))
+                 * (CAST(c_a AS HUGEINT) * (n_b - c_b)
+                    - CAST(c_b AS HUGEINT) * (n_a - c_a))
+                 // (CAST(n_a AS HUGEINT) * n_b * (c_a + c_b)
+                     * (n_a + n_b - c_a - c_b)) END AS BIGINT) AS chisq_milli
+FROM p
+"""
+
+
+@_q("q161_abtest_readout")
+def q161(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_events(spark, sf_dir)
+    u = e.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("conv")
+    ).select(
+        (_md5i_spark("ab1|", F.col("user_id")) % 2).alias("arm"), "conv"
+    )
+    t = u.agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_a"),
+        F.sum(F.when(F.col("arm") == 0, F.col("conv")).otherwise(0))
+        .cast("bigint")
+        .alias("c_a"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_b"),
+        F.sum(F.when(F.col("arm") == 1, F.col("conv")).otherwise(0))
+        .cast("bigint")
+        .alias("c_b"),
+    )
+    p = t.select(
+        "n_a",
+        "c_a",
+        "n_b",
+        "c_b",
+        F.when(F.col("n_a") == 0, F.lit(0))
+        .otherwise(F.expr("c_a * 1000000 div n_a"))
+        .alias("ppm_a"),
+        F.when(F.col("n_b") == 0, F.lit(0))
+        .otherwise(F.expr("c_b * 1000000 div n_b"))
+        .alias("ppm_b"),
+    )
+    chisq = F.expr(
+        "CAST(1000 AS DECIMAL(38,0)) * (n_a + n_b)"
+        " * (CAST(c_a AS DECIMAL(38,0)) * (n_b - c_b)"
+        "    - CAST(c_b AS DECIMAL(38,0)) * (n_a - c_a))"
+        " * (CAST(c_a AS DECIMAL(38,0)) * (n_b - c_b)"
+        "    - CAST(c_b AS DECIMAL(38,0)) * (n_a - c_a))"
+        " div (CAST(n_a AS DECIMAL(38,0)) * n_b * (c_a + c_b)"
+        "      * (n_a + n_b - c_a - c_b))"
+    )
+    return p.select(
+        "n_a",
+        "c_a",
+        "n_b",
+        "c_b",
+        F.col("ppm_a").cast("bigint").alias("conv_ppm_a"),
+        F.col("ppm_b").cast("bigint").alias("conv_ppm_b"),
+        F.when(F.col("ppm_a") == 0, F.lit(0))
+        .otherwise(F.expr("ppm_b * 1000000 div ppm_a"))
+        .cast("bigint")
+        .alias("lift_ppm"),
+        F.when(
+            (F.col("n_a") == 0)
+            | (F.col("n_b") == 0)
+            | (F.expr("c_a + c_b") == 0)
+            | (F.expr("n_a + n_b - c_a - c_b") == 0),
+            F.lit(0),
+        )
+        .otherwise(chisq)
+        .cast("bigint")
+        .alias("chisq_milli"),
+    )

@@ -1064,3 +1064,46 @@ def test_q157_unpivot_melts_source_sized_relation(spark):
     assert _nnodes(plan, "Expand") == 1, plan
     assert _nscans(plan) == 1, plan
     assert "hashpartitioning(source" in plan, plan
+
+
+def test_q158_apriori_prunes_before_pair_join(spark):
+    # the basket relation caches once (feeds n_orders, item supports,
+    # both pair sides); the pair join is an order-keyed equi join of
+    # two frequent-pruned sides — large-large, so shuffle-based join
+    # shapes are correct here; never a cartesian, and support lookups
+    # broadcast
+    plan = _plan(spark, "q158_basket_rules")
+    assert "CartesianProduct" not in plan
+    assert "InMemoryTableScan" in plan, plan
+    assert _nscans(plan) <= 2, plan  # lineitem + part, each at most once
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_q159_rfm_cuts_run_on_value_grids(spark):
+    # orders scan once into the per-customer aggregate (cached); the
+    # three quintile cuts window over DISTINCT-value histograms
+    # (bounded grids — q136 discipline) and broadcast back
+    plan = _plan(spark, "q159_rfm_segments")
+    assert "SortMergeJoin" not in plan, plan
+    assert _nscans(plan) <= 1, plan
+    assert plan.count("hashpartitioning(o_custkey") <= 2, plan
+
+
+def test_q160_forecast_lags_ride_type_keyed_grid(spark):
+    # the corpus reduces to the (type, day) aggregate before the
+    # densified grid forms; both lags come from one type-keyed window
+    plan = _plan(spark, "q160_forecast_eval")
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan
+    assert _nscans(plan) <= 1, plan
+    assert "hashpartitioning(event_type" in plan, plan
+
+
+def test_q161_abtest_is_two_aggregates_no_join(spark):
+    # per-user conversion rollup then one scalar conditional
+    # aggregate — no join anywhere; the only SinglePartition is the
+    # final 1-row reduce
+    plan = _plan(spark, "q161_abtest_readout")
+    assert "Join" not in plan
+    assert _nscans(plan) == 1, plan
+    assert "hashpartitioning(user_id" in plan, plan
