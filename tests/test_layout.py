@@ -1,0 +1,170 @@
+"""Physical-layout tests: bucketed tables must join with zero
+exchanges and prune buckets on key equality; Z-order clustering must
+concentrate multi-dimensional box predicates into fewer files than a
+1-D sort. These are the write-side scale levers — the assertions here
+ARE the 100 TB story (a bucketed join that still shuffles, or a
+Z-order that doesn't localize, is a silent regression)."""
+
+from __future__ import annotations
+
+from contextlib import contextmanager
+
+import pytest
+from pyspark.sql import functions as F
+
+from python_lambda_ecs_container_data_etl_aws_spark.catalog import load_table
+from python_lambda_ecs_container_data_etl_aws_spark.sources.layout import (
+    colocated_join,
+    write_bucketed,
+    write_linear,
+    write_zordered,
+    zorder_key,
+)
+from tests.conftest import SF_DIR
+
+
+@contextmanager
+def _conf(spark, key, value):
+    old = spark.conf.get(key, None)
+    spark.conf.set(key, value)
+    try:
+        yield
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
+
+
+@contextmanager
+def _tables(spark, *names):
+    try:
+        yield
+    finally:
+        for n in names:
+            spark.sql(f"DROP TABLE IF EXISTS {n}")
+
+
+def _executed(df) -> str:
+    df.collect()
+    return df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+
+
+def test_bucketed_join_runs_with_zero_exchanges(spark, tmp_path):
+    orders = load_table(spark, SF_DIR, "orders")
+    lineitem = load_table(spark, SF_DIR, "lineitem")
+    with _tables(spark, "t_orders_b", "t_lineitem_b"):
+        write_bucketed(
+            orders, "t_orders_b", ["o_orderkey"], 8,
+            path=str(tmp_path / "ob"), sort=["o_orderkey"],
+        )
+        write_bucketed(
+            lineitem, "t_lineitem_b", ["l_orderkey"], 8,
+            path=str(tmp_path / "lb"), sort=["l_orderkey"],
+        )
+        # force the shuffle-based join path: broadcast would hide the
+        # exchange elimination this layout exists to provide
+        with _conf(spark, "spark.sql.autoBroadcastJoinThreshold", "-1"):
+            j = colocated_join(
+                spark, "t_lineitem_b", "t_orders_b",
+                ["l_orderkey"], ["o_orderkey"],
+            ).select("l_orderkey", "o_totalprice")
+            plan = _executed(j)
+            assert "Exchange" not in plan, plan
+            # same result as the plain parquet join
+            expected = lineitem.join(
+                orders, lineitem.l_orderkey == orders.o_orderkey
+            ).count()
+            assert j.count() == expected
+
+
+def test_bucketed_scan_prunes_to_one_bucket(spark, tmp_path):
+    orders = load_table(spark, SF_DIR, "orders")
+    some_key = orders.select("o_orderkey").head()[0]
+    with _tables(spark, "t_orders_p"):
+        write_bucketed(
+            orders, "t_orders_p", ["o_orderkey"], 8, path=str(tmp_path / "op")
+        )
+        # the auto-bucketed-scan rule turns bucketed reads OFF for
+        # plans with no distribution-interested operator — which also
+        # forfeits bucket pruning; pin it on for the pruning check
+        with _conf(
+            spark, "spark.sql.sources.bucketing.autoBucketedScan.enabled", "false"
+        ):
+            q = spark.table("t_orders_p").filter(
+                F.col("o_orderkey") == some_key
+            )
+            plan = _executed(q)
+            assert "SelectedBucketsCount: 1 out of 8" in plan, plan
+            assert q.count() == 1
+
+
+def test_zorder_key_interleaves_bits(spark):
+    # x=0b11, y=0b01 at 2 bits -> z = x0<<0 | y0<<1 | x1<<2 | y1<<3
+    #                                = 1 | 2 | 4 | 0 = 7
+    row = (
+        spark.range(1)
+        .select(
+            zorder_key([F.lit(3).cast("bigint"), F.lit(1).cast("bigint")], bits=2)
+            .alias("z")
+        )
+        .head()
+    )
+    assert row[0] == 7
+
+
+def _files_touched(spark, path, predicate) -> int:
+    return (
+        spark.read.parquet(path)
+        .filter(predicate)
+        .select(F.input_file_name().alias("f"))
+        .distinct()
+        .count()
+    )
+
+
+def test_zorder_concentrates_secondary_dimension(spark, tmp_path):
+    li = load_table(spark, SF_DIR, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    pmin, pmax = li.agg(F.min("l_partkey"), F.max("l_partkey")).head()
+    lo = pmin + (pmax - pmin) * 2 // 10
+    hi = pmin + (pmax - pmin) * 3 // 10  # a 10%-wide box on the SECONDARY dim
+    pred = F.col("l_partkey").between(lo, hi)
+
+    zpath, lpath = str(tmp_path / "z"), str(tmp_path / "lin")
+    write_zordered(li, zpath, ["l_orderkey", "l_partkey"], n_files=16)
+    write_linear(li, lpath, "l_orderkey", n_files=16)
+
+    n_match = li.filter(pred).count()
+    assert n_match > 0
+    # identical row sets either way — layout must not change contents
+    assert spark.read.parquet(zpath).filter(pred).count() == n_match
+    assert spark.read.parquet(lpath).filter(pred).count() == n_match
+
+    z_files = _files_touched(spark, zpath, pred)
+    lin_files = _files_touched(spark, lpath, pred)
+    # the 1-D orderkey sort scatters any partkey range across ~all
+    # files; Z-order confines it to the files whose partkey bit-range
+    # overlaps the box
+    assert lin_files >= 12, (z_files, lin_files)
+    assert z_files <= lin_files // 2, (z_files, lin_files)
+
+
+def test_zorder_preserves_leading_dimension_locality(spark, tmp_path):
+    # Z-order must not destroy first-dimension locality either: an
+    # orderkey box should still touch a bounded fraction of files
+    li = load_table(spark, SF_DIR, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    omin, omax = li.agg(F.min("l_orderkey"), F.max("l_orderkey")).head()
+    lo = omin + (omax - omin) * 4 // 10
+    hi = omin + (omax - omin) * 5 // 10
+    pred = F.col("l_orderkey").between(lo, hi)
+    zpath = str(tmp_path / "z2")
+    write_zordered(li, zpath, ["l_orderkey", "l_partkey"], n_files=16)
+    assert _files_touched(spark, zpath, pred) <= 8
