@@ -101,31 +101,48 @@ ORDER BY ante, cons
 def q158(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     pt = load_table(spark, sf_dir, "part")
-    ob = (
+    # ONE corpus shuffle: collect_set builds the per-order basket with
+    # map-side partial aggregation (the distinct + self-join shape this
+    # replaced sorted the 600k-row relation twice for an SMJ — 6.3 s vs
+    # ~2 s at sf0.1); baskets are TPC-H-bounded (~7 lines/order), so
+    # the in-row pair fan-out is O(k^2) with tiny k
+    b = (
         li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
         .select(F.col("l_orderkey").alias("o"), F.col("p_brand").alias("item"))
-        .distinct()
-        .persist()  # feeds n_orders, item supports, and both pair sides
+        .groupBy("o")
+        .agg(F.collect_set("item").alias("items"))
+        .persist()  # feeds n_orders, item supports, and the pair explode
     )
-    n = ob.agg(F.countDistinct("o").cast("bigint").alias("n_orders"))
-    it = ob.groupBy("item").agg(F.count(F.lit(1)).cast("bigint").alias("supp"))
+    n = b.agg(F.count(F.lit(1)).cast("bigint").alias("n_orders"))
+    it = b.select(F.explode("items").alias("item")).groupBy("item").agg(
+        F.count(F.lit(1)).cast("bigint").alias("supp")
+    )
     freq = (
         it.crossJoin(F.broadcast(n))  # 1-row scalar attach
         .filter(F.expr("supp * 200 >= n_orders"))
         .select("item", "supp")
     )
-    # apriori prune BEFORE the pair join: each basket side keeps only
-    # frequent items (broadcast semi joins — freq is at most |items|)
-    a = ob.join(F.broadcast(freq.select("item")), "item", "semi").select(
-        "o", F.col("item").alias("ante")
+    # apriori prune IN-ROW before the pair fan-out: the frequent set
+    # rides in as a 1-row broadcast array, array_intersect keeps only
+    # frequent items in each basket
+    farr = freq.agg(F.sort_array(F.collect_list("item")).alias("farr"))
+    pairs = (
+        b.crossJoin(F.broadcast(farr))  # 1-row array attach
+        .select(F.array_intersect("items", "farr").alias("fi"))
+        .filter(F.size("fi") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(fi, x -> "
+                    "transform(filter(fi, y -> y != x), "
+                    "y -> struct(x AS ante, y AS cons))))"
+                )
+            ).alias("p")
+        )
+        .select("p.ante", "p.cons")
     )
-    b = ob.join(F.broadcast(freq.select("item")), "item", "semi").select(
-        F.col("o").alias("o_b"), F.col("item").alias("cons")
-    )
-    pr = (
-        a.join(b, (a.o == b.o_b) & (F.col("ante") != F.col("cons")))
-        .groupBy("ante", "cons")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("supp_ab"))
+    pr = pairs.groupBy("ante", "cons").agg(
+        F.count(F.lit(1)).cast("bigint").alias("supp_ab")
     )
     fa = freq.select(F.col("item").alias("item_a"), F.col("supp").alias("supp_ante"))
     fb = freq.select(F.col("item").alias("item_b"), F.col("supp").alias("supp_cons"))

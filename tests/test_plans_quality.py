@@ -1066,17 +1066,20 @@ def test_q157_unpivot_melts_source_sized_relation(spark):
     assert "hashpartitioning(source" in plan, plan
 
 
-def test_q158_apriori_prunes_before_pair_join(spark):
-    # the basket relation caches once (feeds n_orders, item supports,
-    # both pair sides); the pair join is an order-keyed equi join of
-    # two frequent-pruned sides — large-large, so shuffle-based join
-    # shapes are correct here; never a cartesian, and support lookups
-    # broadcast
+def test_q158_baskets_build_on_one_order_shuffle(spark):
+    # collect_set builds per-order baskets on ONE order-keyed corpus
+    # exchange (cached: feeds n_orders, item supports, the pair
+    # fan-out); apriori pruning is an IN-ROW array_intersect against
+    # the broadcast frequent set, pairs explode in-row, and the only
+    # hash joins are the tiny support lookups — no SMJ, no self-join
+    # of the corpus relation
     plan = _plan(spark, "q158_basket_rules")
     assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan, plan
     assert "InMemoryTableScan" in plan, plan
     assert _nscans(plan) <= 2, plan  # lineitem + part, each at most once
     assert "BroadcastHashJoin" in plan, plan
+    assert "array_intersect" in plan, plan
 
 
 def test_q159_rfm_cuts_run_on_value_grids(spark):
