@@ -472,6 +472,14 @@ def q161(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("c_b"),
     )
+    return abtest_readout_from_counts(t)
+
+
+def abtest_readout_from_counts(t: DataFrame) -> DataFrame:
+    """The q161 readout projection over a (n_a, c_a, n_b, c_b) counts
+    relation — shared verbatim by the batch query and the streaming
+    experiment monitor (``streaming/runner.abtest_monitor_stream``),
+    so the two surfaces cannot drift."""
     p = t.select(
         "n_a",
         "c_a",
