@@ -1309,3 +1309,153 @@ def stream_stream_left_outer_join(
         ),
         "leftOuter",
     ).select("user_id", "view_ts", "purchase_ts")
+
+
+def abtest_monitor_stream(
+    spark: SparkSession,
+    landing_dir: str,
+    schema: StructType,
+    state_dir: str,
+    checkpoint_dir: str,
+    fmt: str = "parquet",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    conv_type: str = "purchase",
+) -> None:
+    """Continuously-maintained A/B experiment readout — q161's
+    streaming twin. Each micro-batch folds its events into two
+    persisted first-seen indexes (users ever SEEN, users ever
+    CONVERTED; the md5-parity arm derives from the user id, so it is
+    never stored) and appends one per-arm DELTA row
+    (new users, new conversions) per batch. The live readout
+    (:func:`read_abtest_readout`) is a sum over the |batches|-sized
+    delta relation pushed through the SAME projection as the batch
+    query (``plans.business.abtest_readout_from_counts``) — the two
+    surfaces share one formula and cannot drift.
+
+    Exactly-once: every per-batch artifact lands in a
+    ``batch=<id>`` dir written with overwrite, and index probes
+    exclude the batch's own dir — a crash-after-index-write replay
+    re-derives identical deltas (the exact_dedup/segment stream
+    contract). Per-batch cost: the index probe is a broadcast-able
+    anti-join of the BATCH's users against the seen set; the delta
+    write is two rows.
+    """
+    import os
+    import shutil
+
+    from ..plans.evalsuite import _md5i_spark
+
+    src = file_stream(spark, landing_dir, schema, fmt)
+    users_dir = os.path.join(state_dir, "seen_users")
+    conv_dir = os.path.join(state_dir, "converted_users")
+    delta_dir = os.path.join(state_dir, "arm_deltas")
+
+    def _others(d: str, batch_id: int) -> list[str]:
+        if not os.path.isdir(d):
+            return []
+        return [
+            os.path.join(d, e)
+            for e in os.listdir(d)
+            if e.startswith("batch=") and e != f"batch={batch_id}"
+        ]
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        b = (
+            batch_df.groupBy(F.col(user_col).alias("user_id"))
+            .agg(
+                F.max(
+                    F.when(F.col(type_col) == conv_type, 1).otherwise(0)
+                ).alias("has_conv")
+            )
+            .persist()
+        )
+        seen = _others(users_dir, batch_id)
+        new_users = (
+            b.join(spark.read.parquet(*seen), "user_id", "anti")
+            if seen
+            else b
+        )
+        conv = _others(conv_dir, batch_id)
+        purchasers = b.filter(F.col("has_conv") == 1)
+        new_convs = (
+            purchasers.join(spark.read.parquet(*conv), "user_id", "anti")
+            if conv
+            else purchasers
+        )
+        arm = (_md5i_spark("ab1|", F.col("user_id")) % 2).alias("arm")
+        deltas = (
+            new_users.select(arm, F.lit(1).alias("nu"), F.lit(0).alias("nc"))
+            .unionAll(
+                new_convs.select(
+                    arm, F.lit(0).alias("nu"), F.lit(1).alias("nc")
+                )
+            )
+            .groupBy("arm")
+            .agg(
+                F.sum("nu").cast("bigint").alias("new_users"),
+                F.sum("nc").cast("bigint").alias("new_convs"),
+            )
+            .persist()
+        )
+        # stage order: deltas + indexes are all batch=<id> overwrites,
+        # so any crash point replays to the same state
+        deltas.write.mode("overwrite").parquet(
+            os.path.join(delta_dir, f"batch={batch_id}")
+        )
+        for df, d in ((new_users, users_dir), (new_convs, conv_dir)):
+            path = os.path.join(d, f"batch={batch_id}")
+            rows = df.select("user_id")
+            if rows.isEmpty():
+                # a zero-row dir would break parquet schema inference
+                # on later probes; a stale crashed dir must also go
+                shutil.rmtree(path, ignore_errors=True)
+            else:
+                rows.write.mode("overwrite").parquet(path)
+        deltas.unpersist()
+        b.unpersist()
+
+    q = (
+        src.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def read_abtest_readout(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Fold the monitor's per-batch arm deltas into the q161 readout
+    row. The delta relation is |batches| x 2 rows — the fold is a
+    scalar conditional aggregate, and the projection is imported from
+    the batch query so both emit identical columns and arithmetic."""
+    import os
+
+    from ..plans.business import abtest_readout_from_counts
+
+    deltas = spark.read.parquet(os.path.join(state_dir, "arm_deltas"))
+    t = deltas.agg(
+        F.coalesce(
+            F.sum(F.when(F.col("arm") == 0, F.col("new_users"))), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("n_a"),
+        F.coalesce(
+            F.sum(F.when(F.col("arm") == 0, F.col("new_convs"))), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("c_a"),
+        F.coalesce(
+            F.sum(F.when(F.col("arm") == 1, F.col("new_users"))), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("n_b"),
+        F.coalesce(
+            F.sum(F.when(F.col("arm") == 1, F.col("new_convs"))), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("c_b"),
+    )
+    return abtest_readout_from_counts(t)

@@ -1355,3 +1355,55 @@ def test_stream_first_seen_daily_agrees_with_batch(spark, event_batches, tmp_pat
         acc2 += real[d]
         cum_stream[d] = acc2
     assert cum_stream == cum_batch
+
+
+def test_abtest_monitor_stream_agrees_with_batch_readout(
+    spark, event_batches, tmp_path
+):
+    """q161's streaming twin: the monitor folds three arrival batches
+    into first-seen/first-conversion indexes + per-arm deltas; the
+    final readout must equal the batch query on the same events
+    byte-for-byte (both go through abtest_readout_from_counts)."""
+    from python_lambda_ecs_container_data_etl_aws_spark.plans.business import q161
+
+    landing, e, _ = event_batches
+    state = str(tmp_path / "ab_state")
+    runner.abtest_monitor_stream(
+        spark,
+        landing,
+        EVENT_SCHEMA,
+        state,
+        str(tmp_path / "ab_ck"),
+    )
+    got = runner.read_abtest_readout(spark, state).collect()
+    want = q161(spark, SF_DIR).collect()
+    assert got == want
+    # three arrival batches -> three delta dirs
+    assert (
+        len([d for d in os.listdir(os.path.join(state, "arm_deltas"))
+             if d.startswith("batch=")]) >= 1
+    )
+
+
+def test_abtest_monitor_replay_does_not_double_count(
+    spark, event_batches, tmp_path
+):
+    """Restart contract: a second monitor run over a landing dir that
+    gained one MORE chunk (every event a duplicate of already-seen
+    users, including their purchases) must add zero new users and zero
+    new conversions — the persisted first-seen indexes make replayed
+    facts idempotent."""
+    landing, e, _ = event_batches
+    land2 = str(tmp_path / "landing_ab2")
+    spark.read.parquet(landing).coalesce(1).write.mode("append").parquet(land2)
+    state = str(tmp_path / "ab2_state")
+    ck = str(tmp_path / "ab2_ck")
+    runner.abtest_monitor_stream(spark, land2, EVENT_SCHEMA, state, ck)
+    before = runner.read_abtest_readout(spark, state).collect()
+    # append a duplicate chunk (same users, same purchase behavior)
+    spark.read.parquet(landing).limit(500).coalesce(1).write.mode(
+        "append"
+    ).parquet(land2)
+    runner.abtest_monitor_stream(spark, land2, EVENT_SCHEMA, state, ck)
+    after = runner.read_abtest_readout(spark, state).collect()
+    assert after == before
