@@ -168,3 +168,29 @@ def test_zorder_preserves_leading_dimension_locality(spark, tmp_path):
     zpath = str(tmp_path / "z2")
     write_zordered(li, zpath, ["l_orderkey", "l_partkey"], n_files=16)
     assert _files_touched(spark, zpath, pred) <= 8
+
+
+def test_zorder_cell_maps_bijectively_to_key_prefix(spark):
+    # the exact property file skipping relies on: two points share a
+    # 2^b-aligned cell in EVERY dimension iff their Morton keys share
+    # the prefix above 2b bits (k=2) — i.e. cell <-> (z div 4^b) is a
+    # bijection over any point set
+    b = 4
+    pts = spark.range(1024).select(
+        (F.xxhash64("id").bitwiseAND(F.lit(0xFFFF))).alias("x"),
+        (F.xxhash64("id", F.lit(1)).bitwiseAND(F.lit(0xFFFF))).alias("y"),
+    )
+    z = zorder_key([F.col("x"), F.col("y")], bits=16)
+    d = pts.select(
+        F.expr(f"x div {1 << b}").alias("cx"),
+        F.expr(f"y div {1 << b}").alias("cy"),
+        (z / F.lit(4**b)).cast("bigint").alias("zp"),
+    )
+    per_cell = d.groupBy("cx", "cy").agg(
+        F.countDistinct("zp").alias("n_zp")
+    )
+    per_prefix = d.groupBy("zp").agg(
+        F.countDistinct("cx", "cy").alias("n_cells")
+    )
+    assert per_cell.agg(F.max("n_zp")).head()[0] == 1
+    assert per_prefix.agg(F.max("n_cells")).head()[0] == 1
