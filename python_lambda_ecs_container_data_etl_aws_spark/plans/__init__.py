@@ -15,6 +15,6 @@ from . import platform as _plt  # noqa: F401  (registers q99-q123)
 from . import evalsuite as _evl  # noqa: F401  (registers q124-q133)
 from . import analysis as _ana  # noqa: F401  (registers q134-q145)
 from . import measures as _msr  # noqa: F401  (registers q146-q157)
-from . import business as _biz  # noqa: F401  (registers q158-q161)
+from . import business as _biz  # noqa: F401  (registers q158-q162)
 
 __all__ = ["QUERIES", "ORACLE"]

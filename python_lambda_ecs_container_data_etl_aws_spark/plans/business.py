@@ -1,7 +1,8 @@
-"""Business-analytics queries q158-q161: the revenue/behavior jobs a
+"""Business-analytics queries q158-q162: the revenue/behavior jobs a
 reporting tier runs beside the corpus-curation tiers — association
 rules over order baskets, RFM customer segmentation, seasonal-naive
-forecast evaluation, and an A/B experiment readout. The reference's
+forecast evaluation, an A/B experiment readout, and top-k trajectory
+similarity search. The reference's
 report routes (3.(2) mysql-lambda report queries) parameterize
 grouped revenue aggregates; these four are the standard analyses the
 same star schema feeds one step downstream.
@@ -35,6 +36,12 @@ same star schema feeds one step downstream.
   engines compute it in 128-bit integers (Spark decimal(38,0),
   DuckDB HUGEINT) and emit BIGINT — the documented q128-style
   escape, applied preemptively.
+- q162 top-k trajectory similarity (REPOSE ICDE 2021 / EDBT 2019
+  shape, PAPERS.md): users encode as capped ordered event-initial
+  paths; candidates block on (3-step prefix, capped length) — the
+  portable equi-key stand-in for reference-point tries, the same
+  recall-oriented coarse-tier contract as q149/q95 blocking — and
+  each user keeps its 3 nearest neighbors by exact levenshtein.
 
 All cross-engine arithmetic is BIGINT (or the decimal(38,0) escape
 above) with non-negative division operands (Spark `div` truncates,
@@ -522,4 +529,109 @@ def abtest_readout_from_counts(t: DataFrame) -> DataFrame:
         .otherwise(chisq)
         .cast("bigint")
         .alias("chisq_milli"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q162 top-k trajectory similarity — REPOSE/EDBT-2019 shape
+# (PAPERS.md): each user's behavior is its ordered event-initial path
+# (q145's encoding, capped at 40 steps so the edit-distance cost per
+# pair is bounded); candidates block on (3-step prefix, capped
+# length) — the portable equi-key stand-in for REPOSE's
+# reference-point tries, same recall-oriented coarse-tier contract as
+# q149/q95 blocking — and each user keeps its 3 nearest neighbors by
+# exact levenshtein (ties broken by neighbor id). Similarity is
+# integer ppm of the shared (blocked-equal) length. The pair space is
+# sum-of-block-size-squares: bounded by path-space diversity, never
+# |users|^2.
+
+_Q162_CAP = 40
+_Q162_K = 3
+
+ORACLE["q162_trajectory_topk"] = f"""
+WITH e AS (SELECT user_id, substr(event_type, 1, 1) AS ch,
+                  epoch_us(CAST(ts AS TIMESTAMP)) AS tus, event_id
+           FROM events),
+p AS (SELECT user_id,
+             substr(string_agg(ch, '' ORDER BY tus, event_id), 1, {_Q162_CAP})
+                 AS path
+      FROM e GROUP BY user_id),
+k AS (SELECT user_id, path,
+             substr(path, 1, 3) || '|' || CAST(length(path) AS VARCHAR)
+                 AS bkey,
+             CAST(length(path) AS BIGINT) AS plen
+      FROM p),
+pr AS (
+    SELECT a.user_id AS user_a, b.user_id AS user_b, a.plen,
+           CAST(levenshtein(a.path, b.path) AS BIGINT) AS lev
+    FROM k a JOIN k b ON a.bkey = b.bkey AND a.user_id <> b.user_id
+),
+rk AS (
+    SELECT user_a, user_b, plen, lev,
+           ROW_NUMBER() OVER (PARTITION BY user_a
+                              ORDER BY lev, user_b) AS rnk
+    FROM pr
+)
+SELECT user_a, user_b, plen, lev, CAST(rnk AS BIGINT) AS rnk,
+       CAST((plen - lev) * 1000000 // plen AS BIGINT) AS sim_ppm
+FROM rk WHERE rnk <= {_Q162_K}
+ORDER BY user_a, rnk
+"""
+
+
+@_q("q162_trajectory_topk")
+def q162(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_events(spark, sf_dir).select(
+        "user_id",
+        F.col("ts_us").alias("tus"),
+        "event_id",
+        F.substring("event_type", 1, 1).alias("ch"),
+    )
+    p = e.groupBy("user_id").agg(
+        F.expr(
+            "substring(array_join(transform(array_sort(collect_list("
+            f"struct(tus, event_id, ch))), x -> x.ch), ''), 1, {_Q162_CAP})"
+        ).alias("path")
+    )
+    k = p.select(
+        "user_id",
+        "path",
+        F.concat(
+            F.substring("path", 1, 3),
+            F.lit("|"),
+            F.length("path").cast("string"),
+        ).alias("bkey"),
+        F.length("path").cast("bigint").alias("plen"),
+    ).persist()  # both sides of the blocked self-join: one corpus pass
+    a = k.select(
+        F.col("user_id").alias("user_a"), F.col("path").alias("pa"),
+        "bkey", "plen",
+    )
+    b = k.select(
+        F.col("user_id").alias("user_b"), F.col("path").alias("pb"),
+        F.col("bkey").alias("bkey_b"),
+    )
+    pr = a.join(
+        b, (a.bkey == b.bkey_b) & (F.col("user_a") != F.col("user_b"))
+    ).select(
+        "user_a",
+        "user_b",
+        "plen",
+        F.levenshtein("pa", "pb").cast("bigint").alias("lev"),
+    )
+    w = Window.partitionBy("user_a").orderBy("lev", "user_b")
+    return (
+        pr.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _Q162_K)
+        .select(
+            "user_a",
+            "user_b",
+            "plen",
+            "lev",
+            F.col("rnk").cast("bigint").alias("rnk"),
+            F.expr("(plen - lev) * 1000000 div plen")
+            .cast("bigint")
+            .alias("sim_ppm"),
+        )
+        .orderBy("user_a", "rnk")
     )

@@ -1110,3 +1110,16 @@ def test_q161_abtest_is_two_aggregates_no_join(spark):
     assert "Join" not in plan
     assert _nscans(plan) == 1, plan
     assert "hashpartitioning(user_id" in plan, plan
+
+
+def test_q162_trajectory_join_is_block_keyed(spark):
+    # the path relation builds in one user-keyed groupBy, caches, and
+    # self-joins ONLY through the (prefix, length) block key; the
+    # top-k pick rides a user_a-keyed window — never an all-pairs
+    # product
+    plan = _plan(spark, "q162_trajectory_topk")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "levenshtein" in plan
+    assert "InMemoryTableScan" in plan, plan
+    assert _nscans(plan) <= 1, plan
