@@ -968,22 +968,32 @@ def prefix_filtered_pairs(
     sets = thw.groupBy(id_col).agg(
         F.sort_array(F.collect_list("__h")).alias("arr"),
         F.count(F.lit(1)).cast("bigint").alias("n"),
-    )
+    ).persist()  # both verify sides probe it: one aggregation pass
+    # The verify joins move |candidates| rows carrying ~|set|-element
+    # arrays — the in-memory expansion is ~10x the shuffle bytes, so
+    # the session's cores-sized shuffle partitioning spills long
+    # before AQE's byte-based advisory notices (measured at the sf10
+    # tier: 85 s -> 25 s). Partition the pair relation explicitly at
+    # 8x parallelism and build the hash side from the |docs|-sized
+    # sets relation (shuffle_hash: no 19M-row sort).
+    nver = sets.sparkSession.sparkContext.defaultParallelism * 8
     return (
-        cand.join(
+        cand.repartition(nver, "a_id")
+        .join(
             sets.select(
                 F.col(id_col).alias("a_id"),
                 F.col("arr").alias("a_arr"),
                 F.col("n").alias("na"),
-            ),
+            ).hint("shuffle_hash"),
             "a_id",
         )
+        .repartition(nver, "b_id")
         .join(
             sets.select(
                 F.col(id_col).alias("b_id"),
                 F.col("arr").alias("b_arr"),
                 F.col("n").alias("nb"),
-            ),
+            ).hint("shuffle_hash"),
             "b_id",
         )
         .withColumn(
