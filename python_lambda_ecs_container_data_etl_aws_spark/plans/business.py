@@ -41,7 +41,8 @@ same star schema feeds one step downstream.
   paths; candidates block on (3-step prefix, capped length) — the
   portable equi-key stand-in for reference-point tries, the same
   recall-oriented coarse-tier contract as q149/q95 blocking — and
-  each user keeps its 3 nearest neighbors by exact levenshtein.
+  each user keeps its 3 nearest among a bounded per-block
+  reference set (B=32 smallest ids) by exact levenshtein.
 
 All cross-engine arithmetic is BIGINT (or the decimal(38,0) escape
 above) with non-negative division operands (Spark `div` truncates,
@@ -547,6 +548,7 @@ def abtest_readout_from_counts(t: DataFrame) -> DataFrame:
 
 _Q162_CAP = 40
 _Q162_K = 3
+_Q162_B = 32  # bounded per-block reference set: pairs <= B * |users|
 
 ORACLE["q162_trajectory_topk"] = f"""
 WITH e AS (SELECT user_id, substr(event_type, 1, 1) AS ch,
@@ -561,10 +563,17 @@ k AS (SELECT user_id, path,
                  AS bkey,
              CAST(length(path) AS BIGINT) AS plen
       FROM p),
+tgt AS (
+    SELECT user_id, path, bkey FROM (
+        SELECT user_id, path, bkey,
+               ROW_NUMBER() OVER (PARTITION BY bkey ORDER BY user_id) AS tr
+        FROM k
+    ) WHERE tr <= {_Q162_B}
+),
 pr AS (
     SELECT a.user_id AS user_a, b.user_id AS user_b, a.plen,
            CAST(levenshtein(a.path, b.path) AS BIGINT) AS lev
-    FROM k a JOIN k b ON a.bkey = b.bkey AND a.user_id <> b.user_id
+    FROM k a JOIN tgt b ON a.bkey = b.bkey AND a.user_id <> b.user_id
 ),
 rk AS (
     SELECT user_a, user_b, plen, lev,
@@ -607,9 +616,20 @@ def q162(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("user_id").alias("user_a"), F.col("path").alias("pa"),
         "bkey", "plen",
     )
-    b = k.select(
-        F.col("user_id").alias("user_b"), F.col("path").alias("pb"),
-        F.col("bkey").alias("bkey_b"),
+    # bounded reference set (REPOSE-style): each block contributes its
+    # B smallest user ids as comparison TARGETS, so the pair space is
+    # <= B * |users| — linear in users at any scale (an uncapped
+    # same-key self-join is quadratic once blocks saturate the fixed
+    # path-key space; measured 665 s at the sf10 tier). The rank
+    # prunes to a WindowGroupLimit.
+    w_t = Window.partitionBy("bkey").orderBy("user_id")
+    b = (
+        k.withColumn("tr", F.row_number().over(w_t))
+        .filter(F.col("tr") <= _Q162_B)
+        .select(
+            F.col("user_id").alias("user_b"), F.col("path").alias("pb"),
+            F.col("bkey").alias("bkey_b"),
+        )
     )
     pr = a.join(
         b, (a.bkey == b.bkey_b) & (F.col("user_a") != F.col("user_b"))
