@@ -31,11 +31,23 @@ same star schema feeds one step downstream.
 - q161 A/B experiment readout: users hash into two arms (md5-parity
   — the engine-portable split, q45/q124 family), conversion = any
   purchase event; emits one row with per-arm counts, conversion ppm,
-  relative lift ppm, and the 2x2 chi-square statistic (milli). The
-  chi-square product chain crosses BIGINT near ~3e9 users, so both
-  engines compute it in 128-bit integers (Spark decimal(38,0),
-  DuckDB HUGEINT) and emit BIGINT — the documented q128-style
-  escape, applied preemptively.
+  relative lift ppm, and the 2x2 chi-square statistic (milli),
+  computed in 128-bit integers (Spark decimal(38,0), DuckDB
+  HUGEINT). The 128-bit numerator 1000*N*(ad-bc)^2 is NOT safe to
+  ~3e9 users as round 5 claimed: |ad-bc| can reach N^2/4 under
+  heavily skewed conversion splits, so the decimal(38,0) 1e38 cap
+  binds near N ~ 4e7 worst-case (~1e8 at a realistic 1pp arm
+  delta), and between 1e38 and HUGEINT's 1.7e38 the engines would
+  diverge (Spark decimal overflow -> NULL, DuckDB keeps computing).
+  Round-6 fix (round-5 advice): both engines guard numerator AND
+  denominator magnitude with the SAME IEEE-double check (identical
+  round-to-nearest casts, identically ordered multiplies — so the
+  comparison is bit-deterministic across engines) against 9.9e37,
+  and emit the documented sentinel -1 ("recompute in floating
+  point downstream") past the horizon. The margin below the 1e38
+  cap dwarfs double rounding error at that scale, so the exact
+  128-bit branch provably cannot overflow in either engine —
+  behavior is defined and engine-identical at EVERY N.
 - q162 top-k trajectory similarity (REPOSE ICDE 2021 / EDBT 2019
   shape, PAPERS.md): users encode as capped ordered event-initial
   paths; candidates block on (3-step prefix, capped length) — the
@@ -416,7 +428,12 @@ def q160(spark: SparkSession, sf_dir: str) -> DataFrame:
 # per-arm user/conversion counts, conversion ppm, relative lift of
 # arm B over arm A (ppm), and the 2x2 chi-square statistic in milli
 # computed in 128-bit integers (decimal(38,0) / HUGEINT) because
-# N*(ad-bc)^2 crosses 2^63 near ~3e9 users.
+# N*(ad-bc)^2 crosses 2^63 near ~55k users at full skew. The 128-bit
+# numerator itself binds near N ~ 4e7 under heavy skew (module
+# docstring), so both engines apply the same bit-deterministic
+# IEEE-double magnitude guard (9.9e37, margin >> rounding error)
+# and emit sentinel -1 past the horizon; the exact branch cannot
+# overflow below it.
 
 ORACLE["q161_abtest_readout"] = f"""
 WITH u AS (
@@ -437,6 +454,18 @@ p AS (
            CASE WHEN n_a = 0 THEN 0 ELSE c_a * 1000000 // n_a END AS ppm_a,
            CASE WHEN n_b = 0 THEN 0 ELSE c_b * 1000000 // n_b END AS ppm_b
     FROM t
+),
+g AS (
+    SELECT *,
+           (1000.0 * CAST(n_a + n_b AS DOUBLE))
+             * (CAST(c_a AS DOUBLE) * CAST(n_b - c_b AS DOUBLE)
+                - CAST(c_b AS DOUBLE) * CAST(n_a - c_a AS DOUBLE))
+             * (CAST(c_a AS DOUBLE) * CAST(n_b - c_b AS DOUBLE)
+                - CAST(c_b AS DOUBLE) * CAST(n_a - c_a AS DOUBLE)) AS num_mag,
+           (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))
+             * CAST(c_a + c_b AS DOUBLE)
+             * CAST(n_a + n_b - c_a - c_b AS DOUBLE) AS den_mag
+    FROM p
 )
 SELECT n_a, c_a, n_b, c_b,
        CAST(ppm_a AS BIGINT) AS conv_ppm_a,
@@ -445,6 +474,7 @@ SELECT n_a, c_a, n_b, c_b,
             ELSE ppm_b * 1000000 // ppm_a END AS BIGINT) AS lift_ppm,
        CAST(CASE WHEN n_a = 0 OR n_b = 0 OR c_a + c_b = 0
                  OR n_a + n_b - c_a - c_b = 0 THEN 0
+            WHEN num_mag > 9.9e37 OR den_mag > 9.9e37 THEN -1
             ELSE CAST(1000 AS HUGEINT) * (n_a + n_b)
                  * (CAST(c_a AS HUGEINT) * (n_b - c_b)
                     - CAST(c_b AS HUGEINT) * (n_a - c_a))
@@ -452,7 +482,7 @@ SELECT n_a, c_a, n_b, c_b,
                     - CAST(c_b AS HUGEINT) * (n_a - c_a))
                  // (CAST(n_a AS HUGEINT) * n_b * (c_a + c_b)
                      * (n_a + n_b - c_a - c_b)) END AS BIGINT) AS chisq_milli
-FROM p
+FROM g
 """
 
 
@@ -509,6 +539,30 @@ def abtest_readout_from_counts(t: DataFrame) -> DataFrame:
         " div (CAST(n_a AS DECIMAL(38,0)) * n_b * (c_a + c_b)"
         "      * (n_a + n_b - c_a - c_b))"
     )
+    # Overflow horizon guard (round-5 advice): the decimal(38,0)
+    # numerator 1000*N*(ad-bc)^2 caps out near N ~ 4e7 users under
+    # heavy conversion skew (|ad-bc| can reach N^2/4), where Spark
+    # would silently NULL while DuckDB's HUGEINT keeps computing to
+    # 1.7e38. Both engines therefore run the SAME magnitude check in
+    # IEEE doubles — identical round-to-nearest casts, identically
+    # ordered multiplies, so the comparison is bit-deterministic and
+    # engine-identical — against 9.9e37, a margin below the 1e38 cap
+    # wide enough (>1e35, vs ~2e21 max double rounding error at this
+    # scale) that the exact 128-bit ELSE branch provably cannot
+    # overflow. Past the horizon both engines emit the documented
+    # sentinel -1 (recompute in floating point downstream).
+    num_mag = F.expr(
+        "(1000.0 * CAST(n_a + n_b AS DOUBLE))"
+        " * (CAST(c_a AS DOUBLE) * CAST(n_b - c_b AS DOUBLE)"
+        "    - CAST(c_b AS DOUBLE) * CAST(n_a - c_a AS DOUBLE))"
+        " * (CAST(c_a AS DOUBLE) * CAST(n_b - c_b AS DOUBLE)"
+        "    - CAST(c_b AS DOUBLE) * CAST(n_a - c_a AS DOUBLE))"
+    )
+    den_mag = F.expr(
+        "(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))"
+        " * CAST(c_a + c_b AS DOUBLE)"
+        " * CAST(n_a + n_b - c_a - c_b AS DOUBLE)"
+    )
     return p.select(
         "n_a",
         "c_a",
@@ -527,6 +581,7 @@ def abtest_readout_from_counts(t: DataFrame) -> DataFrame:
             | (F.expr("n_a + n_b - c_a - c_b") == 0),
             F.lit(0),
         )
+        .when((num_mag > 9.9e37) | (den_mag > 9.9e37), F.lit(-1))
         .otherwise(chisq)
         .cast("bigint")
         .alias("chisq_milli"),

@@ -102,8 +102,21 @@ def zorder_key(cols: list[Column], bits: int = 16) -> Column:
     so nearby values in ANY dimension stay nearby in key order. The
     expression is a flat OR chain — whole-stage codegen folds it into
     straight-line integer ops, no UDF.
+
+    ``len(cols) * bits`` must be <= 63 (the usable bits of a signed
+    BIGINT): 4+ dimensions need ``bits <= 15``, 5 need 12, etc. —
+    the trade is per-dimension grid resolution, not correctness, and
+    16 bits/dim is already far below parquet row-group granularity.
     """
     k = len(cols)
+    if k * bits > 63:
+        raise ValueError(
+            f"zorder_key: {k} columns x {bits} bits = {k * bits} key bits "
+            "exceeds the 63 usable bits of a signed BIGINT key; lower "
+            "`bits` (e.g. bits=63//len(cols)) or drop a dimension. "
+            "Fewer bits per dimension only coarsens locality — rows that "
+            "shared a cell still share it."
+        )
     one = F.lit(1).cast("bigint")
     terms = [
         (F.shiftright(c, b).bitwiseAND(one) * F.lit(1 << (b * k + i)))
@@ -113,11 +126,39 @@ def zorder_key(cols: list[Column], bits: int = 16) -> Column:
     return reduce(lambda a, t: a + t, terms).cast("bigint")
 
 
-def _normalize(col: Column, cmin: Column, cmax: Column, bits: int) -> Column:
-    """Min-max scale a value to ``[0, 2**bits)`` with integer math."""
-    top = F.lit((1 << bits) - 1)
-    span = F.greatest(cmax - cmin, F.lit(1))
-    return ((col - cmin) * top / span).cast("bigint")
+def _normalize(col: str, cmin: str, cmax: str, bits: int) -> Column:
+    """Min-max scale ``col`` to ``[0, 2**bits)`` with EXACT integer math
+    at any BIGINT span.
+
+    Two staged branches (round-5 advice: the first cut computed
+    ``(col-cmin) * top / span`` — the BIGINT multiply silently wraps
+    (non-ANSI) once ``span`` exceeds ~2**62/top ≈ 7e13, e.g. a
+    microsecond-timestamp column spanning a few years, and ``/`` is
+    double division that loses bits above 2**53 — both producing
+    garbage Z-keys while the data stays byte-identical):
+
+    - narrow span (``span * top < 2**62``): classic min-max scale-up
+      ``off * top div span`` — the multiply provably fits, ``div`` is
+      integral, values spread across the full ``[0, top]`` grid.
+    - wide span: staged scale-DOWN ``off div (span div (top+1) + 1)``
+      — divide first so nothing is ever multiplied; the quotient is
+      provably ``<= top`` (step > span/(top+1)); resolution loss is
+      one part in 2**bits, exactly the grid the key keeps anyway.
+
+    Takes column NAMES (not Columns) so the whole expression can be a
+    SQL string using the integral ``div`` operator, which has no
+    Column-API equivalent.
+    """
+    top = (1 << bits) - 1
+    c, lo, hi = f"`{col}`", f"`{cmin}`", f"`{cmax}`"
+    off = f"(CAST({c} AS BIGINT) - {lo})"
+    span = f"GREATEST({hi} - {lo}, CAST(1 AS BIGINT))"
+    narrow = (1 << 62) // top
+    return F.expr(
+        f"CASE WHEN {span} <= {narrow}"
+        f" THEN {off} * {top} div {span}"
+        f" ELSE {off} div ({span} div {top + 1} + 1) END"
+    ).cast("bigint")
 
 
 def write_zordered(
@@ -143,15 +184,7 @@ def write_zordered(
         *[F.min(c).cast("bigint").alias(f"__min_{c}") for c in cols],
         *[F.max(c).cast("bigint").alias(f"__max_{c}") for c in cols],
     )
-    normed = [
-        _normalize(
-            F.col(c).cast("bigint"),
-            F.col(f"__min_{c}"),
-            F.col(f"__max_{c}"),
-            bits,
-        )
-        for c in cols
-    ]
+    normed = [_normalize(c, f"__min_{c}", f"__max_{c}", bits) for c in cols]
     keyed = (
         df.join(F.broadcast(stats))  # 1-row scalar attach
         .withColumn("__zkey", zorder_key(normed, bits))

@@ -194,3 +194,88 @@ def test_zorder_cell_maps_bijectively_to_key_prefix(spark):
     )
     assert per_cell.agg(F.max("n_zp")).head()[0] == 1
     assert per_prefix.agg(F.max("n_cells")).head()[0] == 1
+
+
+def test_zorder_key_rejects_dimension_bits_overflow(spark):
+    # 4 dims x 16 bits = 64 key bits > the 63 of a signed BIGINT:
+    # must fail loudly at plan-construction time, not with an opaque
+    # literal-conversion error (round-5 advice)
+    cols = [F.lit(i).cast("bigint") for i in range(4)]
+    with pytest.raises(ValueError, match="63 usable bits"):
+        zorder_key(cols, bits=16)
+    # the documented trade: drop to bits=63//k and the same 4 dims work
+    row = (
+        spark.range(1)
+        .select(zorder_key(cols, bits=15).alias("z"))
+        .head()
+    )
+    assert row[0] >= 0
+
+
+def test_normalize_exact_at_bigint_scale_spans(spark):
+    # round-5 advice (medium): the first-cut (col-cmin)*top/span
+    # wrapped the BIGINT multiply once span > ~2**62/top ~ 7e13 (e.g.
+    # microsecond timestamps spanning a few years) and lost precision
+    # to double division above 2**53. The staged-integer rewrite must
+    # map such a column MONOTONICALLY onto [0, 2**bits) with the full
+    # grid in use — that monotone spread IS the locality contract.
+    from python_lambda_ecs_container_data_etl_aws_spark.sources.layout import (
+        _normalize,
+    )
+
+    base = 1_700_000_000_000_000  # microsecond epoch, ~2023
+    span = 160_000_000_000_000  # ~5 years of microseconds
+    n = 4096
+    step = span // (n - 1)
+    df = spark.range(n).select(
+        (F.lit(base) + F.col("id") * F.lit(step)).cast("bigint").alias("v"),
+        F.lit(base).cast("bigint").alias("mn"),
+        (F.lit(base) + F.lit(step * (n - 1))).cast("bigint").alias("mx"),
+    )
+    rows = (
+        df.select("v", _normalize("v", "mn", "mx", 16).alias("b"))
+        .orderBy("v")
+        .collect()
+    )
+    bs = [r.b for r in rows]
+    assert all(0 <= b <= 0xFFFF for b in bs)
+    assert bs == sorted(bs)  # monotone in the raw value
+    assert bs[0] == 0 and bs[-1] > 65000  # grid fully used, not collapsed
+    assert len(set(bs)) > 4000  # distinct inputs keep distinct cells
+
+    # narrow-span branch: exact min-max scale-UP to the full grid
+    small = spark.range(101).select(
+        F.col("id").cast("bigint").alias("v"),
+        F.lit(0).cast("bigint").alias("mn"),
+        F.lit(100).cast("bigint").alias("mx"),
+    )
+    srows = (
+        small.select("v", _normalize("v", "mn", "mx", 16).alias("b"))
+        .orderBy("v")
+        .collect()
+    )
+    sbs = [r.b for r in srows]
+    assert sbs[0] == 0 and sbs[-1] == 0xFFFF  # endpoints hit the grid edges
+    assert sbs == sorted(sbs) and len(set(sbs)) == 101
+
+
+def test_zorder_concentrates_wide_span_dimensions(spark, tmp_path):
+    # end-to-end at the span scale the old math corrupted: two
+    # ~2**50-span columns must still yield Z-order file concentration
+    # on the secondary dimension
+    wide = F.lit(1 << 50).cast("bigint")
+    pts = spark.range(50_000).select(
+        (F.abs(F.xxhash64("id")) % wide).alias("x"),
+        (F.abs(F.xxhash64("id", F.lit(7))) % wide).alias("y"),
+    )
+    lo, hi = (1 << 50) * 2 // 10, (1 << 50) * 3 // 10
+    pred = F.col("y").between(lo, hi)
+    zpath, lpath = str(tmp_path / "zw"), str(tmp_path / "lw")
+    write_zordered(pts, zpath, ["x", "y"], n_files=16)
+    write_linear(pts, lpath, "x", n_files=16)
+    n_match = pts.filter(pred).count()
+    assert spark.read.parquet(zpath).filter(pred).count() == n_match
+    z_files = _files_touched(spark, zpath, pred)
+    lin_files = _files_touched(spark, lpath, pred)
+    assert lin_files >= 12, (z_files, lin_files)
+    assert z_files <= lin_files // 2, (z_files, lin_files)

@@ -1123,3 +1123,42 @@ def test_q162_trajectory_join_is_block_keyed(spark):
     assert "levenshtein" in plan
     assert "InMemoryTableScan" in plan, plan
     assert _nscans(plan) <= 1, plan
+
+
+def test_q161_overflow_sentinel_engine_identical(spark, duck):
+    # round-5 advice: past the decimal(38,0) numerator horizon
+    # (N ~ 4e7 users under heavy conversion skew) Spark used to NULL
+    # while DuckDB's HUGEINT kept computing. Both engines now share a
+    # bit-deterministic IEEE-double magnitude guard and emit -1; below
+    # the horizon the exact 128-bit value is unchanged.
+    from python_lambda_ecs_container_data_etl_aws_spark.plans import ORACLE
+    from python_lambda_ecs_container_data_etl_aws_spark.plans.business import (
+        abtest_readout_from_counts,
+    )
+
+    sql = ORACLE["q161_abtest_readout"]
+    tail = sql[sql.index("p AS (") :]
+    cases = [
+        # (n_a, c_a, n_b, c_b) -> expected chisq_milli
+        ((50_000_000, 49_999_999, 50_000_000, 1), -1),  # past horizon
+        ((1000, 100, 1000, 50), 18018),  # classic 10% vs 5% readout
+        ((7, 0, 5, 3), 5600),  # tiny arms, zero-conversion arm A
+    ]
+    for (n_a, c_a, n_b, c_b), want in cases:
+        t = spark.createDataFrame(
+            [(n_a, c_a, n_b, c_b)],
+            "n_a bigint, c_a bigint, n_b bigint, c_b bigint",
+        )
+        got_spark = abtest_readout_from_counts(t).head().chisq_milli
+        syn = (
+            f"WITH t AS (SELECT CAST({n_a} AS BIGINT) n_a,"
+            f" CAST({c_a} AS BIGINT) c_a, CAST({n_b} AS BIGINT) n_b,"
+            f" CAST({c_b} AS BIGINT) c_b),\n" + tail
+        )
+        got_duck = duck.execute(syn).fetchall()[0][-1]
+        assert got_spark == got_duck == want, (
+            (n_a, c_a, n_b, c_b),
+            got_spark,
+            got_duck,
+            want,
+        )
