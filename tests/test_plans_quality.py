@@ -1162,3 +1162,80 @@ def test_q161_overflow_sentinel_engine_identical(spark, duck):
             got_duck,
             want,
         )
+
+
+# ---------------------------------------------------------------------------
+# q163-q175 warehouse decision-support family: the decorrelation +
+# broadcast-dim contracts. Correlated EXISTS / NOT EXISTS / scalar
+# subqueries must rewrite to semi/anti/broadcast joins — a surviving
+# CartesianProduct or per-row subquery is a plan regression.
+
+
+def test_q163_decorrelates_to_semi_and_anti_joins(spark):
+    plan = _plan(spark, "q163_only_late_supplier")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "LeftSemi" in plan, plan
+    assert "LeftAnti" in plan, plan
+    # the date-lateness predicate rides the join, not a post-filter scan
+    assert "InSubquery" not in plan  # fully decorrelated, no subquery exec
+
+
+def test_q164_idle_customers_anti_join_and_scalar_broadcast(spark):
+    plan = _plan(spark, "q164_idle_customers")
+    assert "CartesianProduct" not in plan
+    assert "LeftAnti" in plan, plan
+    # the recency predicate prunes orders BEFORE the anti join
+    assert re.search(r"PushedFilters: \[.*GreaterThanOrEqual\(o_orderdate", plan), plan
+
+
+def test_q165_stats_join_is_partkey_keyed(spark):
+    plan = _plan(spark, "q165_small_qty_revenue")
+    assert "CartesianProduct" not in plan
+    # brand dim broadcasts into BOTH the stats build and the line side
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert re.search(r"PushedFilters: \[.*EqualTo\(p_brand,Brand#3", plan), plan
+
+
+def test_q166_having_rides_orderkey_aggregate(spark):
+    plan = _plan(spark, "q166_large_order_customers")
+    assert "CartesianProduct" not in plan
+    assert "hashpartitioning(l_orderkey" in plan, plan
+
+
+def test_q167_scalar_having_broadcasts_one_row(spark):
+    plan = _plan(spark, "q167_important_parts")
+    assert "CartesianProduct" not in plan
+    assert "hashpartitioning(l_partkey" in plan, plan
+    assert _nscans(plan) == 2, plan  # lineitem scanned for v and reused for t
+
+
+def test_q168_q169_q175_dims_all_broadcast(spark):
+    for name in (
+        "q168_nation_volume_pairs",
+        "q169_market_share",
+        "q175_product_profit",
+    ):
+        plan = _plan(spark, name)
+        assert "CartesianProduct" not in plan, name
+        # every dim join is a broadcast; the only SMJ allowed is the
+        # lineitem⋈orders fact join (none at test SF)
+        assert plan.count("BroadcastHashJoin") >= 4, (name, plan)
+
+
+def test_q170_filters_prune_before_fact_join(spark):
+    plan = _plan(spark, "q170_returned_items")
+    assert re.search(r"PushedFilters: \[.*EqualTo\(l_returnflag,R\)", plan), plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q172_top_supplier_is_suppkey_aggregate_plus_max(spark):
+    plan = _plan(spark, "q172_top_supplier")
+    assert "CartesianProduct" not in plan
+    assert "hashpartitioning(l_suppkey" in plan, plan
+
+
+def test_q173_ri_audit_is_anti_join_counts_single_job(spark):
+    plan = _plan(spark, "q173_ri_audit")
+    assert "CartesianProduct" not in plan
+    assert len(re.findall(r"Join type: LeftAnti", plan)) == 7, plan  # per FK edge
