@@ -1,4 +1,4 @@
-"""Decision-support queries q163-q175: the classic warehouse shapes
+"""Decision-support queries q163-q179: the classic warehouse shapes
 (TPC-H Q7/Q8/Q9/Q10/Q11/Q12/Q14/Q15/Q17/Q18/Q21/Q22 analogues, adapted
 to this testdata's schema — no partsupp / l_shipmode / l_commitdate /
 c_phone, so lateness derives from ``l_shipdate - o_orderdate``, supply
@@ -724,4 +724,188 @@ def q175(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name", F.year("o_orderdate").cast("int").alias("y"))
         .agg(_dsum(profit).alias("profit_cp"))
         .orderBy("n_name", "y")
+    )
+
+
+# --------------------------------------------------------------------------
+# q176 late-order priority check (TPC-H Q4 shape). Orders of one year
+# with AT LEAST one late line, counted per priority — the correlated
+# EXISTS carries a NON-EQUI predicate on the outer row (l_shipdate >
+# o_orderdate + 180d), the harder decorrelation case: Catalyst folds
+# it into the left-semi join condition beside the orderkey equality
+# (plan-asserted). One orderkey-co-keyed semi join at any scale.
+ORACLE["q176_late_order_priorities"] = """
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders
+WHERE YEAR(o_orderdate) = 1997
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate > o_orderdate + INTERVAL 180 DAY)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+@_q("q176_late_order_priorities")
+def q176(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("wh_orders")
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("wh_lineitem")
+    return spark.sql(
+        ORACLE["q176_late_order_priorities"]
+        .replace("FROM orders", "FROM wh_orders")
+        .replace("FROM lineitem", "FROM wh_lineitem")
+    )
+
+
+# --------------------------------------------------------------------------
+# q177 segment backlog (TPC-H Q3 shape). For one market segment's
+# orders placed before mid-1997, the revenue still unshipped at
+# 1998-01-01 — top 10 orders. Both date predicates push to their
+# scans; customer broadcasts; the one shuffle is lineitem⋈orders on
+# orderkey, then an orderkey-keyed aggregate on the SAME key (no
+# second exchange).
+ORACLE["q177_segment_backlog"] = f"""
+SELECT l_orderkey,
+       {_dsum_sql(_REV_CP_SQL)} AS backlog_cp,
+       CAST(YEAR(o_orderdate) AS INT) AS y
+FROM customer
+JOIN orders ON o_custkey = c_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1997-07-01'
+  AND l_shipdate >= TIMESTAMP '1998-01-01'
+GROUP BY l_orderkey, 3
+ORDER BY backlog_cp DESC, l_orderkey
+LIMIT 10
+"""
+
+
+@_q("q177_segment_backlog")
+def q177(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1997-07-01").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", F.year("o_orderdate").cast("int").alias("y"))
+        .agg(_dsum(_rev_cp()).alias("backlog_cp"))
+        .select("l_orderkey", "backlog_cp", "y")
+        .orderBy(F.desc("backlog_cp"), "l_orderkey")
+        .limit(10)
+    )
+
+
+# --------------------------------------------------------------------------
+# q178 cheapest supplier per part (TPC-H Q2 shape — no partsupp, so
+# the offer price derives from shipped lines). For one brand: each
+# part's supplier with the lowest average unit price (exact
+# milli-cents via one truncating div), suppkey tiebreak. The argmin
+# rides a (partkey)-keyed window over the (part,supplier) aggregate —
+# |brand parts|×|suppliers-per-part| sized, never lineitem sized.
+ORACLE["q178_cheapest_supplier"] = f"""
+WITH bp AS (SELECT p_partkey FROM part WHERE p_brand = 'Brand#5'),
+ps AS (
+    SELECT l_partkey, l_suppkey,
+           {_dsum_sql(_cents_sql('l_extendedprice'))} AS sum_cents,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+    FROM lineitem JOIN bp ON l_partkey = p_partkey
+    GROUP BY l_partkey, l_suppkey
+),
+u AS (
+    SELECT l_partkey, l_suppkey,
+           CAST(CAST(sum_cents AS HUGEINT) * 1000 // sum_qty AS BIGINT)
+               AS unit_milli,
+           ROW_NUMBER() OVER (
+               PARTITION BY l_partkey
+               ORDER BY CAST(CAST(sum_cents AS HUGEINT) * 1000 // sum_qty
+                             AS BIGINT), l_suppkey) AS rn
+    FROM ps
+)
+SELECT l_partkey, l_suppkey AS best_suppkey, unit_milli
+FROM u WHERE rn = 1
+ORDER BY l_partkey
+LIMIT 100
+"""
+
+
+@_q("q178_cheapest_supplier")
+def q178(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    li = _t(spark, sf_dir, "lineitem")
+    bp = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == "Brand#5")
+        .select("p_partkey")
+    )
+    ps = (
+        li.join(F.broadcast(bp), li.l_partkey == F.col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            _dsum(_cents("l_extendedprice")).alias("sum_cents"),
+            F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias("sum_qty"),
+        )
+        .withColumn(
+            "unit_milli",
+            F.expr(
+                "CAST(CAST(sum_cents AS DECIMAL(38,0)) * 1000"
+                " div sum_qty AS BIGINT)"
+            ),
+        )
+    )
+    w = Window.partitionBy("l_partkey").orderBy("unit_milli", "l_suppkey")
+    return (
+        ps.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "l_partkey",
+            F.col("l_suppkey").alias("best_suppkey"),
+            "unit_milli",
+        )
+        .orderBy("l_partkey")
+        .limit(100)
+    )
+
+
+# --------------------------------------------------------------------------
+# q179 discount-band revenue (TPC-H Q6 shape, banded). One ship
+# year's revenue and line counts by exact discount percentage and
+# small/large quantity band — the what-if pricing report. Pure
+# scan-project-aggregate: no joins, predicates pushed, CASE bands in
+# codegen, map-side partial aggregation into a 22-cell result.
+ORACLE["q179_discount_band_revenue"] = f"""
+SELECT {_cents_sql('l_discount')} AS disc_pct,
+       CASE WHEN CAST(l_quantity AS BIGINT) < 25 THEN 'small'
+            ELSE 'large' END AS qty_band,
+       {_dsum_sql(_cents_sql('l_extendedprice'))} AS rev_cents,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem
+WHERE YEAR(l_shipdate) = 1997
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+@_q("q179_discount_band_revenue")
+def q179(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(F.year("l_shipdate") == 1997)
+    return (
+        li.select(
+            _cents("l_discount").alias("disc_pct"),
+            F.when(F.col("l_quantity").cast("bigint") < 25, "small")
+            .otherwise("large")
+            .alias("qty_band"),
+            _cents("l_extendedprice").alias("cents"),
+        )
+        .groupBy("disc_pct", "qty_band")
+        .agg(
+            _dsum(F.col("cents")).alias("rev_cents"),
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        )
+        .orderBy("disc_pct", "qty_band")
     )

@@ -1239,3 +1239,36 @@ def test_q173_ri_audit_is_anti_join_counts_single_job(spark):
     plan = _plan(spark, "q173_ri_audit")
     assert "CartesianProduct" not in plan
     assert len(re.findall(r"Join type: LeftAnti", plan)) == 7, plan  # per FK edge
+
+
+def test_q176_non_equi_correlated_exists_decorrelates(spark):
+    # the EXISTS predicate references the OUTER o_orderdate in an
+    # inequality — the harder decorrelation case: it must fold into
+    # the left-semi join condition, never a per-row subquery
+    plan = _plan(spark, "q176_late_order_priorities")
+    assert "CartesianProduct" not in plan
+    assert "LeftSemi" in plan, plan
+    assert "InSubquery" not in plan
+
+
+def test_q177_backlog_filters_push_to_all_scans(spark):
+    plan = _plan(spark, "q177_segment_backlog")
+    pushed = " ".join(re.findall(r"PushedFilters: \[([^\]]*)\]", plan))
+    assert "EqualTo(c_mktsegment,BUILDING)" in pushed, pushed
+    assert "LessThan(o_orderdate" in pushed, pushed
+    assert "GreaterThanOrEqual(l_shipdate" in pushed, pushed
+    assert "CartesianProduct" not in plan
+
+
+def test_q178_argmin_rides_partkey_window_group_limit(spark):
+    # rn = 1 must prune via WindowGroupLimit on the (part, supplier)
+    # AGGREGATE — lineitem rows never enter the window
+    plan = _plan(spark, "q178_cheapest_supplier")
+    assert "WindowGroupLimit" in plan, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q179_band_report_is_scan_plus_one_aggregate(spark):
+    plan = _plan(spark, "q179_discount_band_revenue")
+    assert "Join" not in plan
+    assert _nscans(plan) == 1, plan
