@@ -54,24 +54,28 @@ def main() -> None:
     n = li.count()
     out["n_fact_rows"] = n
 
-    # 80% of rows onto ONE key; the rest keep their real orderkey.
+    # 80% of rows onto ONE key, the rest spread over a 10k-key domain
+    # (the salting use-case: hot fact key against a dim too large to
+    # broadcast comfortably but small enough that ×buckets replication
+    # is cheap). The pad is a 32-char digest so the hot partition's
+    # SHUFFLE bytes are realistically wide — an all-zeros bigint pad
+    # compresses below the 256MB default skew threshold and
+    # understates real row widths.
+    n_keys = 10_000
     fact = li.select(
         F.when(F.xxhash64("l_orderkey", "l_linenumber") % 10 < 8, F.lit(0))
-        .otherwise(F.col("l_orderkey"))
+        .otherwise(F.pmod(F.xxhash64("l_orderkey"), F.lit(n_keys - 1)) + 1)
         .alias("k"),
-        F.col("l_partkey").alias("pad"),
+        F.md5(F.concat_ws("|", "l_orderkey", "l_linenumber")).alias("pad"),
     )
-    dim = (
-        li.select(F.col("l_orderkey").alias("k"))
-        .distinct()
-        .union(spark.createDataFrame([(0,)], "k bigint"))
-        .distinct()
-        .withColumn("w", (F.col("k") * 31) % 101)
+    dim = spark.range(n_keys).withColumnRenamed("id", "k").withColumn(
+        "w", (F.col("k") * 31) % 101
     )
 
     def agg_of(j):
         return j.groupBy().agg(
-            F.count(F.lit(1)).alias("n"), F.sum(F.col("pad") + F.col("w")).alias("s")
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.length("pad") + F.col("w")).alias("s"),
         )
 
     # Plain join under AQE with PRODUCTION-default skew thresholds.
