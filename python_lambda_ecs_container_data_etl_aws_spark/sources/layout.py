@@ -26,6 +26,13 @@ at 100 TB *before* any query runs:
 
 Both writers are side-effecting sinks (SURVEY §2 S-row style):
 covered by plan/behavior tests rather than hash-contract queries.
+
+A third lever needs no writer at all: hive-partitioning a fact table
+on its date key (plain ``df.write.partitionBy``) lets Spark's dynamic
+partition pruning plant a ``dynamicpruningexpression`` inside the
+scan's PartitionFilters whenever a FILTERED dim joins on that key —
+``tests/test_layout.py`` pins the firing and its DPP-off negative
+control.
 """
 
 from __future__ import annotations

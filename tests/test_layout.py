@@ -7,6 +7,7 @@ Z-order that doesn't localize, is a silent regression)."""
 
 from __future__ import annotations
 
+import re
 from contextlib import contextmanager
 
 import pytest
@@ -279,3 +280,59 @@ def test_zorder_concentrates_wide_span_dimensions(spark, tmp_path):
     lin_files = _files_touched(spark, lpath, pred)
     assert lin_files >= 12, (z_files, lin_files)
     assert z_files <= lin_files // 2, (z_files, lin_files)
+
+
+def test_dynamic_partition_pruning_fires_on_dim_filtered_join(spark, tmp_path):
+    # The third storage-side lever beside bucketing and Z-order: a
+    # fact table hive-partitioned on its date key must let a FILTERED
+    # dim join prune fact partitions AT RUNTIME (dynamic partition
+    # pruning — Spark plants a dynamicpruningexpression INSIDE the
+    # scan's PartitionFilters, fed by the dim broadcast). At 100 TB
+    # this is the difference between scanning the whole fact and
+    # scanning only the joined dates.
+    orders = load_table(spark, SF_DIR, "orders").withColumn(
+        "order_month", F.date_format("o_orderdate", "yyyy-MM")
+    )
+    fpath = str(tmp_path / "fact_part")
+    orders.write.partitionBy("order_month").parquet(fpath)
+    fact = spark.read.parquet(fpath)
+    assert fact.select("order_month").distinct().count() > 12
+    dim = (
+        fact.select("order_month")
+        .distinct()
+        .withColumn("quarter_tag", F.substring("order_month", 1, 4))
+        .filter(F.col("order_month").between("1996-01", "1996-03"))
+    )
+
+    def _fmt(df):
+        return df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+
+    with _conf(
+        spark,
+        "spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly",
+        "false",
+    ):
+        joined = fact.join(dim, "order_month").groupBy("quarter_tag").count()
+        plan = _fmt(joined)
+        pf = " ".join(re.findall(r"PartitionFilters: \[([^\]]*)\]", plan))
+        assert "dynamicpruning" in pf, plan
+        got = joined.collect()
+
+    # negative control: with DPP off the partition filter is gone
+    with _conf(spark, "spark.sql.optimizer.dynamicPartitionPruning.enabled", "false"):
+        off = fact.join(dim, "order_month").groupBy("quarter_tag").count()
+        pf_off = " ".join(re.findall(r"PartitionFilters: \[([^\]]*)\]", _fmt(off)))
+        assert "dynamicpruning" not in pf_off
+
+    # semantics unchanged: equals the statically pre-pruned join
+    pre = (
+        fact.filter(F.col("order_month").between("1996-01", "1996-03"))
+        .join(dim, "order_month")
+        .groupBy("quarter_tag")
+        .count()
+    )
+    assert sorted(map(tuple, got)) == sorted(map(tuple, pre.collect()))
