@@ -42,6 +42,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .core import ORACLE, _q, _t
+from .evalsuite import _md5i_sql
 
 # Exact integer cents from a 2-decimal money DOUBLE (see module doc).
 def _cents_sql(x: str) -> str:
@@ -908,4 +909,212 @@ def q179(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("bigint").alias("n_lines"),
         )
         .orderBy("disc_pct", "qty_band")
+    )
+
+
+# --------------------------------------------------------------------------
+# q180 Poisson-bootstrap confidence interval. The at-scale bootstrap:
+# classic resampling needs the whole dataset per replicate; the
+# Poisson(1) approximation gives each row an i.i.d. integer weight
+# per replicate, so B replicates are ONE pass over rows x B with
+# map-side aggregation collapsing to |groups| x B immediately — the
+# standard large-data CI recipe. Weights derive from a 60-bit md5
+# integer reduced mod 1e9 against PRE-COMPUTED integer thresholds of
+# the Poisson(1) CDF (engine-identical: both engines compare the same
+# integers — no float RNG). Per (priority, replicate): the
+# weighted-mean order price (exact milli-cents, one truncating div);
+# the 90% CI is the nearest-rank 2nd / 31st of the B=32 replicate
+# means (deterministic tiebreak on replicate id).
+_POIS = [367879441, 735758882, 919698603, 981011843, 996340153]
+_B = 32
+
+
+def _pois_w_sql(h: str) -> str:
+    cases = " ".join(
+        f"WHEN {h} < {t} THEN {k}" for k, t in enumerate(_POIS)
+    )
+    return f"(CASE {cases} ELSE 5 END)"
+
+
+ORACLE["q180_bootstrap_ci"] = f"""
+WITH rep AS (
+    SELECT o_orderpriority, b,
+           {_pois_w_sql(f"({_md5i_sql('bs|', '(o_orderkey * 37 + b)')} % 1000000000)")} AS w,
+           {_cents_sql('o_totalprice')} AS cents
+    FROM orders CROSS JOIN (SELECT UNNEST(generate_series(0, {_B - 1})) AS b)
+),
+m AS (
+    SELECT o_orderpriority, b,
+           CASE WHEN SUM(w) = 0 THEN 0
+                ELSE CAST(SUM(CAST(w AS HUGEINT) * cents) * 1000
+                          // SUM(CAST(w AS HUGEINT)) AS BIGINT)
+           END AS rep_mean_milli
+    FROM rep GROUP BY o_orderpriority, b
+),
+r AS (
+    SELECT o_orderpriority, rep_mean_milli,
+           ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                              ORDER BY rep_mean_milli, b) AS rk
+    FROM m
+),
+pt AS (
+    SELECT o_orderpriority,
+           CAST(SUM(CAST({_cents_sql('o_totalprice')} AS HUGEINT)) * 1000
+                // COUNT(*) AS BIGINT) AS mean_milli
+    FROM orders GROUP BY o_orderpriority
+)
+SELECT pt.o_orderpriority, mean_milli,
+       MAX(CASE WHEN rk = 2 THEN rep_mean_milli END) AS ci_lo_milli,
+       MAX(CASE WHEN rk = 31 THEN rep_mean_milli END) AS ci_hi_milli
+FROM pt JOIN r ON r.o_orderpriority = pt.o_orderpriority
+GROUP BY pt.o_orderpriority, mean_milli
+ORDER BY pt.o_orderpriority
+"""
+
+
+@_q("q180_bootstrap_ci")
+def q180(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    o = _t(spark, sf_dir, "orders")
+    h = (
+        "CAST(conv(substring(md5(cast(concat('bs|',"
+        " cast(o_orderkey * 37 + b as string)) as binary)), 1, 15), 16, 10)"
+        " AS BIGINT) % 1000000000"
+    )
+    rep = (
+        o.select(
+            "o_orderpriority",
+            "o_orderkey",
+            _cents("o_totalprice").alias("cents"),
+        )
+        .withColumn("b", F.explode(F.sequence(F.lit(0), F.lit(_B - 1))))
+        .withColumn("w", F.expr(_pois_w_sql(f"({h})")))
+    )
+    m = rep.groupBy("o_orderpriority", "b").agg(
+        F.when(F.sum("w") == 0, F.lit(0))
+        .otherwise(
+            F.expr(
+                "CAST(SUM(CAST(w AS DECIMAL(38,0)) * cents) * 1000"
+                " div SUM(CAST(w AS DECIMAL(38,0))) AS BIGINT)"
+            )
+        )
+        .alias("rep_mean_milli")
+    )
+    r = m.withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("o_orderpriority").orderBy("rep_mean_milli", "b")
+        ),
+    )
+    pt = o.groupBy("o_orderpriority").agg(
+        F.expr(
+            f"CAST(SUM(CAST({_cents_sql('o_totalprice')} AS DECIMAL(38,0)))"
+            " * 1000 div COUNT(*) AS BIGINT)"
+        ).alias("mean_milli")
+    )
+    return (
+        pt.join(r, "o_orderpriority")
+        .groupBy("o_orderpriority", "mean_milli")
+        .agg(
+            F.max(F.when(F.col("rk") == 2, F.col("rep_mean_milli"))).alias(
+                "ci_lo_milli"
+            ),
+            F.max(F.when(F.col("rk") == 31, F.col("rep_mean_milli"))).alias(
+                "ci_hi_milli"
+            ),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+# --------------------------------------------------------------------------
+# q181 key-skew profile. The shuffle diagnostic a 100 TB pipeline
+# runs BEFORE keying a join: per-user event counts reduced to one row
+# of skew statistics — key count, max, exact nearest-rank p50/p99 (on
+# the COUNT-OF-COUNTS histogram, so order statistics never sort the
+# key relation — the grid is |distinct counts| sized), mean (milli),
+# and max/mean skew ratio (ppm). One user-keyed shuffle; everything
+# after is histogram-sized. The q82/q53 smokes consume exactly this
+# signal; here it is first-class and oracle-backed.
+ORACLE["q181_key_skew_profile"] = """
+WITH c AS (
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM events GROUP BY user_id
+),
+h AS (
+    SELECT cnt, CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(COALESCE(SUM(COUNT(*)) OVER (ORDER BY cnt
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                AS BIGINT) AS below
+    FROM c GROUP BY cnt
+),
+t AS (
+    SELECT CAST(SUM(n_keys) AS BIGINT) AS total_keys,
+           CAST(SUM(cnt * n_keys) AS BIGINT) AS total_rows,
+           CAST(MAX(cnt) AS BIGINT) AS max_cnt
+    FROM h
+)
+SELECT total_keys, max_cnt,
+       (SELECT MIN(cnt) FROM h, t
+        WHERE below + n_keys >= (total_keys + 1) // 2) AS p50_cnt,
+       (SELECT MIN(cnt) FROM h, t
+        WHERE (below + n_keys) * 100 >= total_keys * 99) AS p99_cnt,
+       CAST(total_rows * 1000 // total_keys AS BIGINT) AS mean_cnt_milli,
+       CAST(max_cnt * 1000000 * total_keys // total_rows AS BIGINT)
+           AS skew_ratio_ppm
+FROM t
+"""
+
+
+@_q("q181_key_skew_profile")
+def q181(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from ..catalog import load_events
+
+    e = load_events(spark, sf_dir)
+    c = e.groupBy("user_id").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    h = (
+        c.groupBy("cnt")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_keys"))
+        .withColumn(
+            "below",
+            F.coalesce(
+                F.sum("n_keys").over(
+                    Window.orderBy("cnt").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ).cast("bigint"),
+        )
+    )
+    t = h.agg(
+        F.sum("n_keys").cast("bigint").alias("total_keys"),
+        F.sum(F.col("cnt") * F.col("n_keys")).cast("bigint").alias("total_rows"),
+        F.max("cnt").cast("bigint").alias("max_cnt"),
+    )
+    ht = h.crossJoin(F.broadcast(t))
+    p50 = ht.filter(
+        F.col("below") + F.col("n_keys") >= F.expr("(total_keys + 1) div 2")
+    ).agg(F.min("cnt").alias("p50_cnt"))
+    p99 = ht.filter(
+        (F.col("below") + F.col("n_keys")) * 100 >= F.col("total_keys") * 99
+    ).agg(F.min("cnt").alias("p99_cnt"))
+    return (
+        t.crossJoin(F.broadcast(p50))
+        .crossJoin(F.broadcast(p99))
+        .select(
+            "total_keys",
+            "max_cnt",
+            "p50_cnt",
+            "p99_cnt",
+            F.expr("CAST(total_rows * 1000 div total_keys AS BIGINT)").alias(
+                "mean_cnt_milli"
+            ),
+            F.expr(
+                "CAST(max_cnt * 1000000 * total_keys div total_rows AS BIGINT)"
+            ).alias("skew_ratio_ppm"),
+        )
     )

@@ -1272,3 +1272,26 @@ def test_q179_band_report_is_scan_plus_one_aggregate(spark):
     plan = _plan(spark, "q179_discount_band_revenue")
     assert "Join" not in plan
     assert _nscans(plan) == 1, plan
+
+
+def test_q180_bootstrap_replicates_collapse_map_side(spark):
+    # rows x B must collapse to |groups| x B in the partial aggregate:
+    # the only exchanges are on (priority, b) / (priority) — never a
+    # row-sized shuffle; weights are pure codegen (no Python stage)
+    plan = _plan(spark, "q180_bootstrap_ci")
+    assert "Python" not in plan
+    assert "CartesianProduct" not in plan
+    keys = " ".join(re.findall(r"hashpartitioning\(([^)]*)\)", plan))
+    assert "o_orderpriority" in keys, plan
+    assert "o_orderkey" not in keys, plan  # never shuffled by row key
+
+
+def test_q181_skew_profile_order_stats_ride_histogram(spark):
+    # p50/p99 come from the count-of-counts histogram — the windows
+    # run over |distinct counts| rows, and the only corpus-sized
+    # exchange is the user_id groupBy
+    plan = _plan(spark, "q181_key_skew_profile")
+    assert "CartesianProduct" not in plan
+    assert "hashpartitioning(user_id" in plan, plan
+    specs = " ".join(re.findall(r"windowspecdefinition\(([^)]*)", plan))
+    assert "user_id" not in specs, specs  # window never sorts the key relation
