@@ -1118,3 +1118,111 @@ def q181(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("skew_ratio_ppm"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q182 snapshot diff. The reconciliation op a lake pipeline runs
+# between two table versions: added / removed / changed keys plus a
+# per-column changed-count profile. The two snapshots derive
+# DETERMINISTICALLY from orders (old = keys outside a 5% md5 slice;
+# new = keys outside a different 5% slice, with prices re-stated on a
+# 7% slice and priorities on a 3% slice), so the operator's input
+# shape is real while the fixture needs no second table. Exact cents
+# comparison (no float equality). Scale: ONE full-outer join on the
+# key — both sides shuffle once on o_orderkey; the change profile is
+# a conditional aggregate over the joined rows, map-side partial.
+ORACLE["q182_snapshot_diff"] = f"""
+WITH old AS (
+    SELECT o_orderkey, {_cents_sql('o_totalprice')} AS price_cents,
+           o_orderpriority
+    FROM orders
+    WHERE {_md5i_sql('snapA|', 'o_orderkey')} % 20 <> 0
+),
+new AS (
+    SELECT o_orderkey,
+           CASE WHEN {_md5i_sql('bump|', 'o_orderkey')} % 100 < 7
+                THEN {_cents_sql('o_totalprice')} + 500
+                ELSE {_cents_sql('o_totalprice')} END AS price_cents,
+           CASE WHEN {_md5i_sql('prio|', 'o_orderkey')} % 100 < 3
+                THEN '1-URGENT' ELSE o_orderpriority END AS o_orderpriority
+    FROM orders
+    WHERE {_md5i_sql('snapB|', 'o_orderkey')} % 20 <> 0
+),
+j AS (
+    SELECT old.o_orderkey AS ko, new.o_orderkey AS kn,
+           old.price_cents AS po, new.price_cents AS pn,
+           old.o_orderpriority AS ro, new.o_orderpriority AS rn
+    FROM old FULL OUTER JOIN new ON old.o_orderkey = new.o_orderkey
+)
+SELECT CAST(SUM(CASE WHEN ko IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
+       CAST(SUM(CASE WHEN kn IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+       CAST(SUM(CASE WHEN ko IS NOT NULL AND kn IS NOT NULL
+                      AND (po <> pn OR ro <> rn) THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_changed,
+       CAST(SUM(CASE WHEN ko IS NOT NULL AND kn IS NOT NULL
+                      AND po = pn AND ro = rn THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_unchanged,
+       CAST(SUM(CASE WHEN ko IS NOT NULL AND kn IS NOT NULL AND po <> pn
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_price_changed,
+       CAST(SUM(CASE WHEN ko IS NOT NULL AND kn IS NOT NULL AND ro <> rn
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_priority_changed
+FROM j
+"""
+
+
+@_q("q182_snapshot_diff")
+def q182(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .evalsuite import _md5i_spark
+
+    o = _t(spark, sf_dir, "orders")
+    old = o.filter(_md5i_spark("snapA|", F.col("o_orderkey")) % 20 != 0).select(
+        F.col("o_orderkey").alias("ko"),
+        _cents("o_totalprice").alias("po"),
+        F.col("o_orderpriority").alias("ro"),
+    )
+    new = o.filter(_md5i_spark("snapB|", F.col("o_orderkey")) % 20 != 0).select(
+        F.col("o_orderkey").alias("kn"),
+        F.when(
+            _md5i_spark("bump|", F.col("o_orderkey")) % 100 < 7,
+            _cents("o_totalprice") + 500,
+        )
+        .otherwise(_cents("o_totalprice"))
+        .alias("pn"),
+        F.when(
+            _md5i_spark("prio|", F.col("o_orderkey")) % 100 < 3, F.lit("1-URGENT")
+        )
+        .otherwise(F.col("o_orderpriority"))
+        .alias("rn"),
+    )
+    j = old.join(new, old.ko == new.kn, "full_outer")
+    both = F.col("ko").isNotNull() & F.col("kn").isNotNull()
+    return j.agg(
+        F.sum(F.when(F.col("ko").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_added"),
+        F.sum(F.when(F.col("kn").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_removed"),
+        F.sum(
+            F.when(
+                both & ((F.col("po") != F.col("pn")) | (F.col("ro") != F.col("rn"))),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_changed"),
+        F.sum(
+            F.when(
+                both & (F.col("po") == F.col("pn")) & (F.col("ro") == F.col("rn")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_unchanged"),
+        F.sum(F.when(both & (F.col("po") != F.col("pn")), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_price_changed"),
+        F.sum(F.when(both & (F.col("ro") != F.col("rn")), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_priority_changed"),
+    )

@@ -1295,3 +1295,13 @@ def test_q181_skew_profile_order_stats_ride_histogram(spark):
     assert "hashpartitioning(user_id" in plan, plan
     specs = " ".join(re.findall(r"windowspecdefinition\(([^)]*)", plan))
     assert "user_id" not in specs, specs  # window never sorts the key relation
+
+
+def test_q182_snapshot_diff_is_one_keyed_full_outer(spark):
+    # one full-outer join on the key, both snapshot filters pure
+    # codegen over the same scan; the profile is a map-side
+    # conditional aggregate — no second shuffle family
+    plan = _plan(spark, "q182_snapshot_diff")
+    assert "CartesianProduct" not in plan
+    assert len(re.findall(r"Join type: FullOuter", plan)) == 1, plan
+    assert "Python" not in plan
