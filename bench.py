@@ -151,7 +151,10 @@ def main() -> None:
     # shuffles, zero driver transfer — and record both numbers so the
     # artifacts stop conflating engine cost with transfer. Off by
     # default: the driver's per-round run stays byte-compatible.
-    split_n = int(os.environ.get("SPARK_GRAFT_COMPUTE_SPLIT", "0") or 0)
+    try:
+        split_n = int(os.environ.get("SPARK_GRAFT_COMPUTE_SPLIT", "0") or 0)
+    except ValueError:
+        split_n = 0  # malformed flag must not lose the finished timed pass
     if split_n > 0 and timings:
         compute: dict[str, float] = {}
         for name in sorted(timings, key=timings.__getitem__, reverse=True)[

@@ -16,6 +16,6 @@ from . import evalsuite as _evl  # noqa: F401  (registers q124-q133)
 from . import analysis as _ana  # noqa: F401  (registers q134-q145)
 from . import measures as _msr  # noqa: F401  (registers q146-q157)
 from . import business as _biz  # noqa: F401  (registers q158-q162)
-from . import warehouse as _wh  # noqa: F401  (registers q163-q179)
+from . import warehouse as _wh  # noqa: F401  (registers q163-q182)
 
 __all__ = ["QUERIES", "ORACLE"]

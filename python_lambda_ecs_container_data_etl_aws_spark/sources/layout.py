@@ -135,31 +135,38 @@ def zorder_key(cols: list[Column], bits: int = 16) -> Column:
 
 def _normalize(col: str, cmin: str, cmax: str, bits: int) -> Column:
     """Min-max scale ``col`` to ``[0, 2**bits)`` with EXACT integer math
-    at any BIGINT span.
+    at any int64 span — including spans that exceed 2**63 (a column
+    mixing large negative and positive extremes), where even the
+    subtraction ``max - min`` would wrap in BIGINT.
 
-    Two staged branches (round-5 advice: the first cut computed
-    ``(col-cmin) * top / span`` — the BIGINT multiply silently wraps
-    (non-ANSI) once ``span`` exceeds ~2**62/top ≈ 7e13, e.g. a
-    microsecond-timestamp column spanning a few years, and ``/`` is
-    double division that loses bits above 2**53 — both producing
-    garbage Z-keys while the data stays byte-identical):
+    All terms are therefore staged through DECIMAL(38,0) (round-6
+    review: the first rewrite left ``hi - lo`` in BIGINT, which wraps
+    for full-range int64 columns and silently coerced span to 1):
+    offset <= span <= ~1.8e19 and ``off * top`` <= span * 65535 ~
+    1.2e24, all far inside the 1e38 decimal cap; ``div`` on decimal
+    operands is exact integral division returning BIGINT.
 
-    - narrow span (``span * top < 2**62``): classic min-max scale-up
-      ``off * top div span`` — the multiply provably fits, ``div`` is
-      integral, values spread across the full ``[0, top]`` grid.
+    Two branches (round-5 advice — the original cut computed
+    ``(col-cmin) * top / span`` with a BIGINT multiply that wrapped
+    past span ~7e13 and double division losing bits above 2**53):
+
+    - narrow span (``span <= 2**62/top``): classic min-max scale-up
+      ``off * top div span`` — values spread across the full
+      ``[0, top]`` grid.
     - wide span: staged scale-DOWN ``off div (span div (top+1) + 1)``
-      — divide first so nothing is ever multiplied; the quotient is
-      provably ``<= top`` (step > span/(top+1)); resolution loss is
-      one part in 2**bits, exactly the grid the key keeps anyway.
+      — the quotient is provably ``<= top`` (step > span/(top+1));
+      resolution loss is one part in 2**bits, exactly the grid the
+      key keeps anyway.
 
     Takes column NAMES (not Columns) so the whole expression can be a
     SQL string using the integral ``div`` operator, which has no
     Column-API equivalent.
     """
     top = (1 << bits) - 1
+    dec = "DECIMAL(38,0)"
     c, lo, hi = f"`{col}`", f"`{cmin}`", f"`{cmax}`"
-    off = f"(CAST({c} AS BIGINT) - {lo})"
-    span = f"GREATEST({hi} - {lo}, CAST(1 AS BIGINT))"
+    off = f"(CAST({c} AS {dec}) - CAST({lo} AS {dec}))"
+    span = f"GREATEST(CAST({hi} AS {dec}) - CAST({lo} AS {dec}), CAST(1 AS {dec}))"
     narrow = (1 << 62) // top
     return F.expr(
         f"CASE WHEN {span} <= {narrow}"

@@ -336,3 +336,40 @@ def test_dynamic_partition_pruning_fires_on_dim_filtered_join(spark, tmp_path):
         .count()
     )
     assert sorted(map(tuple, got)) == sorted(map(tuple, pre.collect()))
+
+
+def test_normalize_exact_at_full_int64_span(spark):
+    # round-6 review: a column mixing large negative and positive
+    # extremes has span > 2**63 — even `max - min` wraps in BIGINT.
+    # The decimal-staged rewrite must keep the mapping monotone with
+    # the full grid in use.
+    from python_lambda_ecs_container_data_etl_aws_spark.sources.layout import (
+        _normalize,
+    )
+
+    lo = -(1 << 62) - 12345
+    hi = (1 << 62) + 6789  # span ~ 2**63 + 19134: wraps any BIGINT diff
+    n = 2048
+    step = (hi - lo) // (n - 1)
+    mx = lo + step * (n - 1)  # fits int64; the i*step INTERMEDIATE doesn't,
+    # so v is built through decimal (every final value is a valid BIGINT)
+    df = spark.range(n).select(
+        (
+            F.lit(lo).cast("decimal(38,0)")
+            + F.col("id").cast("decimal(38,0)") * F.lit(step)
+        )
+        .cast("bigint")
+        .alias("v"),
+        F.lit(lo).cast("bigint").alias("mn"),
+        F.lit(mx).cast("bigint").alias("mx"),
+    )
+    bs = [
+        r.b
+        for r in df.select("v", _normalize("v", "mn", "mx", 16).alias("b"))
+        .orderBy("v")
+        .collect()
+    ]
+    assert all(0 <= b <= 0xFFFF for b in bs)
+    assert bs == sorted(bs)
+    assert bs[0] == 0 and bs[-1] > 65000
+    assert len(set(bs)) > 2000

@@ -131,7 +131,19 @@ def main() -> None:
     out["window_group_limit_in_plan"] = "WindowGroupLimit" in plan
     out["cap_respected"] = res.max_kept == args.cap
 
+    out["ok"] = all(
+        out[k]
+        for k in (
+            "aqe_skew_split_fired",
+            "salted_agrees",
+            "window_group_limit_in_plan",
+            "cap_respected",
+        )
+    )
     print(json.dumps(out))
+    # a smoke that records a failure must FAIL: CI/driver invocations
+    # check exit status, not JSON booleans
+    sys.exit(0 if out["ok"] else 1)
 
 
 if __name__ == "__main__":
