@@ -1305,3 +1305,35 @@ def test_q182_snapshot_diff_is_one_keyed_full_outer(spark):
     assert "CartesianProduct" not in plan
     assert len(re.findall(r"Join type: FullOuter", plan)) == 1, plan
     assert "Python" not in plan
+
+
+def test_sql_backed_queries_substitute_every_table_reference():
+    # q163/q176 run their ORACLE text through string substitution onto
+    # wh_-prefixed temp views; a future edit that adds a bare
+    # FROM/JOIN clause the .replace chain misses would silently read
+    # whatever happens to be registered under the bare name
+    import re as _re
+
+    from python_lambda_ecs_container_data_etl_aws_spark.plans import ORACLE
+
+    for name, repls in {
+        "q163_only_late_supplier": [
+            ("FROM supplier", "FROM wh_supplier"),
+            ("JOIN lineitem", "JOIN wh_lineitem"),
+            ("JOIN orders", "JOIN wh_orders"),
+            ("FROM lineitem", "FROM wh_lineitem"),
+        ],
+        "q176_late_order_priorities": [
+            ("FROM orders", "FROM wh_orders"),
+            ("FROM lineitem", "FROM wh_lineitem"),
+        ],
+    }.items():
+        sql = ORACLE[name]
+        for a, b in repls:
+            sql = sql.replace(a, b)
+        bare = [
+            m
+            for m in _re.findall(r"(?:FROM|JOIN)\s+([a-z_0-9]+)", sql)
+            if not m.startswith("wh_")
+        ]
+        assert not bare, (name, bare)
