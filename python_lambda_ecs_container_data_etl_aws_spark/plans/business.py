@@ -127,7 +127,7 @@ def q158(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ~2 s at sf0.1); baskets are TPC-H-bounded (~7 lines/order), so
     # the in-row pair fan-out is O(k^2) with tiny k
     b = (
-        li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
+        li.join(pt, li.l_partkey == pt.p_partkey)  # part SF-scaled: no hint
         .select(F.col("l_orderkey").alias("o"), F.col("p_brand").alias("item"))
         .groupBy("o")
         .agg(F.collect_set("item").alias("items"))

@@ -237,9 +237,11 @@ def q36(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load_table(spark, sf_dir, "part")
     base = (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        # customer/part are SF-scaled: unhinted (AQE broadcasts while
+        # they fit); only fixed-cardinality nation gets a hard hint.
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
-        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(p, li.l_partkey == p.p_partkey)
         .filter(F.year("o_orderdate") == 1997)
         .select(F.col("n_name").alias("geo"), F.col("p_type").alias("category"), "l_extendedprice")
     )

@@ -1063,7 +1063,7 @@ def q156(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load_table(spark, sf_dir, "nation")
     base = (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)  # SF-scaled: no hard hint
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .withColumn("y", F.year("o_orderdate").cast("int"))
         .filter(F.col("y").isin(1995, 1996))

@@ -1737,7 +1737,7 @@ def q120(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_nationkey").alias("nation"),
     )
     r = (
-        o.join(F.broadcast(c), "o_custkey")
+        o.join(c, "o_custkey")  # customer is SF-scaled: no hard hint
         .groupBy("nation", "y")
         .agg(F.sum("cents").cast("bigint").alias("rev_cents"))
     )

@@ -128,7 +128,12 @@ def q163(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # q164 idle high-balance customers (TPC-H Q22 shape, country-code ->
 # nation; "no orders at all" -> "no orders since 1999" because this
-# generator gives every customer at least one order). Customers with
+# generator gives every customer at least one order — if a regenerated
+# corpus ever ships orderless customers, the rewrite would silently
+# mean "idle since 1999" instead of Q22's "never ordered"; results
+# would still hash-match the oracle, but the query's MEANING changes.
+# tests/test_oracle_parity.py::test_q164_generator_assumption pins the
+# invariant so such a corpus fails loudly). Customers with
 # above-average positive balance and no RECENT order, grouped by
 # nation. The above-average test is EXACT integer: cents * n_pos >
 # sum_pos_cents (no float average). Scale: one scalar aggregate
@@ -217,7 +222,9 @@ def q165(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("p_brand") == "Brand#3")
         .select("p_partkey")
     )
-    lib = li.join(F.broadcast(bp), li.l_partkey == F.col("p_partkey")).drop(
+    # bp is a brand slice of SF-scaled part — no hard hint; AQE
+    # broadcasts it while it fits and shuffle-joins beyond.
+    lib = li.join(bp, li.l_partkey == F.col("p_partkey")).drop(
         "p_partkey"
     )
     stats = lib.groupBy("l_partkey").agg(
@@ -293,8 +300,11 @@ def q166(spark: SparkSession, sf_dir: str) -> DataFrame:
 # broadcast against the partkey-keyed per-part aggregate. The
 # threshold is RELATIVE (value * 2 * n_parts > 3 * total), so the
 # result stays non-degenerate at every scale factor, and the compare
-# is staged in DECIMAL(38,0) — value*n_parts would cross BIGINT near
-# ~9e18 cent-parts, well inside synthetic range otherwise.
+# is staged in DECIMAL(38,0) on Spark / HUGEINT on DuckDB —
+# value*n_parts would cross BIGINT near ~9e18 cent-parts, and a
+# DuckDB DECIMAL multiply past width 38 silently routes through
+# DOUBLE (the module-doc '//' trap), so only 128-bit integer staging
+# keeps BOTH engines exact.
 ORACLE["q167_important_parts"] = f"""
 WITH v AS (
     SELECT l_partkey, {_dsum_sql(_cents_sql('l_extendedprice'))} AS value_cents
@@ -307,8 +317,8 @@ t AS (
 )
 SELECT l_partkey, value_cents
 FROM v CROSS JOIN t
-WHERE CAST(value_cents AS DECIMAL(38,0)) * 2 * n_parts
-      > CAST(3 AS DECIMAL(38,0)) * total_cents
+WHERE CAST(value_cents AS HUGEINT) * 2 * n_parts
+      > 3 * CAST(total_cents AS HUGEINT)
 ORDER BY value_cents DESC, l_partkey
 LIMIT 100
 """
@@ -375,10 +385,12 @@ def q168(spark: SparkSession, sf_dir: str) -> DataFrame:
     nc = n.select(
         F.col("n_nationkey").alias("nc_key"), F.col("n_name").alias("cust_nation")
     )
+    # customer/supplier are SF-scaled: unhinted (AQE broadcasts while
+    # they fit); only the two 25-row nation aliases get hard hints.
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(ns), F.col("s_nationkey") == F.col("ns_key"))
         .join(F.broadcast(nc), F.col("c_nationkey") == F.col("nc_key"))
         .filter(
@@ -444,15 +456,16 @@ def q169(spark: SparkSession, sf_dir: str) -> DataFrame:
     ns = n.select(
         F.col("n_nationkey").alias("ns_key"), F.col("n_name").alias("supp_nation")
     )
+    # customer/supplier SF-scaled: unhinted; nation/region fixed: hinted.
     base = (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(nc), F.col("c_nationkey") == F.col("nc_key"))
         .join(
             F.broadcast(r.filter(F.col("r_name") == "EUROPE")),
             F.col("nc_reg") == F.col("r_regionkey"),
         )
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(ns), F.col("s_nationkey") == F.col("ns_key"))
         .select(
             F.year("o_orderdate").cast("int").alias("y"),
@@ -507,7 +520,7 @@ def q170(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = _t(spark, sf_dir, "nation")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)  # SF-scaled: no hard hint
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(_dsum(_rev_cp()).alias("lost_cp"))
@@ -543,7 +556,7 @@ def q171(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").filter(F.year("l_shipdate") == 1997)
     p = _t(spark, sf_dir, "part")
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)  # part SF-scaled: no hint
         .select(
             F.year("l_shipdate").cast("int").alias("y"),
             F.month("l_shipdate").cast("int").alias("m"),
@@ -595,9 +608,9 @@ def q172(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = li.groupBy("l_suppkey").agg(_dsum(_rev_cp()).alias("total_cp"))
     mx = rev.agg(F.max("total_cp").alias("max_cp"))
     return (
-        rev.crossJoin(F.broadcast(mx))
+        rev.crossJoin(F.broadcast(mx))  # 1-row scalar: hint stays
         .filter(F.col("total_cp") == F.col("max_cp"))
-        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .join(s, F.col("l_suppkey") == s.s_suppkey)  # SF-scaled: no hint
         .select("s_suppkey", "s_name", "total_cp")
         .orderBy("s_suppkey")
     )
@@ -720,10 +733,11 @@ def q175(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{_REV_CP_SQL} - {_cents_sql('p_retailprice')}"
         " * CAST(l_quantity AS BIGINT) * 100"
     )
+    # part/supplier SF-scaled: unhinted; nation fixed: hinted.
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
         .groupBy("n_name", F.year("o_orderdate").cast("int").alias("y"))
         .agg(_dsum(profit).alias("profit_cp"))
@@ -795,7 +809,7 @@ def q177(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)  # SF-scaled: no hard hint
         .groupBy("l_orderkey", F.year("o_orderdate").cast("int").alias("y"))
         .agg(_dsum(_rev_cp()).alias("backlog_cp"))
         .select("l_orderkey", "backlog_cp", "y")
@@ -848,7 +862,8 @@ def q178(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p_partkey")
     )
     ps = (
-        li.join(F.broadcast(bp), li.l_partkey == F.col("p_partkey"))
+        # brand slice of SF-scaled part: unhinted (see q165 note)
+        li.join(bp, li.l_partkey == F.col("p_partkey"))
         .groupBy("l_partkey", "l_suppkey")
         .agg(
             _dsum(_cents("l_extendedprice")).alias("sum_cents"),
@@ -1065,9 +1080,10 @@ SELECT total_keys, max_cnt,
         WHERE below + n_keys >= (total_keys + 1) // 2) AS p50_cnt,
        (SELECT MIN(cnt) FROM h, t
         WHERE (below + n_keys) * 100 >= total_keys * 99) AS p99_cnt,
-       CAST(total_rows * 1000 // total_keys AS BIGINT) AS mean_cnt_milli,
-       CAST(max_cnt * 1000000 * total_keys // total_rows AS BIGINT)
-           AS skew_ratio_ppm
+       CAST(CAST(total_rows AS HUGEINT) * 1000 // total_keys AS BIGINT)
+           AS mean_cnt_milli,
+       CAST(CAST(max_cnt AS HUGEINT) * 1000000 * total_keys // total_rows
+            AS BIGINT) AS skew_ratio_ppm
 FROM t
 """
 
@@ -1115,11 +1131,17 @@ def q181(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_cnt",
             "p50_cnt",
             "p99_cnt",
-            F.expr("CAST(total_rows * 1000 div total_keys AS BIGINT)").alias(
-                "mean_cnt_milli"
-            ),
+            # both ratios stage through DECIMAL(38,0) (HUGEINT in the
+            # oracle): raw BIGINT products wrap silently on Spark past
+            # ~9.2e18 (max_cnt*1e6*total_keys lands there near 1e9 keys
+            # x 1e4 max) while DuckDB raises — the family's staging rule.
             F.expr(
-                "CAST(max_cnt * 1000000 * total_keys div total_rows AS BIGINT)"
+                "CAST(CAST(total_rows AS DECIMAL(38,0)) * 1000"
+                " div total_keys AS BIGINT)"
+            ).alias("mean_cnt_milli"),
+            F.expr(
+                "CAST(CAST(max_cnt AS DECIMAL(38,0)) * 1000000 * total_keys"
+                " div total_rows AS BIGINT)"
             ).alias("skew_ratio_ppm"),
         )
     )

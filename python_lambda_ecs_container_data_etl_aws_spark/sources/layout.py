@@ -165,7 +165,15 @@ def _normalize(col: str, cmin: str, cmax: str, bits: int) -> Column:
     top = (1 << bits) - 1
     dec = "DECIMAL(38,0)"
     c, lo, hi = f"`{col}`", f"`{cmin}`", f"`{cmax}`"
-    off = f"(CAST({c} AS {dec}) - CAST({lo} AS {dec}))"
+    # The value must go through the SAME BIGINT cast as write_zordered's
+    # min/max stats (which truncate toward zero) BEFORE the decimal
+    # stage. A direct DOUBLE->DECIMAL(38,0) cast ROUNDS, so a fractional
+    # column (min=0.4, max=10.6, value=10.6) would give off=11 > span=10
+    # — the cell escapes the 2**bits grid and zorder_key keeps only the
+    # low bits, wrapping top values to the bottom of the key space
+    # (round-6 advice). Truncation is monotonic, so after the shared
+    # cast off stays within [0, span] exactly.
+    off = f"(CAST(CAST({c} AS BIGINT) AS {dec}) - CAST({lo} AS {dec}))"
     span = f"GREATEST(CAST({hi} AS {dec}) - CAST({lo} AS {dec}), CAST(1 AS {dec}))"
     narrow = (1 << 62) // top
     return F.expr(

@@ -267,3 +267,21 @@ def test_tier_derivation_on_synthetic_future_artifacts(tmp_path):
         assert multi == ["qB"]
     finally:
         mod._HERE = old
+
+
+def test_q164_generator_assumption(duck):
+    """q164 rewrites TPC-H Q22's "no orders at all" as "no orders since
+    1999" ONLY because this generator gives every customer at least one
+    order (plans/warehouse.py q164 note). A regenerated corpus with
+    orderless customers would not break the hash contract — both engines
+    would still agree — it would silently change what the query MEANS.
+    Pin the invariant so such a corpus fails loudly here instead."""
+    n = duck.sql(
+        "SELECT COUNT(*) FROM customer WHERE NOT EXISTS "
+        "(SELECT 1 FROM orders WHERE o_custkey = c_custkey)"
+    ).fetchone()[0]
+    assert n == 0, (
+        f"{n} customers have no orders: q164's 'no orders since 1999' "
+        "rewrite no longer coincides with Q22's 'never ordered' — "
+        "revisit plans/warehouse.py q164"
+    )

@@ -336,6 +336,70 @@ def test_every_query_plan_meets_universal_invariants(spark):
     assert not offenders, offenders
 
 
+# --- no hard broadcast hint may target an SF-scaled relation ----------
+# Round-6 verdict: an explicit F.broadcast() on a relation that grows
+# with data volume (customer/supplier/part/... ) bypasses AQE's size
+# check and OOMs the driver at the 100 TB target. Hard hints are only
+# sanctioned for bounded sides: fixed-cardinality dims (nation=25,
+# region=5), 1-row scalar attaches, and aggregate/limit-capped derived
+# sets. Detection walks the ANALYZED logical plan: a broadcast
+# ResolvedHint whose subtree reaches an SF-scaled base relation without
+# passing a cardinality-bounding node (Aggregate / Limit / Deduplicate)
+# is a violation. Base tables are fingerprinted by their key column.
+
+_SF_SCALED_FINGERPRINTS = {
+    "customer": "c_custkey",
+    "supplier": "s_suppkey",
+    "part": "p_partkey",
+    "lineitem": "l_orderkey",
+    "orders": "o_orderkey",
+    "events": "event_id",
+    "documents": "doc_id",
+    "embeddings": "emb_id",
+}
+_BOUNDING_NODES = {"Aggregate", "GlobalLimit", "LocalLimit", "Deduplicate"}
+
+
+def _scaled_leaves_under(node, out):
+    name = node.getClass().getSimpleName()
+    if name in _BOUNDING_NODES:
+        return
+    if "Relation" in name and node.children().size() == 0:
+        cols = {node.output().apply(i).name() for i in range(node.output().size())}
+        for table, fp in _SF_SCALED_FINGERPRINTS.items():
+            if fp in cols:
+                out.add(table)
+        return
+    for i in range(node.children().size()):
+        _scaled_leaves_under(node.children().apply(i), out)
+
+
+def _hard_hint_violations(node, acc):
+    name = node.getClass().getSimpleName()
+    if name == "ResolvedHint" and "broadcast" in node.hints().toString().lower():
+        found: set = set()
+        _scaled_leaves_under(node, found)
+        if found:
+            acc.append(sorted(found))
+        return
+    for i in range(node.children().size()):
+        _hard_hint_violations(node.children().apply(i), acc)
+
+
+def test_no_hard_broadcast_hint_on_sf_scaled_relation(spark):
+    offenders = {}
+    for name in sorted(QUERIES):
+        df = QUERIES[name](spark, SF_DIR)
+        acc: list = []
+        _hard_hint_violations(df._jdf.queryExecution().analyzed(), acc)
+        if acc:
+            offenders[name] = acc
+    assert not offenders, (
+        "hard F.broadcast() hints target SF-scaled relations (driver-OOM "
+        f"hazard at scale; let AQE choose instead): {offenders}"
+    )
+
+
 def test_q72_cap_window_prunes_scan_columns(spark):
     """The per-source cap reads only (doc_id, source, n_chars) — a cap
     query that scans text at 100 TB is wrong. Since round 4 the kept
