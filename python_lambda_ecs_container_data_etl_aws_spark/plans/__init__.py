@@ -17,5 +17,6 @@ from . import analysis as _ana  # noqa: F401  (registers q134-q145)
 from . import measures as _msr  # noqa: F401  (registers q146-q157)
 from . import business as _biz  # noqa: F401  (registers q158-q162)
 from . import warehouse as _wh  # noqa: F401  (registers q163-q182)
+from . import traindata as _td  # noqa: F401  (registers q183-q192)
 
 __all__ = ["QUERIES", "ORACLE"]

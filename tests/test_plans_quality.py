@@ -1401,3 +1401,83 @@ def test_sql_backed_queries_substitute_every_table_reference():
             if not m.startswith("wh_")
         ]
         assert not bare, (name, bare)
+
+
+# q183-q192 training-data/analytic family: each plan's scale posture.
+# (The catalog-wide universal-invariant and no-hard-hint tests already
+# sweep these; the assertions below pin each query's SPECIFIC shape.)
+
+
+def test_q183_decontamination_is_semi_join_never_pairs(spark):
+    # the membership test must be a LeftSemi on the shingle key — a
+    # pair join (inner on shingle, like q22) would fan out quadratic
+    # candidates the decontamination gate never needs
+    plan = _plan(spark, "q183_benchmark_decontamination")
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan and "BatchEvalPython" not in plan
+
+
+def test_q184_packing_single_window_pass(spark):
+    # one source-keyed window builds the prefix sums; the bin rollups
+    # must reuse that partitioning (no second corpus-wide exchange on
+    # a different key) and nothing drops to Python
+    plan = _plan(spark, "q184_sequence_packing")
+    assert "Python" not in plan
+    assert _nnodes(plan, "Window") == 1
+    schemas = re.findall(r"ReadSchema: (struct<[^\n]*)", plan)
+    # the packer reads only (source, doc_id, text)
+    assert schemas and all("lang" not in s and "n_chars" not in s for s in schemas)
+
+
+def test_q186_novelty_shingles_built_once(spark):
+    # first-occurrence is a min-window over the shingle key, so the
+    # expensive shingle build happens ONCE; the only other documents
+    # scan is the trivial per-source doc count (1-column). A join-back
+    # formulation would shingle the corpus twice.
+    plan = _plan(spark, "q186_ngram_novelty")
+    assert "CartesianProduct" not in plan and "BatchEvalPython" not in plan
+    schemas = re.findall(r"ReadSchema: (struct<[^\n]*)", plan)
+    assert sum("text" in s for s in schemas) == 1, schemas
+
+
+def test_q188_deciles_single_orders_scan(spark):
+    # rank + per-priority count ride the SAME window partition (one
+    # sort); a count aggregate joined back would scan orders twice
+    plan = _plan(spark, "q188_revenue_deciles")
+    assert _nscans(plan) == 1
+    assert "CartesianProduct" not in plan and "SortMergeJoin" not in plan
+
+
+def test_q189_transitions_single_scan_two_windows(spark):
+    # lead window over events + totals window over the |types|^2
+    # matrix. The totals as a JOIN would re-derive the whole
+    # scan+window subtree (two events scans — caught in round 7);
+    # exactly one scan proves the shared subtree is not recomputed.
+    plan = _plan(spark, "q189_event_transitions")
+    assert _nnodes(plan, "Window") == 2
+    assert _nscans(plan) == 1
+    assert "CartesianProduct" not in plan and "BatchEvalPython" not in plan
+
+
+def test_q190_bitmask_stays_jvm_side(spark):
+    plan = _plan(spark, "q190_event_bitmask")
+    assert "Python" not in plan and "CartesianProduct" not in plan
+
+
+def test_q191_gini_nation_broadcast_single_window(spark):
+    plan = _plan(spark, "q191_gini_balance")
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+    assert _nnodes(plan, "Window") == 1
+
+
+def test_q192_dq_suite_one_scan_per_table_pruned(spark):
+    # all of a table's rules fuse into ONE aggregate pass (orders
+    # scanned once, lineitem once), and each scan reads only the
+    # checked columns — a rule suite that re-scans per rule or reads
+    # whole rows at 100 TB is wrong
+    plan = _plan(spark, "q192_dq_rule_suite")
+    assert "CartesianProduct" not in plan and "Python" not in plan
+    assert _nscans(plan) == 2
+    schemas = re.findall(r"ReadSchema: (struct<[^\n]*)", plan)
+    li = [s for s in schemas if "l_quantity" in s]
+    assert li and all("l_comment" not in s and "l_shipdate" not in s for s in li)
