@@ -98,6 +98,11 @@ def main() -> None:
     failed_elapsed: dict[str, float] = {}
     for name in sorted(QUERIES):
         timings[name] = run_once(name)
+        # stderr progress marker: when a long scale run dies mid-pass
+        # (JVM OOM kills the py4j bridge before any payload prints),
+        # the log must still show WHICH query was live — round 7 lost
+        # an sf10 attribution to exactly this gap.
+        print(f"[bench] {name} {timings[name]}s", file=sys.stderr, flush=True)
 
     # A failed query's time-to-failure is neither the healthy-catalog
     # time nor comparable across runs: pull it out before the outlier
