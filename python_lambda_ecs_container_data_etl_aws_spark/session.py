@@ -30,6 +30,25 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Broadcast THRESHOLDS (SURVEY §4: "broadcast thresholds for
+    # dimension tables") — the size-based lever that replaced round 6's
+    # hard F.broadcast() hints on SF-scaled dims. 16 MB instead of the
+    # 10 MB default, measured on the sf10 tier in round 7:
+    #  - at 10 MB, customer/part (≈14 MB parquet) flip to sort-merge
+    #    joins and the selective dim filters stop pruning before the
+    #    big orderkey shuffle (q168 5.7→15 s);
+    #  - at 64 MB, ORDERS (18.5 MB parquet, 15 M rows) broadcasts too —
+    #    the threshold compares COMPRESSED file bytes while the
+    #    in-memory hash relation inflates ~10×, so a "small" fact costs
+    #    a 15-20 s driver-side build and real heap pressure.
+    # 16 MB takes the true dims and excludes the smallest fact at every
+    # bench tier, reproducing the hinted round-6 plan shape (broadcast
+    # dims prune BEFORE the one co-keyed fact SMJ) with no hints. Still
+    # scale-safe where hints were not: a dim that outgrows 16 MB
+    # (customer at the 100 TB target is GBs) is excluded by the SAME
+    # size check — the driver never builds an unbounded table.
+    "spark.sql.autoBroadcastJoinThreshold": "16777216",
+    "spark.sql.adaptive.autoBroadcastJoinThreshold": "16777216",
     # Scan-split sizing: the default 4 MiB openCostInBytes models HDFS
     # file-open latency and floors maxSplitBytes at 4 MiB — on local
     # SSD/page-cache a small single-file table (the driver testdata
