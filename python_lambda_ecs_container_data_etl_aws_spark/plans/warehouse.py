@@ -127,13 +127,18 @@ def q163(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # q164 idle high-balance customers (TPC-H Q22 shape, country-code ->
-# nation; "no orders at all" -> "no orders since 1999" because this
-# generator gives every customer at least one order — if a regenerated
-# corpus ever ships orderless customers, the rewrite would silently
-# mean "idle since 1999" instead of Q22's "never ordered"; results
-# would still hash-match the oracle, but the query's MEANING changes.
-# tests/test_oracle_parity.py::test_q164_generator_assumption pins the
-# invariant so such a corpus fails loudly). Customers with
+# nation; Q22's "no orders at all" is deliberately rewritten "no
+# orders since 1999" — an IDLE-customer analysis that stays
+# non-degenerate at every SF. Never-ordered customers are near-absent
+# in this corpus (round-7 measurement: 0 at sf0.001/sf0.01, exactly 1
+# of 15k at sf0.1), so textbook Q22 would return an ~empty relation;
+# the date-gated rewrite is the scale-stable variant and its
+# semantics stand on their own — both engines run the same predicate.
+# tests/test_oracle_parity.py::test_q164_generator_assumption pins
+# that never-ordered customers stay RARE (<= 0.1%): if a regenerated
+# corpus made them common, "idle since 1999" and "never ordered"
+# would diverge materially and the Q22 analogy claim must be
+# re-examined, loudly). Customers with
 # above-average positive balance and no RECENT order, grouped by
 # nation. The above-average test is EXACT integer: cents * n_pos >
 # sum_pos_cents (no float average). Scale: one scalar aggregate

@@ -68,8 +68,11 @@ def test_bucketed_join_runs_with_zero_exchanges(spark, tmp_path):
             path=str(tmp_path / "lb"), sort=["l_orderkey"],
         )
         # force the shuffle-based join path: broadcast would hide the
-        # exchange elimination this layout exists to provide
-        with _conf(spark, "spark.sql.autoBroadcastJoinThreshold", "-1"):
+        # exchange elimination this layout exists to provide (both
+        # thresholds — the session pins an adaptive one since round 7)
+        with _conf(spark, "spark.sql.autoBroadcastJoinThreshold", "-1"), _conf(
+            spark, "spark.sql.adaptive.autoBroadcastJoinThreshold", "-1"
+        ):
             j = colocated_join(
                 spark, "t_lineitem_b", "t_orders_b",
                 ["l_orderkey"], ["o_orderkey"],

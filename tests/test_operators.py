@@ -588,11 +588,13 @@ def test_bloom_filtered_semi_join_injects_runtime_filter(spark):
         k: spark.conf.get(k, None)
         for k in [
             "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
             "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
         ]
     }
     try:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
         spark.conf.set(
             "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
             "1KB",

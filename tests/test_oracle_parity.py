@@ -271,17 +271,22 @@ def test_tier_derivation_on_synthetic_future_artifacts(tmp_path):
 
 def test_q164_generator_assumption(duck):
     """q164 rewrites TPC-H Q22's "no orders at all" as "no orders since
-    1999" ONLY because this generator gives every customer at least one
-    order (plans/warehouse.py q164 note). A regenerated corpus with
-    orderless customers would not break the hash contract — both engines
-    would still agree — it would silently change what the query MEANS.
-    Pin the invariant so such a corpus fails loudly here instead."""
-    n = duck.sql(
-        "SELECT COUNT(*) FROM customer WHERE NOT EXISTS "
-        "(SELECT 1 FROM orders WHERE o_custkey = c_custkey)"
-    ).fetchone()[0]
-    assert n == 0, (
-        f"{n} customers have no orders: q164's 'no orders since 1999' "
-        "rewrite no longer coincides with Q22's 'never ordered' — "
-        "revisit plans/warehouse.py q164"
+    1999" because never-ordered customers are near-absent in this corpus
+    (measured round 7: 0 at sf0.001/sf0.01, exactly 1 of 15k at sf0.1 —
+    the round-6 "every customer has >= 1 order" claim was an
+    extrapolation from the small tiers), making textbook Q22 degenerate.
+    The rewrite's own semantics are engine-checked by the hash contract;
+    what must stay true for the Q22 ANALOGY is that never-ordered
+    customers remain RARE. Pin <= 0.1% so a regenerated corpus where
+    they become common fails loudly instead of silently changing what
+    the analogy means."""
+    n, total = duck.sql(
+        "SELECT SUM(CASE WHEN NOT EXISTS (SELECT 1 FROM orders "
+        "WHERE o_custkey = c_custkey) THEN 1 ELSE 0 END), COUNT(*) "
+        "FROM customer"
+    ).fetchone()
+    assert n * 1000 <= total, (
+        f"{n} of {total} customers have no orders (> 0.1%): q164's "
+        "'no orders since 1999' rewrite no longer approximates Q22's "
+        "'never ordered' — revisit plans/warehouse.py q164"
     )

@@ -1054,7 +1054,12 @@ def test_hot_key_skew_join_aqe_split_and_salt_agree(spark):
     )
 
     confs = {
+        # BOTH thresholds: the session pins an explicit
+        # adaptive.autoBroadcastJoinThreshold (round 7), so -1 on the
+        # static conf alone no longer stops AQE converting the SMJ to
+        # broadcast (which would hide the skew split this test pins)
         "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
         "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "4m",
         "spark.sql.adaptive.advisoryPartitionSizeInBytes": "2m",
         "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",

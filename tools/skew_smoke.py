@@ -79,7 +79,11 @@ def main() -> None:
         )
 
     # Plain join under AQE with PRODUCTION-default skew thresholds.
+    # Both broadcast thresholds off: the session pins an explicit
+    # adaptive.autoBroadcastJoinThreshold (round 7), and AQE converting
+    # the SMJ to broadcast would hide the skew split under test.
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
     t0 = time.perf_counter()
     plain = agg_of(fact.join(dim, "k"))
     plain_rows = [tuple(r) for r in plain.collect()]
@@ -93,6 +97,7 @@ def main() -> None:
     out["hot_key_salted_sec"] = round(time.perf_counter() - t0, 2)
     out["salted_agrees"] = salted_rows == plain_rows
     spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
 
     # Hot-domain cap (q82 shape) on the same skewed frame: domain 0
     # holds 80% of 60M rows; the kept set must prune via
