@@ -79,6 +79,13 @@ def main() -> None:
     errors: dict[str, str] = {}
 
     def run_once(name: str) -> float:
+        # start marker BEFORE the query runs: when a scale run dies
+        # mid-query (JVM OOM kills the py4j bridge before any payload
+        # prints) the crashing query is attributed directly by the last
+        # start line, not inferred as "the one after the last finish"
+        # (round-7 ADVICE: the finish-only marker left the live query
+        # implicit).
+        print(f"[bench] start {name}", file=sys.stderr, flush=True)
         t0 = time.perf_counter()
         try:
             df = QUERIES[name](spark, sf_dir)
@@ -98,10 +105,9 @@ def main() -> None:
     failed_elapsed: dict[str, float] = {}
     for name in sorted(QUERIES):
         timings[name] = run_once(name)
-        # stderr progress marker: when a long scale run dies mid-pass
-        # (JVM OOM kills the py4j bridge before any payload prints),
-        # the log must still show WHICH query was live — round 7 lost
-        # an sf10 attribution to exactly this gap.
+        # finish marker (start marker printed inside run_once): a dead
+        # run's log shows the live query directly — round 7 lost an
+        # sf10 attribution to exactly this gap.
         print(f"[bench] {name} {timings[name]}s", file=sys.stderr, flush=True)
 
     # A failed query's time-to-failure is neither the healthy-catalog

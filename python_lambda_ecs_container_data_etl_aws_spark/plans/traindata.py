@@ -41,11 +41,15 @@ from .warehouse import _cents_sql, _dsum, _dsum_sql, _REV_CP_SQL, _rev_cp
 # deterministic 2% slice of the corpus (md5 gate on doc_id — in
 # production it would be the real eval set); a non-benchmark doc is
 # contaminated when it shares ANY word-5-gram with a benchmark doc.
-# Scale: shingles shuffle once on the shingle key; the benchmark
-# fingerprint is corpus-fraction-sized and the membership test is a
-# LEFT SEMI join (never a pair fan-out); per-source rollup is
-# aggregate-sized. 5-grams (not 3) keep the test discriminative on
-# small vocabularies.
+# Scale: the corpus is shingled ONCE with an is_bench flag riding
+# along, the membership test is MAX(is_bench) OVER the shingle key —
+# the same single-shuffle window trick as q186 (a bench-side semi-join
+# would make Spark re-derive the whole shingle build for the probe
+# consumer: two full scan+split+explode subtrees, caught by round-7
+# ADVICE); per-doc and per-source rollups after are aggregate-sized,
+# and the only other documents scan is the trivial 2-column doc count
+# (plan-asserted: text is read exactly once). 5-grams (not 3) keep
+# the test discriminative on small vocabularies.
 _Q183_MOD = 50  # 1/50 of docs form the benchmark slice
 
 
@@ -83,26 +87,56 @@ GROUP BY source ORDER BY source
 
 @_q("q183_benchmark_decontamination")
 def q183(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.dedup import shingles
-
     d = _t(spark, sf_dir, "documents")
-    is_bench = _md5i_spark("bench|", F.col("id")) % _Q183_MOD == 0
-    sh = shingles(d, n=5)
-    bench_sh = sh.filter(is_bench).select("shingle").distinct()
-    cont = (
-        sh.filter(~is_bench)
-        .join(bench_sh, "shingle", "left_semi")
-        .select("id")
-        .distinct()
-        .withColumn("hit", F.lit(1))
+    is_bench = (_md5i_spark("bench|", F.col("doc_id")) % _Q183_MOD == 0).cast(
+        "int"
     )
-    nb = d.filter(_md5i_spark("bench|", F.col("doc_id")) % _Q183_MOD != 0)
+    # inline 5-gram build (dedup.shingles discipline: toks materialized
+    # once per row, short docs guarded, per-row array_distinct instead
+    # of a corpus-wide distinct exchange) with source + is_bench riding
+    # along so neither the window nor the rollup re-derives the subtree
+    sh = (
+        d.select(
+            "doc_id",
+            "source",
+            is_bench.alias("is_bench"),
+            F.split("text", " ").alias("toks"),
+        )
+        .filter(F.size("toks") >= 5)
+        .select(
+            "doc_id",
+            "source",
+            "is_bench",
+            F.explode(
+                F.expr(
+                    "array_distinct(transform(sequence(0, size(toks) - 5),"
+                    " i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2],"
+                    " toks[i+3], toks[i+4])))"
+                )
+            ).alias("s"),
+        )
+    )
+    hit = sh.withColumn(
+        "hit", F.max("is_bench").over(Window.partitionBy("s"))
+    )
+    cont_per_src = (
+        hit.filter(F.col("is_bench") == 0)
+        .groupBy("doc_id", F.col("source").alias("ps"))
+        .agg(F.max("hit").alias("cont"))
+        .groupBy("ps")
+        .agg(F.sum("cont").cast("bigint").alias("nc"))
+    )
+    # zero-shingle docs carry no rows above but still count as n_docs:
+    # a second trivial (doc_id, source) scan — never a text re-read
+    nb = d.filter(
+        _md5i_spark("bench|", F.col("doc_id")) % _Q183_MOD != 0
+    ).groupBy("source").agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
     return (
-        nb.join(cont, nb.doc_id == cont.id, "left")
-        .groupBy("source")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-            F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+        nb.join(cont_per_src, nb.source == F.col("ps"), "left")
+        .select(
+            "source",
+            "n_docs",
+            F.coalesce(F.col("nc"), F.lit(0))
             .cast("bigint")
             .alias("n_contaminated"),
         )

@@ -290,3 +290,20 @@ def test_q164_generator_assumption(duck):
         "'no orders since 1999' rewrite no longer approximates Q22's "
         "'never ordered' — revisit plans/warehouse.py q164"
     )
+
+
+def test_q190_generator_assumption_event_type_domain(duck):
+    """q190's bitmask CASE hardcodes five event types with ELSE 0: an
+    unknown type would silently contribute bit 0 (a user with only
+    unknown types collapses to mask=0, n_types=0) and BOTH engines
+    would agree, so oracle parity cannot catch a regenerated corpus
+    with a new type. Pin the domain so that failure is loud instead
+    (round-7 ADVICE; same class as test_q164_generator_assumption)."""
+    rows = duck.sql("SELECT DISTINCT event_type FROM events").fetchall()
+    got = sorted(r[0] for r in rows)
+    assert got == ["click", "error", "purchase", "signup", "view"], (
+        f"events.event_type domain changed to {got}: q190's hardcoded "
+        "bit map (plans/traindata.py _Q190_BIT_SQL) would silently "
+        "collapse unknown types into bit 0 — extend the CASE and the "
+        "popcount width together"
+    )

@@ -381,7 +381,11 @@ def _hard_hint_violations(node, acc):
         _scaled_leaves_under(node, found)
         if found:
             acc.append(sorted(found))
-        return
+        # do NOT return: a second hint nested beneath an outer hint
+        # whose immediate leaves are bounded (e.g.
+        # broadcast(agg.join(broadcast(customer), ...))) must also be
+        # inspected — returning here was a false negative in the
+        # driver-OOM guard (round-7 ADVICE).
     for i in range(node.children().size()):
         _hard_hint_violations(node.children().apply(i), acc)
 
@@ -1427,6 +1431,20 @@ def test_q184_packing_single_window_pass(spark):
     schemas = re.findall(r"ReadSchema: (struct<[^\n]*)", plan)
     # the packer reads only (source, doc_id, text)
     assert schemas and all("lang" not in s and "n_chars" not in s for s in schemas)
+
+
+def test_q183_decontamination_shingles_built_once(spark):
+    # bench-membership is a max(is_bench) window over the shingle key,
+    # so the expensive 5-gram build happens ONCE; the only other
+    # documents scan is the trivial 2-column non-bench doc count. The
+    # round-7 semi-join formulation planned two full scan+split+explode
+    # subtrees (plus a third documents scan) — this pin makes that
+    # regression loud, same discipline as test_q186 below.
+    plan = _plan(spark, "q183_benchmark_decontamination")
+    assert "CartesianProduct" not in plan and "Python" not in plan
+    schemas = re.findall(r"ReadSchema: (struct<[^\n]*)", plan)
+    assert sum("text" in s for s in schemas) == 1, schemas
+    assert _nscans(plan) <= 2, plan
 
 
 def test_q186_novelty_shingles_built_once(spark):
