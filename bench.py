@@ -78,6 +78,49 @@ def main() -> None:
 
     errors: dict[str, str] = {}
 
+    # --- optional per-query memory audit (SPARK_GRAFT_MEMCHECK) -------
+    # Round-7 verdict: the sf10 catalog needed a 48 GiB driver heap and
+    # the steady-state footprint was unattributed. With
+    # SPARK_GRAFT_MEMCHECK=1 record, per query: the G1 Old Gen PEAK
+    # (what actually pressures the heap — long-lived join/window/
+    # broadcast structures promote there), storage-memory residual
+    # after clearCache (unpersist is async and broadcast blocks are
+    # only freed by the ContextCleaner after a driver GC, so residual
+    # growth here = GC-lagged broadcasts, not a persist leak), and the
+    # persistent-RDD count (must be 0 — a nonzero is a real leak).
+    # SPARK_GRAFT_MEMCHECK=gc additionally forces a driver System.gc()
+    # after each query: if residuals return to ~0 under gc mode, the
+    # footprint is reclaimable GC lag, not retention. Off by default —
+    # the driver's per-round run is byte-identical.
+    memcheck = os.environ.get("SPARK_GRAFT_MEMCHECK", "")
+    memstats: dict[str, list[int]] = {}
+    if memcheck:
+        _jvm = spark.sparkContext._jvm
+        _mm = _jvm.org.apache.spark.SparkEnv.get().memoryManager()
+        _pools = _jvm.java.lang.management.ManagementFactory.getMemoryPoolMXBeans()
+        _old = next(
+            _pools.get(i)
+            for i in range(_pools.size())
+            if "Old Gen" in _pools.get(i).getName()
+        )
+
+    def _mem_before() -> None:
+        if memcheck:
+            _old.resetPeakUsage()
+
+    def _mem_after(name: str) -> None:
+        if not memcheck:
+            return
+        if memcheck == "gc":
+            _jvm.java.lang.System.gc()
+        mib = 1 << 20
+        memstats[name] = [
+            int(_old.getPeakUsage().getUsed()) // mib,
+            int(_mm.storageMemoryUsed()) // mib,
+            int(_mm.executionMemoryUsed()) // mib,
+            spark.sparkContext._jsc.getPersistentRDDs().size(),
+        ]
+
     def run_once(name: str) -> float:
         # start marker BEFORE the query runs: when a scale run dies
         # mid-query (JVM OOM kills the py4j bridge before any payload
@@ -86,6 +129,7 @@ def main() -> None:
         # (round-7 ADVICE: the finish-only marker left the live query
         # implicit).
         print(f"[bench] start {name}", file=sys.stderr, flush=True)
+        _mem_before()
         t0 = time.perf_counter()
         try:
             df = QUERIES[name](spark, sf_dir)
@@ -99,6 +143,7 @@ def main() -> None:
         # partitions) whose lifetime is the consuming action — drop them
         # so 69 queries in one session don't accumulate cached blocks
         spark.catalog.clearCache()
+        _mem_after(name)
         return elapsed
 
     timings: dict[str, float] = {}
@@ -181,6 +226,21 @@ def main() -> None:
                 compute[name] = -1.0  # sentinel: split unavailable
             spark.catalog.clearCache()
         payload["compute"] = compute
+    if memstats:
+        # [old_gen_peak_mib, storage_after_mib, exec_after_mib, n_rdds]
+        # per query, plus the catalog-level invariants the audit exists
+        # to check: executor storage must return to ~0 between queries
+        # and nothing may stay persisted.
+        payload["memcheck"] = {
+            "mode": memcheck,
+            "per_query": memstats,
+            "max_old_gen_peak_mib": max(v[0] for v in memstats.values()),
+            "max_storage_residual_mib": max(v[1] for v in memstats.values()),
+            "max_exec_residual_mib": max(v[2] for v in memstats.values()),
+            "n_queries_with_persistent_rdds": sum(
+                1 for v in memstats.values() if v[3] > 0
+            ),
+        }
     if errors:
         payload["errors"] = errors
         payload["failed_elapsed"] = failed_elapsed

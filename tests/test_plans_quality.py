@@ -404,6 +404,76 @@ def test_no_hard_broadcast_hint_on_sf_scaled_relation(spark):
     )
 
 
+# --- no SinglePartition exchange over an unbounded subtree ------------
+# Round-4's manual audit found every SinglePartition exchange in the
+# catalog to be a scalar/tiny-relation shape; round-7 verdict asked for
+# that invariant to become permanent and STRUCTURAL. A SinglePartition
+# shuffle funnels its whole input through one task — fine for a scalar
+# aggregate or a limit-capped set, fatal at 100 TB over raw data (one
+# task sorts/holds the corpus). Sanctioned by structure, not by name:
+# the exchange's subtree must pass a cardinality-bounding physical node
+# (partial/final Aggregate, Limit, TakeOrdered) on EVERY path before
+# reaching an SF-scaled leaf scan. Walks the INITIAL executed plan
+# (exchanges exist only after EnsureRequirements — sparkPlan has none;
+# under AQE the deterministic pre-runtime tree is
+# AdaptiveSparkPlanExec.initialPlan) so the check is deterministic and
+# data-size-independent.
+
+_BOUNDING_PHYSICAL = ("Aggregate", "Limit", "TakeOrdered")
+
+
+def _scaled_physical_leaves_under(node, out):
+    name = node.getClass().getSimpleName()
+    if any(b in name for b in _BOUNDING_PHYSICAL):
+        return
+    if node.children().size() == 0:
+        cols = {node.output().apply(i).name() for i in range(node.output().size())}
+        for table, fp in _SF_SCALED_FINGERPRINTS.items():
+            if fp in cols:
+                out.add(table)
+        return
+    for i in range(node.children().size()):
+        _scaled_physical_leaves_under(node.children().apply(i), out)
+
+
+def _single_partition_violations(node, acc):
+    name = node.getClass().getSimpleName()
+    if name == "ShuffleExchangeExec" and "SinglePartition" in str(
+        node.outputPartitioning().toString()
+    ):
+        found: set = set()
+        for i in range(node.children().size()):
+            _scaled_physical_leaves_under(node.children().apply(i), found)
+        if found:
+            acc.append(sorted(found))
+        # keep recursing: a second unbounded single-partition funnel
+        # nested below a bounded one must also be inspected
+    for i in range(node.children().size()):
+        _single_partition_violations(node.children().apply(i), acc)
+
+
+def _initial_physical_plan(df):
+    plan = df._jdf.queryExecution().executedPlan()
+    if plan.getClass().getSimpleName() == "AdaptiveSparkPlanExec":
+        plan = plan.initialPlan()
+    return plan
+
+
+def test_no_single_partition_exchange_over_unbounded_subtree(spark):
+    offenders = {}
+    for name in sorted(QUERIES):
+        df = QUERIES[name](spark, SF_DIR)
+        acc: list = []
+        _single_partition_violations(_initial_physical_plan(df), acc)
+        if acc:
+            offenders[name] = acc
+    assert not offenders, (
+        "SinglePartition exchange over a non-aggregate/limit-bounded "
+        "subtree (one task would hold SF-scaled data at the 100 TB "
+        f"target): {offenders}"
+    )
+
+
 def test_q72_cap_window_prunes_scan_columns(spark):
     """The per-source cap reads only (doc_id, source, n_chars) — a cap
     query that scans text at 100 TB is wrong. Since round 4 the kept
