@@ -1482,12 +1482,20 @@ def test_sql_backed_queries_substitute_every_table_reference():
 # sweep these; the assertions below pin each query's SPECIFIC shape.)
 
 
-def test_q183_decontamination_is_semi_join_never_pairs(spark):
-    # the membership test must be a LeftSemi on the shingle key — a
-    # pair join (inner on shingle, like q22) would fan out quadratic
-    # candidates the decontamination gate never needs
+def test_q183_decontamination_is_window_never_pairs(spark):
+    # bench membership must be a single max-window over the shingle
+    # key — a pair join (inner on shingle, like q22) would fan out
+    # quadratic candidates the decontamination gate never needs, and
+    # the round-7 LeftSemi formulation planned the expensive shingle
+    # build twice (round-7 ADVICE). The only join allowed is the tiny
+    # per-source rollup (n_docs ⋈ contaminated-counts).
     plan = _plan(spark, "q183_benchmark_decontamination")
-    assert "LeftSemi" in plan
+    assert _nnodes(plan, "Window") == 1
+    n_joins = sum(
+        _nnodes(plan, j)
+        for j in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin")
+    )
+    assert n_joins <= 1, plan
     assert "CartesianProduct" not in plan and "BatchEvalPython" not in plan
 
 
