@@ -67,10 +67,14 @@ def test_catalog_releases_memory_between_queries(spark):
         spark.catalog.clearCache()
         n_rdds = sc._jsc.getPersistentRDDs().size()
         if n_rdds:
-            leaks[name] = f"{n_rdds} persistent RDDs after clearCache"
+            leaks[f"{name}:persist"] = (
+                f"{n_rdds} persistent RDDs after clearCache"
+            )
         exec_mib = int(mm.executionMemoryUsed()) >> 20
         if exec_mib:
-            leaks[name] = f"{exec_mib} MiB execution memory retained"
+            leaks[f"{name}:exec"] = (
+                f"{exec_mib} MiB execution memory retained"
+            )
         if i % _CHECKPOINT_EVERY == 0 or i == len(names):
             mib = _storage_settles(spark, jvm, mm, _STORAGE_SETTLE_MIB)
             if mib > _STORAGE_SETTLE_MIB:

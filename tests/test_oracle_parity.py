@@ -126,18 +126,23 @@ def test_driver_window_covers_contract_and_unverified():
 
 def test_green_round_derivation_matches_artifacts():
     """Spot-check _green_rounds against known artifact history: the
-    round-3 reds q46/q56 must show green only in round 4; rows-only
-    queries (q27/q35, err='no_oracle') count as verified; contract
-    queries are green in every round."""
+    round-3 reds q46/q56 must show green first in round 4 (and never
+    in rounds 1-3); rows-only queries (q27/q35, err='no_oracle')
+    count as verified; contract queries are green in every round.
+
+    Membership semantics on purpose: the window rotation re-greens
+    old families in later rounds, so any query may accumulate extra
+    green rounds as new CORRECTNESS_r*.json artifacts land — exact
+    list equality would break after every future rotation."""
     mod = _load_entry_module()
     greens = mod._green_rounds()
-    assert greens["q46_pack_contexts"] == [4]
-    assert greens["q56_pii_scrub"] == [4]
+    assert 4 in greens["q46_pack_contexts"]
+    assert not {1, 2, 3} & set(greens["q46_pack_contexts"])
+    assert 4 in greens["q56_pii_scrub"]
+    assert not {1, 2, 3} & set(greens["q56_pii_scrub"])
     assert 1 in greens["q27_ann_lsh_topk"] and 2 in greens["q27_ann_lsh_topk"]
     assert 1 in greens["q35_ann_ivf_topk"]
-    assert greens["q01_ingest_count"] == [1, 2, 3, 4] or set(
-        greens["q01_ingest_count"]
-    ) >= {1, 2, 3, 4}
+    assert set(greens["q01_ingest_count"]) >= {1, 2, 3, 4}
     # round-1's q26 red (no_oracle then) still yields a verified row —
     # rows-only semantics — plus hash greens from round 2 on
     assert {1, 2} <= set(greens["q26_simhash_neardup"])

@@ -1493,7 +1493,12 @@ def test_q183_decontamination_is_window_never_pairs(spark):
     assert _nnodes(plan, "Window") == 1
     n_joins = sum(
         _nnodes(plan, j)
-        for j in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin")
+        for j in (
+            "SortMergeJoin",
+            "BroadcastHashJoin",
+            "ShuffledHashJoin",
+            "BroadcastNestedLoopJoin",
+        )
     )
     assert n_joins <= 1, plan
     assert "CartesianProduct" not in plan and "BatchEvalPython" not in plan

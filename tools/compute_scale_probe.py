@@ -67,8 +67,13 @@ def main() -> None:
     for name in names:
         try:
             compute_sec(name, args.warm_dir)
-        except Exception:
-            pass
+        except Exception as exc:
+            print(
+                f"[probe] WARM FAILED for {name}: {exc!r} — first "
+                f"measured run will include C2 compilation",
+                file=sys.stderr,
+                flush=True,
+            )
 
     lo_sf, hi_sf = _sf_of(args.lo), _sf_of(args.hi)
     out = {"lo": args.lo, "hi": args.hi, "runs": args.runs, "queries": {}}
@@ -76,7 +81,13 @@ def main() -> None:
         print(f"[probe] {name}", file=sys.stderr, flush=True)
         t_lo = min(compute_sec(name, args.lo) for _ in range(args.runs))
         t_hi = min(compute_sec(name, args.hi) for _ in range(args.runs))
-        alpha = round(math.log(t_hi / t_lo) / math.log(hi_sf / lo_sf), 3)
+        # elapsed is rounded to ms; clamp so a sub-ms tier run can't
+        # ZeroDivisionError away the whole probe after expensive runs
+        alpha = round(
+            math.log(max(t_hi, 1e-3) / max(t_lo, 1e-3))
+            / math.log(hi_sf / lo_sf),
+            3,
+        )
         out["queries"][name] = {
             "compute_lo_sec": t_lo,
             "compute_hi_sec": t_hi,
