@@ -11,6 +11,13 @@
 - :func:`simhash_signatures` / :func:`simhash_pairs` — 60-bit SimHash
   (md5-derived token bits, so the pipeline is SQL-oracle-able) with
   banded candidate generation and Hamming-distance verify.
+- :func:`simhash_wide_signatures` / :func:`simhash_wide_pairs` —
+  120-bit SimHash (both md5 halves, two BIGINT limbs): the design-
+  scale geometry. 7 bands × ≥17 bits ⇒ ≥131k buckets/band, cutting
+  banded candidate density ~2^8 (~250×) vs the 60-bit layout at the
+  same d ≤ 6 pigeonhole completeness (q193 contract; the tightened
+  relative threshold 6/120 is a semantic change vs q26's 6/60, hence
+  a separate query, not an edit).
 
 Everything is built-in column expressions (whole-stage codegen) — no
 Python UDF anywhere on the hot path. xxhash64 is Spark's JVM-side
@@ -611,12 +618,7 @@ def simhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc
     scalar folds do the same arithmetic allocation-free (measured
     ~15% faster and GC-flatter at sf0.1, bit-identical output).
     """
-    b = SIMHASH_BITS
-    folds = " + ".join(
-        f"IF(2 * aggregate(__hs, 0L, (a, h) -> a + ((h >> {i}) & 1L)) > size(__hs),"
-        f" shiftleft(1L, {i}), 0L)"
-        for i in range(b)
-    )
+    folds = _sign_fold("__hs", SIMHASH_BITS)
     return df.select(
         F.col(id_col).alias("id"),
         F.expr(
@@ -705,6 +707,167 @@ def simhash_pairs(
             F.col("a.id").alias("a_id"),
             F.col("b.id").alias("b_id"),
             hamming64(F.col("a.simhash"), F.col("b.simhash")).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_distance)
+        .distinct()
+    )
+
+
+SIMHASH_WIDE_BITS = 120
+
+
+def _sign_fold(arr: str, bits: int) -> str:
+    """SQL for a SimHash limb: 60 scalar per-bit sign folds over a
+    hash ARRAY column, OR-folded into one BIGINT (bit i set ⟺
+    2·popcount_i > n). Shared by the 60-bit signature and each
+    120-bit limb — same allocation-free scalar-fold form as
+    :func:`simhash_signatures` (see its docstring for why scalar
+    folds beat a zip_with array accumulator)."""
+    return " + ".join(
+        f"IF(2 * aggregate({arr}, 0L, (a, h) -> a + ((h >> {i}) & 1L)) > size({arr}),"
+        f" shiftleft(1L, {i}), 0L)"
+        for i in range(bits)
+    )
+
+
+def simhash_wide_signatures(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """120-bit SimHash per doc as TWO 60-bit BIGINT limbs
+    (``sim_lo``, ``sim_hi``): limb token-hashes are md5 hex chars
+    1-15 / 16-30 — BOTH halves of the digest, so the two limbs are
+    independent and the whole signature is reproducible in any SQL
+    engine (the q193 DuckDB oracle twin).
+
+    Why 120 bits: band-bucket candidate volume goes ~bands·n²/2^w.
+    The 60-bit geometry caps w at {9,8} for the d≤6 pigeonhole
+    minimum of 7 bands — measured quadratic candidate growth at
+    sf10→sf30 (BASELINE.md Round 8). At 120 bits the same 7 bands
+    get w ≥ 17 ⇒ 131,072+ buckets/band, ~2^8 lower density, while
+    the md5-derived bits keep the oracle exact. Two positive
+    sub-2^60 limbs also avoid every signed-BIGINT sign-bit edge in
+    both engines.
+
+    One md5 per token: the digest string array materializes once,
+    then each limb transforms its own 15-hex-char slice."""
+    folds_lo = _sign_fold("__lo", 60)
+    folds_hi = _sign_fold("__hi", 60)
+    return (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.expr(f"transform(split({text_col}, ' '), t -> md5(t))").alias(
+                "__m"
+            ),
+        )
+        .select(
+            "id",
+            F.expr(
+                "transform(__m, m -> cast(conv(substr(m, 1, 15), 16, 10) as bigint))"
+            ).alias("__lo"),
+            F.expr(
+                "transform(__m, m -> cast(conv(substr(m, 16, 15), 16, 10) as bigint))"
+            ).alias("__hi"),
+        )
+        .select(
+            "id",
+            F.expr(folds_lo).alias("sim_lo"),
+            F.expr(folds_hi).alias("sim_hi"),
+        )
+    )
+
+
+def hamming120(a_lo, a_hi, b_lo, b_hi):
+    """Hamming distance between two (lo, hi) 120-bit signatures."""
+    return F.bit_count(a_lo.bitwiseXOR(b_lo)) + F.bit_count(
+        a_hi.bitwiseXOR(b_hi)
+    )
+
+
+def _wide_bucket(p: int, w: int):
+    """Bits [p, p+w) of the logical 120-bit value held as limbs
+    (sim_lo = bits 0-59, sim_hi = bits 60-119). The straddling case
+    masks the hi limb BEFORE shifting left, so every intermediate
+    stays < 2^w ≤ 2^18 — no signed-64 overflow under ANSI mode."""
+    lo, hi = F.col("sim_lo"), F.col("sim_hi")
+    mask = (1 << w) - 1
+    if p + w <= 60:
+        return F.shiftrightunsigned(lo, p).bitwiseAND(F.lit(mask))
+    if p >= 60:
+        return F.shiftrightunsigned(hi, p - 60).bitwiseAND(F.lit(mask))
+    hi_part = F.shiftleft(
+        hi.bitwiseAND(F.lit((1 << (p + w - 60)) - 1)), 60 - p
+    )
+    return F.shiftrightunsigned(lo, p).bitwiseOR(hi_part)
+
+
+def simhash_wide_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_distance: int = 6,
+    num_bands: int | None = None,
+) -> DataFrame:
+    """Near-dup pairs by 120-bit SimHash — :func:`simhash_pairs`' exact
+    shape (band → bucket-join → Hamming verify before distinct) on the
+    design-scale signature. Completeness is the same pigeonhole: bands
+    partition all 120 bits, so Hamming ≤ num_bands - 1 forces ≥1 band
+    agreement. Returns (a_id, b_id, hamming), hamming over 120 bits.
+
+    Default 7 bands at d=6 (the pigeonhole minimum) gives widths
+    {18,17×6}: worst-band density n²/2^17 vs the 60-bit layout's
+    n²/2^8 — the ~250× cut that keeps candidate generation effectively
+    linear at corpus scales where the 60-bit geometry has gone
+    quadratic (BASELINE.md Round 8 measured 3.0B→23.8B raw candidates
+    sf10→sf30)."""
+    if num_bands is None:
+        num_bands = max_distance + 1
+    if num_bands > SIMHASH_WIDE_BITS:
+        raise ValueError("num_bands cannot exceed the signature width")
+    if num_bands <= max_distance:
+        raise ValueError(
+            f"num_bands ({num_bands}) must exceed max_distance "
+            f"({max_distance}) for a complete candidate set"
+        )
+    sig = simhash_wide_signatures(df, text_col, id_col).persist()
+    base, extra = divmod(SIMHASH_WIDE_BITS, num_bands)
+    widths = [base + (1 if i < extra else 0) for i in range(num_bands)]
+    offsets = [sum(widths[:i]) for i in range(num_bands)]
+    bands = [
+        F.struct(
+            F.lit(i).alias("band"),
+            _wide_bucket(offsets[i], widths[i]).alias("bucket"),
+        )
+        for i in range(num_bands)
+    ]
+    exploded = sig.select(
+        "id", "sim_lo", "sim_hi", F.explode(F.array(*bands)).alias("bb")
+    ).select(
+        "id",
+        "sim_lo",
+        "sim_hi",
+        F.col("bb.band").alias("band"),
+        F.col("bb.bucket").alias("bucket"),
+    )
+    a, b = exploded.alias("a"), exploded.alias("b")
+    # verify-before-distinct, as in simhash_pairs: Hamming is four
+    # integer ops per raw candidate inside the join loop; only true
+    # pairs reach the distinct exchange.
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("a_id"),
+            F.col("b.id").alias("b_id"),
+            hamming120(
+                F.col("a.sim_lo"),
+                F.col("a.sim_hi"),
+                F.col("b.sim_lo"),
+                F.col("b.sim_hi"),
+            ).alias("hamming"),
         )
         .filter(F.col("hamming") <= max_distance)
         .distinct()

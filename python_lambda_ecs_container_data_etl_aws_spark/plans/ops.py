@@ -108,6 +108,76 @@ def q26(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_pairs(docs, max_distance=_SIMHASH_MAXD).orderBy("a_id", "b_id")
 
 
+def _simhash_wide_oracle() -> str:
+    """q193 ground truth: the 120-bit SimHash (both md5 halves as two
+    60-bit BIGINT limbs) → all-pairs Hamming ≤ d, rendered as one
+    DuckDB query. 2×60 generated sum columns mirror the Spark limb
+    folds; limb hashes are md5 hex chars 1-15 / 16-30, identical
+    byte-for-byte in both engines."""
+    sums = ",\n           ".join(
+        f"SUM(CASE WHEN ((h{half} >> {b}) & 1) = 1 THEN 1 ELSE -1 END)"
+        f" AS {half}{b}"
+        for half in ("lo", "hi")
+        for b in range(60)
+    )
+    sig_lo = " + ".join(
+        f"(CASE WHEN lo{b} > 0 THEN {2 ** b} ELSE 0 END)" for b in range(60)
+    )
+    sig_hi = " + ".join(
+        f"(CASE WHEN hi{b} > 0 THEN {2 ** b} ELSE 0 END)" for b in range(60)
+    )
+    return f"""
+WITH tok AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+),
+h AS (
+    SELECT doc_id,
+           CAST('0x' || substr(md5(t), 1, 15) AS BIGINT) AS hlo,
+           CAST('0x' || substr(md5(t), 16, 15) AS BIGINT) AS hhi
+    FROM tok
+),
+sums AS (
+    SELECT doc_id,
+           {sums}
+    FROM h GROUP BY 1
+),
+sig AS (
+    SELECT doc_id,
+           CAST({sig_lo} AS BIGINT) AS sim_lo,
+           CAST({sig_hi} AS BIGINT) AS sim_hi
+    FROM sums
+)
+SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       CAST(bit_count(xor(a.sim_lo, b.sim_lo))
+            + bit_count(xor(a.sim_hi, b.sim_hi)) AS INT) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sim_lo, b.sim_lo))
+      + bit_count(xor(a.sim_hi, b.sim_hi)) <= {_SIMHASH_MAXD}
+ORDER BY a_id, b_id
+"""
+
+
+ORACLE["q193_simhash_wide_neardup"] = _simhash_wide_oracle()
+
+
+@_q("q193_simhash_wide_neardup")
+def q193(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """120-bit wide-SimHash near-dup pairs — the design-scale fix for
+    q26's measured quadratic candidate generation (BASELINE.md Round
+    8: 60-bit/7-band geometry ⇒ ≤2^9 buckets/band ⇒ raw candidates
+    ~7n²/2^9; the 120-bit layout's ≥2^17 buckets/band cuts density
+    ~250× at the same d ≤ 6 pigeonhole completeness). Oracle-backed
+    exactly like q26: md5-derived limbs reproduce bit-for-bit in
+    DuckDB, and banding is complete for max_distance < num_bands, so
+    the banded output equals the oracle's all-pairs Hamming filter.
+    The relative threshold (6/120 vs 6/60) is deliberately tighter —
+    a new contract, not a q26 replacement."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.simhash_wide_pairs(
+        docs, max_distance=_SIMHASH_MAXD
+    ).orderBy("a_id", "b_id")
+
+
 @_q("q27_ann_lsh_topk")
 def q27(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH ANN top-3 for 10 query vectors (rows-only: seeded

@@ -105,7 +105,15 @@ def get_spark(app_name: str = "python-lambda-ecs-etl-spark", cpus: int | None = 
         # families going 3-4x slower in some runs. Local mode: one JVM,
         # so the driver option covers executors too.
         .config("spark.driver.extraJavaOptions", "-XX:ReservedCodeCacheSize=512m")
-        .config("spark.ui.enabled", "false")
+        # UI off by default (bench hygiene); SPARK_GRAFT_UI=1 turns it
+        # on so diagnostic tools (tools/spill_probe.py) can read
+        # per-stage task metrics from the /api/v1 REST endpoint —
+        # the local-mode equivalent of a cluster's history server.
+        .config(
+            "spark.ui.enabled",
+            "true" if os.environ.get("SPARK_GRAFT_UI") == "1" else "false",
+        )
+        .config("spark.ui.port", os.environ.get("SPARK_GRAFT_UI_PORT", "4050"))
     )
     for k, v in RUNTIME_CONFS.items():
         builder = builder.config(k, v)

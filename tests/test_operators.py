@@ -107,6 +107,137 @@ def test_simhash_finds_planted_pairs(spark, docs):
     assert len(found) < n * (n - 1) / 4
 
 
+def test_simhash_wide_finds_planted_pairs(spark, docs):
+    exact = _exact_pairs(docs, threshold=0.8)  # the tight planted pairs
+    # 120-bit calibration: planted pairs land at roughly double the
+    # 60-bit distances (two independent md5-half limbs), so ≤ 23 here
+    # mirrors q26's ≤ 11; 24 bands keep distance < num_bands and the
+    # pigeonhole completeness bound intact
+    found = {
+        (r.a_id, r.b_id)
+        for r in dedup.simhash_wide_pairs(docs, max_distance=23).collect()
+    }
+    assert exact <= found
+    n = docs.count()
+    assert len(found) < n * (n - 1) / 4  # a filter, not everything
+
+
+def test_simhash_wide_vs_narrow_candidate_density(spark, docs):
+    """The reason q193 exists: at the SAME d=6/7-band pigeonhole
+    geometry, 120-bit banding (w ≥ 17) must generate far fewer raw
+    band-bucket candidates than 60-bit banding (w ≤ 9) — the ~2^8
+    density cut that de-quadratics candidate generation at corpus
+    scale (BASELINE.md Round 8)."""
+
+    def raw_candidates(exploded_cols):
+        # sum over (band, bucket) occupancy of sz*(sz-1)/2
+        return (
+            exploded_cols.groupBy("band", "bucket")
+            .agg(F.count(F.lit(1)).alias("sz"))
+            .agg(F.sum(F.expr("sz * (sz - 1) / 2")).alias("c"))
+            .collect()[0]["c"]
+            or 0
+        )
+
+    sig = dedup.simhash_signatures(docs)
+    base, extra = divmod(dedup.SIMHASH_BITS, 7)
+    widths = [base + (1 if i < extra else 0) for i in range(7)]
+    offsets = [sum(widths[:i]) for i in range(7)]
+    narrow = sig.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftrightunsigned(F.col("simhash"), offsets[i])
+                        .bitwiseAND(F.lit((1 << widths[i]) - 1))
+                        .alias("bucket"),
+                    )
+                    for i in range(7)
+                ]
+            )
+        ).alias("bb")
+    ).select("bb.band", "bb.bucket")
+
+    wsig = dedup.simhash_wide_signatures(docs)
+    wb, wextra = divmod(dedup.SIMHASH_WIDE_BITS, 7)
+    wwidths = [wb + (1 if i < wextra else 0) for i in range(7)]
+    woffsets = [sum(wwidths[:i]) for i in range(7)]
+    wide = wsig.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        dedup._wide_bucket(woffsets[i], wwidths[i]).alias(
+                            "bucket"
+                        ),
+                    )
+                    for i in range(7)
+                ]
+            )
+        ).alias("bb")
+    ).select("bb.band", "bb.bucket")
+
+    n_narrow, n_wide = raw_candidates(narrow), raw_candidates(wide)
+    # at sf0.001 the PLANTED near-dup pairs floor both schemes (a true
+    # pair agrees on ≥1 band in either geometry), so the observable
+    # gap here is a few ×, not the asymptotic 2^8 — the full cut is
+    # measured at sf10/sf30 by tools/q193_density_probe.py
+    assert n_wide * 4 < n_narrow, (n_wide, n_narrow)
+    spark.catalog.clearCache()
+
+
+def test_simhash_wide_degenerate_and_unicode(spark):
+    schema = "doc_id BIGINT, text STRING"
+    empty = spark.createDataFrame([], schema)
+    assert dedup.simhash_wide_pairs(empty, max_distance=6).count() == 0
+    n = 12
+    same = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon zeta") for i in range(n)],
+        schema,
+    )
+    got = dedup.simhash_wide_pairs(same, max_distance=0).collect()
+    assert len(got) == n * (n - 1) // 2 and all(r.hamming == 0 for r in got)
+    uni = spark.createDataFrame(
+        [
+            (1, "café au lait très bon goût vraiment"),
+            (2, "café au lait très bon goût vraiment"),
+            (3, "数据 管理 系统 非常 好用 真的"),
+        ],
+        schema,
+    )
+    pairs = {
+        (r.a_id, r.b_id)
+        for r in dedup.simhash_wide_pairs(uni, max_distance=0).collect()
+    }
+    assert (1, 2) in pairs and (1, 3) not in pairs
+    spark.catalog.clearCache()
+
+
+def test_simhash_wide_band_extraction_covers_all_bits(spark):
+    """The limb-straddling band (offset 52, width 17 at the 7-band
+    default) must reassemble bits exactly: concatenating every band's
+    bucket in order reconstructs the full 120-bit signature for
+    random signatures."""
+    rows = [(i, f"tok{i} tok{i * 7} tok{i * 13} x y z") for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+    sig = dedup.simhash_wide_signatures(df)
+    base, extra = divmod(dedup.SIMHASH_WIDE_BITS, 7)
+    widths = [base + (1 if i < extra else 0) for i in range(7)]
+    offsets = [sum(widths[:i]) for i in range(7)]
+    cols = [
+        dedup._wide_bucket(offsets[i], widths[i]).alias(f"b{i}")
+        for i in range(7)
+    ]
+    for r in sig.select("sim_lo", "sim_hi", *cols).collect():
+        full = r.sim_lo | (r.sim_hi << 60)
+        rebuilt = 0
+        for i in range(7):
+            rebuilt |= r[f"b{i}"] << offsets[i]
+        assert rebuilt == full
+
+
 def test_lsh_ann_recall_vs_brute_force(spark, emb):
     queries = emb.filter(F.col("vec_id") < 10)
     exact = similarity.brute_force_topk(emb, queries, k=5)
