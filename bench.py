@@ -16,6 +16,8 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from pyspark.sql import functions as F
+
 from python_lambda_ecs_container_data_etl_aws_spark.plans import QUERIES
 from python_lambda_ecs_container_data_etl_aws_spark.session import get_spark
 
@@ -93,6 +95,22 @@ def main() -> None:
 
     errors: dict[str, str] = {}
 
+    # --- collect-free digest mode (SPARK_GRAFT_DIGEST=1) --------------
+    # Round-8 finding: the contract's collect() is itself the scale
+    # bottleneck for fact-sized results — q100's 60M-row sf30 history
+    # trips spark.driver.maxResultSize (1 GiB), and collect-GC inflates
+    # collect-inclusive exponents (q34 α 1.86 vs 0.76 compute-only). A
+    # cluster pipeline writes to a sink; it never funnels a fact table
+    # through the driver. With the flag set, every query reduces to
+    # (row count, order-insensitive XOR of per-row xxhash64) computed
+    # EXECUTOR-side — full computation, every shuffle, nothing pruned
+    # (all output columns feed the hash), one row to the driver — and
+    # the digests land in the payload so two digest runs are
+    # comparable. Off by default: the driver's per-round sf0.1 run
+    # keeps the byte-identical collect-inclusive contract.
+    digest_mode = os.environ.get("SPARK_GRAFT_DIGEST", "") == "1"
+    digests: dict[str, list[int]] = {}
+
     # --- optional per-query memory audit (SPARK_GRAFT_MEMCHECK) -------
     # Round-7 verdict: the sf10 catalog needed a 48 GiB driver heap and
     # the steady-state footprint was unattributed. With
@@ -148,9 +166,24 @@ def main() -> None:
         t0 = time.perf_counter()
         try:
             df = queries[name](spark, sf_dir)
-            # collect() uniformly: count() would let Catalyst prune
-            # unused projection columns and under-measure wide queries
-            _ = len(df.collect())
+            if digest_mode:
+                # per-row hash over EVERY output column (string-cast:
+                # engine-stable for the bit-deterministic contract
+                # types), XOR-folded so the digest is order-insensitive
+                h = F.xxhash64(*[F.col(c).cast("string") for c in df.columns])
+                row = (
+                    df.select(h.alias("__h"))
+                    .agg(
+                        F.count(F.lit(1)).alias("n"),
+                        F.bit_xor("__h").alias("x"),
+                    )
+                    .collect()[0]
+                )
+                digests[name] = [int(row["n"]), int(row["x"] or 0)]
+            else:
+                # collect() uniformly: count() would let Catalyst prune
+                # unused projection columns and under-measure wide queries
+                _ = len(df.collect())
         except Exception as exc:  # one broken query must not lose the run
             errors[name] = f"{type(exc).__name__}: {exc}"[:200]
         elapsed = round(time.perf_counter() - t0, 3)
@@ -241,6 +274,9 @@ def main() -> None:
                 compute[name] = -1.0  # sentinel: split unavailable
             spark.catalog.clearCache()
         payload["compute"] = compute
+    if digest_mode:
+        payload["digest_mode"] = True
+        payload["digests"] = digests
     if memstats:
         # [old_gen_peak_mib, storage_after_mib, exec_after_mib, n_rdds]
         # per query, plus the catalog-level invariants the audit exists

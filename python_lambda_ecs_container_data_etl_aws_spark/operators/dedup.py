@@ -1007,92 +1007,72 @@ def crosscorpus_neardup_pairs(
     )
 
 
-def prefix_filtered_pairs(
-    ts: DataFrame,
-    id_col: str = "doc_id",
-    token_col: str = "tok",
-    threshold_tenths: int = 6,
-) -> DataFrame:
-    """(a_id, b_id, inter, uni): all pairs whose set Jaccard is >=
-    threshold_tenths/10 — EXACT, via the AllPairs/PPJoin prefix filter
-    (Bayardo et al. 2007, the q111 contract): a pair can reach the
-    threshold only if it shares an element among each set's rarest
-    ``|s| - ceil(t*|s|) + 1`` tokens (global-df order), so candidate
-    generation joins short prefix postings and the exact intersection
-    verify runs only on candidates. No false negatives — the exact
-    complement to :func:`minhash_lsh_dedup`'s probabilistic recall.
+def _pf_ranked(ts: DataFrame, id_col: str, token_col: str) -> DataFrame:
+    """(id, __h, df, rk, n): the canonically-ranked token relation.
 
-    ``ts`` is an (id, token) multiset relation (duplicates are fine —
-    the operator dedups after hashing, so the distinct shuffles 8-byte
-    keys, not token strings). Use shingles, not raw tokens, when the
-    vocabulary is small — a tiny vocabulary makes token sets
-    degenerate and the filter toothless. Integer ceil
-    ((t*n + 9) // 10) and a cross-multiplied Jaccard gate keep the
-    whole operator float-free.
+    Every set element is hashed to 64 bits ONCE: the set-dedup, all
+    shuffles (df, prefix postings, candidate join) and the in-row
+    intersect then carry 8-byte keys instead of shingle strings —
+    the catalog-wide hash-key convention (q22/q44/q71/q77),
+    collisions negligible at 2^-64 and bounded to one
+    candidate/intersection miscount.
 
-    Implemented tiers: AllPairs prefix filtering, the AllPairs length
-    filter (size-ratio bound at candidate generation), and the PPJoin
-    positional filter (per-match overlap upper bound from prefix
-    positions, minimized per pair) — all exact prunes applied before
-    the array-attach verify joins (see BASELINE.md's q111 notes)."""
-    t10 = threshold_tenths
-    # hash every set element to 64 bits ONCE: the set-dedup, all
-    # shuffles (df, prefix postings, candidate join) and the in-row
-    # intersect then carry 8-byte keys instead of shingle strings —
-    # the catalog-wide hash-key convention (q22/q44/q71/q77),
-    # collisions negligible at 2^-64 and bounded to one
-    # candidate/intersection miscount
+    df stays a groupBy + equi-join (NOT a window over __h): the
+    aggregate gets map-side partial combine and AQE can skew-split
+    the join, so one stop-shingle-hot hash cannot pile a whole
+    posting list into a single task at scale. The per-SET numbers
+    (rk, n) DO come from windows — an id partition is bounded by
+    set size, and computing n beside rk in the same exchange
+    replaces the former separate size-aggregate + broadcast join.
+    The result leaves that window hash-partitioned by id, so the
+    verify stage's per-set array aggregation reuses the exchange
+    for free. (df, hash) is a GLOBAL canonical order — the prefix
+    property only needs every set sorted by the same total order."""
     th = ts.select(id_col, F.xxhash64(token_col).alias("__h")).distinct()
-    # df stays a groupBy + equi-join (NOT a window over __h): the
-    # aggregate gets map-side partial combine and AQE can skew-split
-    # the join, so one stop-shingle-hot hash cannot pile a whole
-    # posting list into a single task at scale. The per-SET numbers
-    # (rk, n) DO come from windows — an id partition is bounded by
-    # set size, and computing n beside rk in the same exchange
-    # replaces the former separate size-aggregate + broadcast join.
-    # ``thw`` leaves that window hash-partitioned by id, so the
-    # verify stage's per-set array aggregation below reuses the
-    # exchange for free.
-    # (df, hash) is a GLOBAL canonical order — the prefix property
-    # only needs every set sorted by the same total order.
     df_rel = th.groupBy("__h").agg(F.count(F.lit(1)).alias("df"))
     w_id = Window.partitionBy(id_col)
     w_rk = Window.partitionBy(id_col).orderBy("df", "__h")
-    thw = (
+    return (
         th.join(df_rel, "__h")
         .withColumn("rk", F.row_number().over(w_rk))
         .withColumn("n", F.count(F.lit(1)).over(w_id).cast("bigint"))
-        .persist()
     )
-    pfx = (
-        thw
-        # integer ceil: `/` here would be FLOAT division, silently
-        # shrinking the prefix by one for most set sizes — a
-        # false-negative bug the hypothesis completeness test catches
-        .filter(F.expr(f"rk <= n - ({t10} * n + 9) div 10 + 1"))
-        .select(id_col, "__h", "n", "rk")
-    )
-    # Two candidate-pruning filters, both exact (no false negatives):
-    #
-    # 1. AllPairs LENGTH filter: J(a,b) <= min(|a|,|b|)/max(|a|,|b|),
-    #    so a pair can pass only when 10*min >= t10*max — applied
-    #    per-match, BEFORE the per-pair shuffle.
-    # 2. PPJoin POSITIONAL filter: a match on hash h at positions
-    #    (ra, rb) of the two canonically-sorted sets bounds the
-    #    intersection — shared elements ordered before h sit below ra
-    #    AND below rb, shared elements after h above both — so
-    #    inter <= least(ra,rb) + least(na-ra, nb-rb). Every match
-    #    yields a valid bound; MIN over a pair's matches is the
-    #    tightest. The pair survives only if that bound can still
-    #    reach the threshold: J >= t10/10 <=> (10+t10)*inter >=
-    #    t10*(na+nb). The groupBy replaces the former `.distinct()`
-    #    (same 16-byte-key shuffle, three tiny agg columns), so the
-    #    positional prune costs nothing extra and cuts the pairs the
-    #    two array-attach verify joins must materialize.
+
+
+def _pf_prefixes(thw: DataFrame, t10: int, id_col: str) -> DataFrame:
+    """The AllPairs prefix postings: each set's rarest
+    ``n - ceil(t*n) + 1`` tokens in canonical order. Integer ceil:
+    `/` here would be FLOAT division, silently shrinking the prefix
+    by one for most set sizes — a false-negative bug the hypothesis
+    completeness test catches."""
+    return thw.filter(
+        F.expr(f"rk <= n - ({t10} * n + 9) div 10 + 1")
+    ).select(id_col, "__h", "n", "rk")
+
+
+def _pf_candidates(pfx: DataFrame, t10: int, id_col: str) -> DataFrame:
+    """(a_id, b_id) candidate pairs from the prefix self-join, with
+    two exact per-match prunes (no false negatives):
+
+    1. AllPairs LENGTH filter: J(a,b) <= min(|a|,|b|)/max(|a|,|b|),
+       so a pair can pass only when 10*min >= t10*max — applied
+       per-match, BEFORE the per-pair shuffle.
+    2. PPJoin POSITIONAL filter: a match on hash h at positions
+       (ra, rb) of the two canonically-sorted sets bounds the
+       intersection — shared elements ordered before h sit below ra
+       AND below rb, shared elements after h above both — so
+       inter <= least(ra,rb) + least(na-ra, nb-rb). Every match
+       yields a valid bound; MIN over a pair's matches is the
+       tightest. The pair survives only if that bound can still
+       reach the threshold: J >= t10/10 <=> (10+t10)*inter >=
+       t10*(na+nb). The groupBy replaces the former `.distinct()`
+       (same 16-byte-key shuffle, three tiny agg columns), so the
+       positional prune costs nothing extra and cuts the pairs the
+       two array-attach verify joins must materialize."""
     ub = F.least("ra", "rb") + F.least(
         F.col("na") - F.col("ra"), F.col("nb") - F.col("rb")
     )
-    cand = (
+    return (
         pfx.select(
             F.col(id_col).alias("a_id"),
             "__h",
@@ -1121,24 +1101,34 @@ def prefix_filtered_pairs(
         .filter((10 + t10) * F.col("ub") >= t10 * (F.col("na") + F.col("nb")))
         .select("a_id", "b_id")
     )
-    # verify: attach each side's sorted hash ARRAY and intersect
-    # in-row — near-dup corpora make |candidates| × |set|
-    # token-explode joins the dominant cost (16M rows at sf0.1),
-    # while two array-attach joins + an in-row set op stay
-    # |candidates|-sized
-    # aggregating thw (already hash-partitioned by id from the window
-    # stage) needs NO new exchange — Catalyst sees the partitioning
-    sets = thw.groupBy(id_col).agg(
+
+
+def _pf_sets(thw: DataFrame, id_col: str) -> DataFrame:
+    """(id, arr, n): each set as one sorted hash ARRAY row.
+    Aggregating the ranked relation (already hash-partitioned by id
+    from the window stage) needs NO new exchange — Catalyst sees the
+    partitioning."""
+    return thw.groupBy(id_col).agg(
         F.sort_array(F.collect_list("__h")).alias("arr"),
         F.count(F.lit(1)).cast("bigint").alias("n"),
-    ).persist()  # both verify sides probe it: one aggregation pass
-    # The verify joins move |candidates| rows carrying ~|set|-element
-    # arrays — the in-memory expansion is ~10x the shuffle bytes, so
-    # the session's cores-sized shuffle partitioning spills long
-    # before AQE's byte-based advisory notices (measured at the sf10
-    # tier: 85 s -> 25 s). Partition the pair relation explicitly at
-    # 8x parallelism and build the hash side from the |docs|-sized
-    # sets relation (shuffle_hash: no 19M-row sort).
+    )
+
+
+def _pf_verify(
+    cand: DataFrame, sets: DataFrame, t10: int, id_col: str
+) -> DataFrame:
+    """Attach each side's sorted hash array and intersect in-row —
+    near-dup corpora make |candidates| × |set| token-explode joins
+    the dominant cost (16M rows at sf0.1), while two array-attach
+    joins + an in-row set op stay |candidates|-sized.
+
+    The verify joins move |candidates| rows carrying ~|set|-element
+    arrays — the in-memory expansion is ~10x the shuffle bytes, so
+    the session's cores-sized shuffle partitioning spills long
+    before AQE's byte-based advisory notices (measured at the sf10
+    tier: 85 s -> 25 s). Partition the pair relation explicitly at
+    8x parallelism and build the hash side from the |docs|-sized
+    sets relation (shuffle_hash: no 19M-row sort)."""
     nver = sets.sparkSession.sparkContext.defaultParallelism * 8
     return (
         cand.repartition(nver, "a_id")
@@ -1169,3 +1159,42 @@ def prefix_filtered_pairs(
         .filter(10 * F.col("inter") >= t10 * F.col("uni"))
         .select("a_id", "b_id", "inter", "uni")
     )
+
+
+def prefix_filtered_pairs(
+    ts: DataFrame,
+    id_col: str = "doc_id",
+    token_col: str = "tok",
+    threshold_tenths: int = 6,
+) -> DataFrame:
+    """(a_id, b_id, inter, uni): all pairs whose set Jaccard is >=
+    threshold_tenths/10 — EXACT, via the AllPairs/PPJoin prefix filter
+    (Bayardo et al. 2007, the q111 contract): a pair can reach the
+    threshold only if it shares an element among each set's rarest
+    ``|s| - ceil(t*|s|) + 1`` tokens (global-df order), so candidate
+    generation joins short prefix postings and the exact intersection
+    verify runs only on candidates. No false negatives — the exact
+    complement to :func:`minhash_lsh_dedup`'s probabilistic recall.
+
+    ``ts`` is an (id, token) multiset relation (duplicates are fine —
+    the operator dedups after hashing, so the distinct shuffles 8-byte
+    keys, not token strings). Use shingles, not raw tokens, when the
+    vocabulary is small — a tiny vocabulary makes token sets
+    degenerate and the filter toothless. Integer ceil
+    ((t*n + 9) // 10) and a cross-multiplied Jaccard gate keep the
+    whole operator float-free.
+
+    Implemented tiers: AllPairs prefix filtering, the AllPairs length
+    filter (size-ratio bound at candidate generation), and the PPJoin
+    positional filter (per-match overlap upper bound from prefix
+    positions, minimized per pair) — all exact prunes applied before
+    the array-attach verify joins (see BASELINE.md's q111 notes)."""
+    t10 = threshold_tenths
+    # persist: the prefix join consumes the ranked relation on both
+    # sides and the verify aggregates it again — one materialization.
+    thw = _pf_ranked(ts, id_col, token_col).persist()
+    pfx = _pf_prefixes(thw, t10, id_col)
+    cand = _pf_candidates(pfx, t10, id_col)
+    # both verify sides probe the sets relation: one aggregation pass
+    sets = _pf_sets(thw, id_col).persist()
+    return _pf_verify(cand, sets, t10, id_col)
