@@ -1128,8 +1128,21 @@ def _pf_verify(
     before AQE's byte-based advisory notices (measured at the sf10
     tier: 85 s -> 25 s). Partition the pair relation explicitly at
     8x parallelism and build the hash side from the |docs|-sized
-    sets relation (shuffle_hash: no 19M-row sort)."""
-    nver = sets.sparkSession.sparkContext.defaultParallelism * 8
+    sets relation (shuffle_hash: no 19M-row sort).
+
+    ``SPARK_GRAFT_SETSIM_VERIFY_PARTITIONS`` overrides the verify
+    partition count — the per-task working set here is
+    (candidates x array bytes) / nver, so a deployment sizes nver to
+    its executor memory; the round-9 sf30 probes use it to bound
+    allocation pressure on the fixed 32-thread/8g local box."""
+    import os as _os
+
+    _env = _os.environ.get("SPARK_GRAFT_SETSIM_VERIFY_PARTITIONS", "")
+    nver = (
+        int(_env)
+        if _env
+        else sets.sparkSession.sparkContext.defaultParallelism * 8
+    )
     return (
         cand.repartition(nver, "a_id")
         .join(
@@ -1158,6 +1171,159 @@ def _pf_verify(
         )
         .filter(10 * F.col("inter") >= t10 * F.col("uni"))
         .select("a_id", "b_id", "inter", "uni")
+    )
+
+
+def _pf_verify_inline(
+    thw: DataFrame, t10: int, id_col: str
+) -> DataFrame:
+    """Verify INSIDE candidate generation — the round-9 scale shape.
+
+    The pair-keyed verify (:func:`_pf_verify`) exchanges every
+    candidate twice, the second time carrying the attached hash
+    array: 26 of the 31 exchanged GB at sf30, and the stage the sf30
+    task metrics attribute the α≈1.5 wall to (allocation stalls on a
+    fixed-heap box; Q111_VOLUMES_r09 / SPILL_SF30_r09 artifacts).
+    Since the measured candidate count ≈ the raw match count at every
+    tier (the positional filter prunes <10% on this corpus), running
+    the exact intersect PER MATCH costs almost no extra CPU — and
+    attaching both arrays at the POSTING level first eliminates
+    pair-keyed exchanges entirely:
+
+    - arrays join onto prefix postings BY ID — co-partitioned, no new
+      shuffle — and the array-attached posting relation is exchanged
+      ONCE, grouped per hash (:func:`_pf_verify_inline_n`: in-row
+      pair expansion, no self-join);
+    - the length filter, per-match positional short-circuit, exact
+      ``array_intersect`` and threshold all pipeline in the stage
+      reading that one exchange — match rows never hit another one;
+    - only rows passing the EXACT filter reach the final distinct
+      (|true pairs| x match multiplicity — the simhash_pairs
+      verify-before-distinct discipline).
+
+    The per-match positional test accepts a superset of the old
+    min-over-matches test, so some failing pairs compute an
+    intersect they would have skipped — and are then rejected by the
+    exact threshold; the result set is identical (oracle-pinned).
+    Per-task memory is one posting partition — bounded by the
+    partition count, not by candidate volume — and the partition
+    count is DATA-DERIVED (``nppart``): the attached arrays inflate
+    working sets ~10x past shuffle bytes, so both a cores-sized
+    default (sf30: 293 s spilling at 32 partitions vs 179 s at 256)
+    and any FIXED count (256 cost sf10 30→38 s in pure overhead)
+    mis-size some tier. ``nppart`` targets ~48 MB of array-attached
+    posting payload per task from one bounded single-row aggregate
+    over the persisted ranked relation — more data means more tasks,
+    never bigger tasks (the 100 TB posture)."""
+    nppart, est_bytes = _verify_partitions(thw, t10)
+    # re-spread the slim ranked relation BEFORE the array attach when
+    # the payload is big: the attach join's tasks are the MAP side of
+    # the array-attached posting exchange, and at the session's
+    # cores-sized partitioning each map task pushes ~payload/cores
+    # bytes through the shuffle writer's bounded sort buffer —
+    # 500 MB/task at sf30 = a forced multi-pass external merge
+    # (measured: 17.6 GB disk spill, 3.2 ks of I/O-wait in that one
+    # stage; re-spreading cut the sf30 wall 221 s -> 138 s). Below
+    # ~256 MB/map-task the write is single-pass already and the slim
+    # re-exchange is pure overhead (sf10 measured 34.7 s -> 40.2 s
+    # when applied unconditionally), so it is gated on the estimate.
+    cores = thw.sparkSession.sparkContext.defaultParallelism
+    if est_bytes > cores * (256 << 20):
+        thw = thw.repartition(nppart, id_col)
+    pfx = _pf_prefixes(thw, t10, id_col)
+    sets = _pf_sets(thw, id_col)
+    return _pf_verify_inline_n(pfx, sets, t10, id_col, nppart)
+
+
+def _verify_partitions(thw: DataFrame, t10: int) -> tuple[int, float]:
+    """(partition count, estimated payload bytes) for the
+    array-attached posting exchange: one single-row aggregate
+    (bounded driver fetch) over the persisted ranked relation —
+    prefix postings carry their doc's full hash array, ~8 bytes x
+    avg set size each. The count targets ~48 MB of payload per task,
+    floored at the session parallelism and capped at 64x (runaway
+    guard). ``SPARK_GRAFT_SETSIM_VERIFY_PARTITIONS`` overrides the
+    count (the bytes estimate is still computed — it also gates the
+    map-side re-spread)."""
+    import os as _os
+
+    cores = thw.sparkSession.sparkContext.defaultParallelism
+    # count/avg over PREFIX rows only (same integer-ceil predicate as
+    # _pf_prefixes), posting-weighted: each posting row carries its
+    # own doc's array, so the posting-weighted mean set size is
+    # exactly the bytes estimator
+    is_pfx = F.expr(f"rk <= n - ({t10} * n + 9) div 10 + 1")
+    row = thw.agg(
+        F.count(F.when(is_pfx, 1)).alias("n_post"),
+        F.avg(F.when(is_pfx, F.col("n"))).alias("avg_n"),
+    ).collect()[0]
+    n_post, avg_n = int(row["n_post"] or 0), float(row["avg_n"] or 0.0)
+    est_bytes = n_post * (40.0 + 8.0 * avg_n)
+    _env = _os.environ.get("SPARK_GRAFT_SETSIM_VERIFY_PARTITIONS", "")
+    if _env:
+        return int(_env), est_bytes
+    n = max(cores, min(cores * 64, int(est_bytes // (48 << 20)) + 1))
+    return n, est_bytes
+
+
+def _pf_verify_inline_n(
+    pfx: DataFrame, sets: DataFrame, t10: int, id_col: str, nppart: int
+) -> DataFrame:
+    # A posting SELF-JOIN here would exchange the array-attached
+    # relation TWICE: AQE's exchange reuse does not fire across the
+    # self-join's alias-rewritten subtrees (sf30 task metrics: twin
+    # 16 GB exchange-write stages), and caching doesn't help either —
+    # the dedup rewrite renames the join key on one side, so the
+    # planner cannot see the cached partitioning and re-exchanges
+    # both sides. Grouping postings per hash needs ONE exchange and
+    # no join at all: pairs expand IN-ROW over the bucket's posting
+    # array. Bucket size is bounded by construction — a token lands
+    # in a doc's prefix only when it is among that doc's RAREST
+    # (global df order), so hot hashes are structurally excluded
+    # from prefixes (measured max posting length 10 at sf0.1/sf10/
+    # sf30); a corpus degenerate enough to produce a giant prefix
+    # bucket makes the CONTRACT OUTPUT itself quadratic, which no
+    # exact all-pairs algorithm survives.
+    parr = pfx.join(sets.select(id_col, "arr"), id_col).select(
+        "__h", F.struct(id_col, "n", "rk", "arr").alias("p")
+    )
+    # array_sort on the struct array orders by the leading field
+    # (id), so pair expansion over i<j yields a.id < b.id directly
+    grouped = (
+        parr.repartition(nppart, "__h")
+        .groupBy("__h")
+        .agg(F.array_sort(F.collect_list("p")).alias("ps"))
+    )
+    pair = F.explode(
+        F.expr(
+            "flatten(transform(ps, (x, i) ->"
+            " transform(slice(ps, i + 2, size(ps)), y -> struct(x, y))))"
+        )
+    ).alias("pr")
+    ub = F.least("pr.x.rk", "pr.y.rk") + F.least(
+        F.col("pr.x.n") - F.col("pr.x.rk"),
+        F.col("pr.y.n") - F.col("pr.y.rk"),
+    )
+    na, nb = F.col("pr.x.n"), F.col("pr.y.n")
+    return (
+        grouped.select(pair)
+        .filter(
+            (10 * F.least(na, nb) >= t10 * F.greatest(na, nb))
+            & ((10 + t10) * ub >= t10 * (na + nb))
+        )
+        .withColumn(
+            "inter",
+            F.size(F.array_intersect("pr.x.arr", "pr.y.arr")).cast("bigint"),
+        )
+        .withColumn("uni", (na + nb - F.col("inter")).cast("bigint"))
+        .filter(10 * F.col("inter") >= t10 * F.col("uni"))
+        .select(
+            F.col(f"pr.x.{id_col}").alias("a_id"),
+            F.col(f"pr.y.{id_col}").alias("b_id"),
+            "inter",
+            "uni",
+        )
+        .distinct()
     )
 
 
@@ -1190,11 +1356,7 @@ def prefix_filtered_pairs(
     positions, minimized per pair) — all exact prunes applied before
     the array-attach verify joins (see BASELINE.md's q111 notes)."""
     t10 = threshold_tenths
-    # persist: the prefix join consumes the ranked relation on both
-    # sides and the verify aggregates it again — one materialization.
+    # persist: the prefix postings and the per-set arrays both derive
+    # from the ranked relation — one materialization of the window.
     thw = _pf_ranked(ts, id_col, token_col).persist()
-    pfx = _pf_prefixes(thw, t10, id_col)
-    cand = _pf_candidates(pfx, t10, id_col)
-    # both verify sides probe the sets relation: one aggregation pass
-    sets = _pf_sets(thw, id_col).persist()
-    return _pf_verify(cand, sets, t10, id_col)
+    return _pf_verify_inline(thw, t10, id_col)

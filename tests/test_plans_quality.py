@@ -791,6 +791,28 @@ def test_q111_prefix_join_never_all_pairs(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def test_q111_verify_is_inline_no_pair_keyed_array_exchange(spark):
+    # round-9 scale shape: the exact intersect runs INSIDE the
+    # posting self-join (arrays attached at the posting level,
+    # co-partitioned with the window exchange) and only exact-filter
+    # survivors reach the distinct. A regression to the pair-keyed
+    # verify would re-introduce the array-carrying candidate
+    # exchange the sf30 task metrics attributed 84% of wall to
+    # (SPILL_SF30_r09 / Q111_VOLUMES_r09).
+    plan = _plan(spark, "q111_setsim_prefix_join")
+    # no exchange may partition by the pair key: the only a_id
+    # hash-partitioning allowed is the final distinct's (paired with
+    # b_id and inter/uni already computed)
+    import re
+
+    for m in re.finditer(r"hashpartitioning\(a_id[^)]*\)", plan):
+        assert "inter" in m.group(0) or "b_id" in m.group(0), (
+            f"pair-keyed array exchange is back: {m.group(0)}"
+        )
+    assert "array_intersect" in plan  # verify still exact, in-plan
+    assert "CartesianProduct" not in plan and "BatchEvalPython" not in plan
+
+
 def test_q112_index_build_is_one_agg_no_joins(spark):
     # positional explode + one per-term aggregate; countDistinct is
     # the standard two-phase expand, no joins, no Python
