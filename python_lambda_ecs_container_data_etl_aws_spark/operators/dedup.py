@@ -1051,7 +1051,12 @@ def _pf_prefixes(thw: DataFrame, t10: int, id_col: str) -> DataFrame:
 
 
 def _pf_candidates(pfx: DataFrame, t10: int, id_col: str) -> DataFrame:
-    """(a_id, b_id) candidate pairs from the prefix self-join, with
+    """SUPERSEDED LIVE PATH — kept as the measured alternative for
+    tools/q111_probe.py and the round-9 attribution artifacts; the
+    production pipeline verifies inline (:func:`_pf_verify_inline`)
+    and never materializes this relation.
+
+    (a_id, b_id) candidate pairs from the prefix self-join, with
     two exact per-match prunes (no false negatives):
 
     1. AllPairs LENGTH filter: J(a,b) <= min(|a|,|b|)/max(|a|,|b|),
@@ -1117,7 +1122,12 @@ def _pf_sets(thw: DataFrame, id_col: str) -> DataFrame:
 def _pf_verify(
     cand: DataFrame, sets: DataFrame, t10: int, id_col: str
 ) -> DataFrame:
-    """Attach each side's sorted hash array and intersect in-row —
+    """SUPERSEDED LIVE PATH (round 9) — the pair-keyed verify whose
+    array-carrying exchanges the sf30 task metrics attributed the
+    round-8 α≈1.5 to; kept for tools/q111_probe.py comparisons.
+    Production verifies inline: :func:`_pf_verify_inline`.
+
+    Attach each side's sorted hash array and intersect in-row —
     near-dup corpora make |candidates| × |set| token-explode joins
     the dominant cost (16M rows at sf0.1), while two array-attach
     joins + an in-row set op stay |candidates|-sized.
@@ -1352,9 +1362,10 @@ def prefix_filtered_pairs(
 
     Implemented tiers: AllPairs prefix filtering, the AllPairs length
     filter (size-ratio bound at candidate generation), and the PPJoin
-    positional filter (per-match overlap upper bound from prefix
-    positions, minimized per pair) — all exact prunes applied before
-    the array-attach verify joins (see BASELINE.md's q111 notes)."""
+    positional filter (per-match overlap upper bound) — all exact
+    prunes applied per match, before the exact intersect, inside the
+    one grouped posting exchange of :func:`_pf_verify_inline`
+    (see BASELINE.md's Round-9 q111 notes)."""
     t10 = threshold_tenths
     # persist: the prefix postings and the per-set arrays both derive
     # from the ranked relation — one materialization of the window.

@@ -141,12 +141,24 @@ def main() -> None:
             .count,
         )
 
+    # candidates + pair-keyed verify measure the SUPERSEDED round-8
+    # path (the attribution target); the live operator verifies
+    # inline and is timed end-to-end below
     cand = dedup._pf_candidates(pfx, _T10, "doc_id").persist()
     timed("n_candidates", cand.count)
     sets = dedup._pf_sets(thw, "doc_id").persist()
-    timed("n_final_pairs", dedup._pf_verify(cand, sets, _T10, "doc_id").count)
+    timed(
+        "n_final_pairs_old_path",
+        dedup._pf_verify(cand, sets, _T10, "doc_id").count,
+    )
     for rel in (cand, sets, pfx, thw):
         rel.unpersist()
+    spark.catalog.clearCache()
+    timed(
+        "n_final_pairs_live",
+        dedup.prefix_filtered_pairs(ts, threshold_tenths=_T10).count,
+    )
+    spark.catalog.clearCache()
     print(json.dumps(out))
     spark.stop()
 
