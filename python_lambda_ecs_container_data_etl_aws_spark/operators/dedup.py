@@ -1039,15 +1039,21 @@ def _pf_ranked(ts: DataFrame, id_col: str, token_col: str) -> DataFrame:
     )
 
 
+def _pf_prefix_pred(t10: int):
+    """The AllPairs prefix-membership predicate over (rk, n):
+    rank within the set's rarest ``n - ceil(t*n) + 1`` tokens.
+    Integer ceil: `/` here would be FLOAT division, silently
+    shrinking the prefix by one for most set sizes — a
+    false-negative bug the hypothesis completeness test catches.
+    Shared by :func:`_pf_prefixes` and the partition estimator so
+    the two can never drift."""
+    return F.expr(f"rk <= n - ({t10} * n + 9) div 10 + 1")
+
+
 def _pf_prefixes(thw: DataFrame, t10: int, id_col: str) -> DataFrame:
     """The AllPairs prefix postings: each set's rarest
-    ``n - ceil(t*n) + 1`` tokens in canonical order. Integer ceil:
-    `/` here would be FLOAT division, silently shrinking the prefix
-    by one for most set sizes — a false-negative bug the hypothesis
-    completeness test catches."""
-    return thw.filter(
-        F.expr(f"rk <= n - ({t10} * n + 9) div 10 + 1")
-    ).select(id_col, "__h", "n", "rk")
+    ``n - ceil(t*n) + 1`` tokens in canonical order."""
+    return thw.filter(_pf_prefix_pred(t10)).select(id_col, "__h", "n", "rk")
 
 
 def _pf_candidates(pfx: DataFrame, t10: int, id_col: str) -> DataFrame:
@@ -1258,11 +1264,11 @@ def _verify_partitions(thw: DataFrame, t10: int) -> tuple[int, float]:
     import os as _os
 
     cores = thw.sparkSession.sparkContext.defaultParallelism
-    # count/avg over PREFIX rows only (same integer-ceil predicate as
-    # _pf_prefixes), posting-weighted: each posting row carries its
-    # own doc's array, so the posting-weighted mean set size is
-    # exactly the bytes estimator
-    is_pfx = F.expr(f"rk <= n - ({t10} * n + 9) div 10 + 1")
+    # count/avg over PREFIX rows only (the shared _pf_prefix_pred),
+    # posting-weighted: each posting row carries its own doc's array,
+    # so the posting-weighted mean set size is exactly the bytes
+    # estimator
+    is_pfx = _pf_prefix_pred(t10)
     row = thw.agg(
         F.count(F.when(is_pfx, 1)).alias("n_post"),
         F.avg(F.when(is_pfx, F.col("n"))).alias("avg_n"),
