@@ -22,6 +22,53 @@ from python_lambda_ecs_container_data_etl_aws_spark.plans import QUERIES
 from python_lambda_ecs_container_data_etl_aws_spark.session import get_spark
 
 
+def digest_frame(df) -> list[int]:
+    """Executor-side digest of a result DataFrame: [row count,
+    order-insensitive bit_xor of per-row xxhash64, wrapping sum of the
+    31-bit-folded hash]. See the SPARK_GRAFT_DIGEST comments in
+    ``main`` for why each piece exists; module-level so
+    tests/test_bench_digest.py can pin the properties (sort survives
+    EliminateSorts, null-position sensitivity, even-multiplicity
+    discrimination)."""
+    # per-row hash over EVERY output column (string-cast: engine-
+    # stable for the bit-deterministic contract types). Each value is
+    # preceded by its isnull flag — xxhash64 SKIPS null arguments, so
+    # without the flag two rows differing only in WHICH column is
+    # NULL would fold to the same input stream (round-9 ADVICE).
+    parts = []
+    for c in df.columns:
+        parts.append(F.isnull(F.col(c)).cast("int"))
+        parts.append(F.col(c).cast("string"))
+    h = F.xxhash64(*parts)
+    # Two order-insensitive accumulators: bit_xor alone is blind to
+    # even multiplicities of identical rows ({A,A,B} vs {B,B,B} —
+    # same count, same XOR); the wrapping sum of the 31-bit-folded
+    # hash breaks that class (safe from ANSI overflow to ~4e9 rows).
+    # The __rid projection is load-bearing, not debris: a
+    # NONDETERMINISTIC projection between the query's final orderBy
+    # and this aggregate stops EliminateSorts from recursing through,
+    # so the global sort (and its range exchange) stays in the
+    # measured plan. The count references __rid through a predicate
+    # Catalyst cannot fold (plain count(__rid) gets rewritten to
+    # count(1) on the non-nullable column, the column pruned, and the
+    # sort eliminated after all — pinned in tests/test_bench_digest);
+    # monotonically_increasing_id() >= 0 always holds, so n is still
+    # the exact row count.
+    row = (
+        df.select(
+            h.alias("__h"),
+            F.monotonically_increasing_id().alias("__rid"),
+        )
+        .agg(
+            F.count(F.when(F.col("__rid") >= 0, True)).alias("n"),
+            F.bit_xor("__h").alias("x"),
+            F.sum(F.pmod("__h", F.lit(2147483647))).alias("s"),
+        )
+        .collect()[0]
+    )
+    return [int(row["n"]), int(row["x"] or 0), int(row["s"] or 0)]
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     try:
@@ -102,11 +149,13 @@ def main() -> None:
     # collect-inclusive exponents (q34 α 1.86 vs 0.76 compute-only). A
     # cluster pipeline writes to a sink; it never funnels a fact table
     # through the driver. With the flag set, every query reduces to
-    # (row count, order-insensitive XOR of per-row xxhash64) computed
-    # EXECUTOR-side — full computation, every shuffle, nothing pruned
-    # (all output columns feed the hash), one row to the driver — and
-    # the digests land in the payload so two digest runs are
-    # comparable. Off by default: the driver's per-round sf0.1 run
+    # (row count, order-insensitive XOR + wrapping sum of per-row
+    # xxhash64) computed EXECUTOR-side — full computation, every
+    # shuffle INCLUDING the final global sort (a nondeterministic
+    # projection blocks EliminateSorts — see run_once), nothing pruned
+    # (all output columns + null flags feed the hash), one row to the
+    # driver — and the digests land in the payload so two digest runs
+    # are comparable. Off by default: the driver's per-round sf0.1 run
     # keeps the byte-identical collect-inclusive contract.
     digest_mode = os.environ.get("SPARK_GRAFT_DIGEST", "") == "1"
     digests: dict[str, list[int]] = {}
@@ -167,19 +216,9 @@ def main() -> None:
         try:
             df = queries[name](spark, sf_dir)
             if digest_mode:
-                # per-row hash over EVERY output column (string-cast:
-                # engine-stable for the bit-deterministic contract
-                # types), XOR-folded so the digest is order-insensitive
-                h = F.xxhash64(*[F.col(c).cast("string") for c in df.columns])
-                row = (
-                    df.select(h.alias("__h"))
-                    .agg(
-                        F.count(F.lit(1)).alias("n"),
-                        F.bit_xor("__h").alias("x"),
-                    )
-                    .collect()[0]
-                )
-                digests[name] = [int(row["n"]), int(row["x"] or 0)]
+                # see digest_frame: null-flagged per-row xxhash64,
+                # XOR + wrapping-sum accumulators, sort kept in plan
+                digests[name] = digest_frame(df)
             else:
                 # collect() uniformly: count() would let Catalyst prune
                 # unused projection columns and under-measure wide queries

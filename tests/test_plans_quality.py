@@ -474,6 +474,25 @@ def test_no_single_partition_exchange_over_unbounded_subtree(spark):
     )
 
 
+def test_q71_containment_verify_inline_no_pair_keyed_count(spark):
+    """Round-10 scale shape (the q111 discipline transferred): exact
+    containment comes from prefix postings probing the full posting
+    index, with the array_intersect verify pipelined at the match
+    site. The superseded shape aggregated EVERY shingle match into a
+    pair-keyed count — the single aggregate the sf30 task metrics
+    attributed 134 GB of spill to (SPILL_SF30_r09). The only
+    pair-keyed exchange allowed is the final distinct, which already
+    carries the computed containment rates."""
+    plan = _plan(spark, "q71_containment_pairs")
+    for m in re.finditer(r"hashpartitioning\(a_id[^)]*\)", plan):
+        assert "c_ab" in m.group(0) or "c_ba" in m.group(0), (
+            f"pair-keyed match exchange is back: {m.group(0)}"
+        )
+    assert "array_intersect" in plan  # verify exact, in-plan
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+    assert "Python" not in plan
+
+
 def test_q72_cap_window_prunes_scan_columns(spark):
     """The per-source cap reads only (doc_id, source, n_chars) — a cap
     query that scans text at 100 TB is wrong. Since round 4 the kept

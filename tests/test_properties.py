@@ -250,6 +250,50 @@ def test_prefix_filtered_pairs_equals_brute_force(docs, t10, spark):
 
 
 @given(
+    docs=st.lists(
+        st.lists(st.integers(0, 5), min_size=3, max_size=10),
+        min_size=2,
+        max_size=10,
+    ),
+    t10=st.integers(min_value=5, max_value=9),
+)
+@settings(max_examples=8, deadline=None)
+def test_containment_prefix_pairs_equals_brute_force(docs, t10, spark):
+    """Containment prefix-filter completeness (the round-10 q71
+    shape): a qualifying pair must share a token in the SMALLER
+    side's rarest ``n - ceil(t*n) + 1`` — the operator must find
+    EXACTLY the pairs a brute-force containment join finds. The
+    asymmetric analog of the Jaccard property above; degenerate
+    inputs (all-identical sets, singleton overlaps, equal sizes) are
+    the cases hypothesis shrinks to."""
+    from python_lambda_ecs_container_data_etl_aws_spark.operators.dedup import (
+        containment_pairs,
+    )
+
+    rows = [(i, f"t{v}") for i, d in enumerate(docs) for v in d]
+    sh = (
+        spark.createDataFrame(rows, "id long, shingle string").distinct()
+    )
+    thr = t10 / 10
+    got = {
+        (r.a_id, r.b_id)
+        for r in containment_pairs(sh, thr).collect()
+    }
+    sets = {i: {f"t{v}" for v in d} for i, d in enumerate(docs)}
+    want = set()
+    for a in sets:
+        for b in sets:
+            if a < b:
+                inter = len(sets[a] & sets[b])
+                if (
+                    inter / len(sets[a]) >= thr
+                    or inter / len(sets[b]) >= thr
+                ):
+                    want.add((a, b))
+    assert got == want
+
+
+@given(
     changes=st.lists(
         st.tuples(
             st.integers(0, 5),  # key

@@ -60,9 +60,14 @@ def _app_id(port: int) -> str:
 
 
 def _stages(port: int, app: str) -> list[dict]:
-    # COMPLETE+FAILED only: a RUNNING row would double-count on the
-    # next snapshot diff
-    return _api(port, f"applications/{app}/stages?status=complete")
+    # COMPLETE+FAILED (never RUNNING — a live row would double-count
+    # on the next snapshot diff): a stage that fails mid-query (the
+    # OOM case the per-query JSON flush guards against) still did its
+    # spill/GC work and must count toward that query's attribution
+    # (round-9 ADVICE: complete-only silently undercounted).
+    rows = _api(port, f"applications/{app}/stages?status=complete")
+    rows += _api(port, f"applications/{app}/stages?status=failed")
+    return rows
 
 
 def main() -> None:
@@ -80,9 +85,16 @@ def main() -> None:
     if os.environ.get("SPARK_GRAFT_UI") != "1":
         raise SystemExit("set SPARK_GRAFT_UI=1 (REST metrics need the UI)")
 
-    port = int(os.environ.get("SPARK_GRAFT_UI_PORT", "4050"))
     spark = get_spark("spill-probe")
     spark.sparkContext.setLogLevel("ERROR")
+    # Derive the port from THIS session's bound UI, not the configured
+    # one: spark.ui.port is a starting point and Spark auto-increments
+    # on conflict (a leftover JVM on 4050 would silently point the
+    # probe at a stale/foreign app's REST endpoint — round-9 ADVICE).
+    ui_url = spark.sparkContext.uiWebUrl
+    if not ui_url:
+        raise SystemExit("session has no UI bound despite SPARK_GRAFT_UI=1")
+    port = int(ui_url.rsplit(":", 1)[-1])
     app = _app_id(port)
 
     def run_noop(name: str, sf_dir: str) -> float:

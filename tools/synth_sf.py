@@ -77,7 +77,14 @@ def _key_sizes(con, src: str) -> dict[str, int]:
     return sizes
 
 
-def synth(src: str, dst: str, factor: int) -> None:
+def synth(
+    src: str, dst: str, factor: int, tables: set[str] | None = None
+) -> None:
+    """``tables`` restricts output to a subset (still includes the
+    copied dims) — the sf100 dedup tier only needs ``documents``
+    (~0.6 GB at factor 1000) while a full factor-1000 fact build
+    would not fit the container disk. Probes that read a missing
+    table fail loudly on the absent parquet path."""
     import duckdb
 
     if os.path.realpath(dst).startswith("/root/testdata"):
@@ -85,6 +92,9 @@ def synth(src: str, dst: str, factor: int) -> None:
     os.makedirs(dst, exist_ok=True)
     con = duckdb.connect()
     sz = _key_sizes(con, src)
+
+    def _want(t: str) -> bool:
+        return tables is None or t in tables
 
     for t in TABLES_COPY:
         con.execute(
@@ -133,10 +143,13 @@ def synth(src: str, dst: str, factor: int) -> None:
             FROM '{src}/events.parquet', {rep}""",
     }
     for t, sql in facts.items():
-        _copy(t, sql)
+        if _want(t):
+            _copy(t, sql)
 
-    _synth_documents(con, src, dst, factor, sz["doc"])
-    _synth_embeddings(con, src, dst, factor, sz["vec"])
+    if _want("documents"):
+        _synth_documents(con, src, dst, factor, sz["doc"])
+    if _want("embeddings"):
+        _synth_embeddings(con, src, dst, factor, sz["vec"])
     con.close()
 
 
@@ -219,8 +232,16 @@ def main() -> None:
     ap.add_argument("--src", default="/root/testdata/sf0.1")
     ap.add_argument("--dst", required=True)
     ap.add_argument("--factor", type=int, default=10)
+    ap.add_argument(
+        "--tables",
+        default="",
+        help="comma-separated subset (e.g. 'documents'); empty = all",
+    )
     args = ap.parse_args()
-    synth(args.src, args.dst, args.factor)
+    tables = (
+        {t.strip() for t in args.tables.split(",") if t.strip()} or None
+    )
+    synth(args.src, args.dst, args.factor, tables)
     print(f"wrote {args.dst} (factor {args.factor} of {args.src})")
 
 
