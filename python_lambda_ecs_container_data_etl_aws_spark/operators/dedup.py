@@ -885,27 +885,37 @@ def containment_pairs(
     (a_id < b_id) where EITHER direction clears ``threshold``, both
     directions reported as float divisions of exact integers.
 
-    Three paths:
+    The exact path is the COUNTING shape: shingle-key self-join
+    streaming Σ df·(df-1)/2 slim match rows (16-byte keys, no arrays)
+    into a pair-keyed count with map-side partial combine — the
+    intersection size falls out of match multiplicity for free.
 
-    - ``candidates`` given: the intersection count is restricted to
-      the (broadcast) candidate set — the LSH-restricted path.
-    - tenth-valued ``threshold`` (the contract tier): EXACT
-      containment prefix filtering (:func:`_containment_prefix_pairs`)
-      — the round-10 scale shape. Max containment is inter/min(|A|,|B|),
-      so a qualifying pair must share a token among the SMALLER set's
-      rarest ``n - ceil(t*n) + 1`` (global-df order); candidates come
-      from prefix postings probing the full posting index, and the
-      verify runs in-row at the match site (the q111 discipline —
-      match rows are never exchanged). Replaces the full shingle-key
-      self-join + pair-keyed count whose sf30 task metrics attributed
-      134 GB of spill (SPILL_SF30_r09).
-    - otherwise: the all-pairs baseline (arbitrary float thresholds
-      admit no integer-exact prefix bound; only the generic shape is
-      safe there).
-    """
+    This is a MEASURED keep, not a default (round 10, BASELINE.md):
+    two q111-style alternatives were built, probed sf10→sf30 in
+    exclusive same-day sessions, and REJECTED —
+
+    - containment prefix filter + in-row array verify: the prefix is
+      nearly toothless here (28.2M candidates for 25.6k true pairs at
+      sf10 — containment admits no length filter, and the positional
+      bound is weak when any size ratio can qualify), so it pays ~50M
+      array_intersects and 3x q111's array-attach payload: α=1.64,
+      sf30 287.8 s vs 73.8 s for this shape.
+    - this shape + match-volume-derived join repartitioning (to
+      bound the partial count's per-task hash table): the stats job
+      plus twin posting re-exchanges cost more than they save —
+      sf30 104.7 s vs 73.8 s, and executor memSpill did not drop.
+
+    The ~134 GB sf30 spill SPILL_SF30_r09 attributed to this shape is
+    sequential sort-fallback I/O that barely moves wall (the 212 s
+    probe wall that motivated a restructure was in-session inflation
+    — the same-day exclusive re-measure is 73.8 s, α=1.037); at the
+    100 TB posture the match volume is linear in corpus size
+    (max per-shingle df measured 25, Σ matches exactly x3 across the
+    sf10→sf30 decade), so the counting join scales by the same
+    argument as any first-class aggregation."""
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
     if candidates is not None:
-        sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
-        a, b = sh.alias("a"), sh.alias("b")
         inter = (
             F.broadcast(candidates)
             .join(a, F.col("a_id") == F.col("a.id"))
@@ -917,21 +927,16 @@ def containment_pairs(
             .groupBy("a_id", "b_id")
             .agg(F.count(F.lit(1)).alias("n_inter"))
         )
-        return _containment_rates(inter, sizes, threshold)
-    t10 = int(round(threshold * 10))
-    if abs(t10 - threshold * 10) < 1e-9 and 1 <= t10 <= 10:
-        return _containment_prefix_pairs(sh, threshold, t10)
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
-    a, b = sh.alias("a"), sh.alias("b")
-    inter = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.id") < F.col("b.id")),
+    else:
+        inter = (
+            a.join(
+                b,
+                (F.col("a.shingle") == F.col("b.shingle"))
+                & (F.col("a.id") < F.col("b.id")),
+            )
+            .groupBy(F.col("a.id").alias("a_id"), F.col("b.id").alias("b_id"))
+            .agg(F.count(F.lit(1)).alias("n_inter"))
         )
-        .groupBy(F.col("a.id").alias("a_id"), F.col("b.id").alias("b_id"))
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
     return _containment_rates(inter, sizes, threshold)
 
 
@@ -957,168 +962,6 @@ def _containment_rates(
     return out.filter(
         (F.col("c_ab") >= threshold) | (F.col("c_ba") >= threshold)
     )
-
-
-def _containment_prefix_pred(t10: int):
-    """Containment prefix membership over (rk, n): the rarest
-    ``n - ceil(t*n) + 1`` tokens. A pair with inter/min(na,nb) >= t
-    shares >= ceil(t*n_small) tokens, which cannot all fit in the
-    smaller set's suffix of size ``ceil(t*n) - 1`` — so at least one
-    shared token lies in the smaller side's prefix (no false
-    negatives). Longer than the Jaccard prefix
-    (:func:`_pf_prefix_pred`) because containment has no length-ratio
-    bound: ANY size pair can qualify. Integer ceil via ``div`` — float
-    division here would silently shorten the prefix (same trap as the
-    Jaccard predicate)."""
-    return F.expr(f"rk <= n - ({t10} * n + 9) div 10 + 1")
-
-
-def _containment_prefix_pairs(
-    sh: DataFrame, threshold: float, t10: int
-) -> DataFrame:
-    """Exact containment via prefix postings probing the full posting
-    index, verified in-row at the match site.
-
-    Candidate generation: every qualifying pair shares a token in the
-    SMALLER side's prefix (see :func:`_containment_prefix_pred`), but
-    the other side's matching posting need not be in ITS prefix — so
-    the probe joins prefix postings against FULL postings, restricted
-    to tokens that appear in at least one prefix (hot boilerplate
-    shingles rank last in every set's global-df order, so they are
-    structurally excluded unless a degenerate doc consists almost
-    entirely of hotter tokens; the restriction is what keeps the
-    index side linear).
-
-    Verify (the q111/:func:`_pf_verify_inline` discipline transferred):
-    both sides carry their sorted hash arrays INTO the match join —
-    prefix postings grouped per token (bucket arrays, bounded by the
-    prefix-rarity argument), full postings array-attached — so the
-    per-match positional prune, exact ``array_intersect`` and the
-    float threshold all pipeline in the stage reading the two
-    token-keyed exchanges. Match rows are never exchanged; only
-    surviving TRUE pairs (x multiplicity) reach the final distinct.
-    The old shape exchanged every shingle match into a pair-keyed
-    count (sf30: 134 GB spill through that one aggregate).
-
-    Partitioning is data-derived exactly like q111's
-    (:func:`_verify_partitions` rationale): the array-attached full
-    posting payload is estimated from one bounded single-row
-    aggregate, targeting ~48 MB per task, with the same map-side
-    re-spread gate before the attach when the payload exceeds the
-    single-pass shuffle-writer budget. Same laziness caveat as
-    :func:`prefix_filtered_pairs`: CONSTRUCTION runs the stats job
-    and leaves the ranked relation persisted."""
-    thw = _pf_ranked(sh, "id", "shingle").persist()
-    is_pfx = _containment_prefix_pred(t10)
-    cores = sh.sparkSession.sparkContext.defaultParallelism
-
-    # bounded stats over the index side (full postings on prefix
-    # tokens): drives both the exchange partition count and the
-    # re-spread gate. One single-row aggregate; the token semi-join
-    # recomputes over the persisted ranked relation.
-    pfx_tokens = thw.filter(is_pfx).select("__h").distinct()
-    stats = (
-        thw.join(pfx_tokens, "__h")
-        .agg(
-            F.count(F.lit(1)).alias("n_post"),
-            F.avg("n").alias("avg_n"),
-        )
-        .collect()[0]
-    )
-    n_post = int(stats["n_post"] or 0)
-    avg_n = float(stats["avg_n"] or 0.0)
-    est_bytes = n_post * (40.0 + 8.0 * avg_n)
-    import os as _os
-
-    _env = _os.environ.get("SPARK_GRAFT_SETSIM_VERIFY_PARTITIONS", "")
-    nppart = (
-        int(_env)
-        if _env
-        else max(cores, min(cores * 64, int(est_bytes // (48 << 20)) + 1))
-    )
-    if est_bytes > cores * (256 << 20):
-        thw = thw.repartition(nppart, "id")
-
-    sets = _pf_sets(thw, "id")
-    # prefix side: grouped per token, members carry (id, n, arr) —
-    # bucket size is bounded by the prefix-rarity argument (q111
-    # measured max 10 at sf0.1/sf10/sf30 for the tighter Jaccard
-    # prefix; the containment prefix is ~20% longer, same order)
-    pbuckets = (
-        thw.filter(is_pfx)
-        .select("id", "__h", "rk")
-        .join(sets, "id")
-        .select(
-            "__h", F.struct("id", "n", "rk", "arr").alias("p")
-        )
-        .repartition(nppart, "__h")
-        .groupBy("__h")
-        .agg(F.collect_list("p").alias("ps"))
-    )
-    # index side: FULL postings on prefix-selected tokens, array-
-    # attached (the estimated payload above)
-    fposts = (
-        thw.join(pfx_tokens, "__h")
-        .select("id", "__h", "rk")
-        .join(sets, "id")
-        .select(
-            "__h",
-            F.col("id").alias("f_id"),
-            F.col("n").alias("fn"),
-            F.col("rk").alias("frk"),
-            F.col("arr").alias("f_arr"),
-        )
-    )
-    # match join on the token key; per full posting, expand the
-    # bucket's prefix members in-row with two exact prunes BEFORE the
-    # intersect: self-pairs, and the PPJoin positional bound
-    # inter <= least(prk, frk) + least(pn - prk, fn - frk) (shared
-    # tokens split around the match position in the shared global
-    # order), which can clear ceil(t * min(pn, fn)) only if
-    # 10*ub >= t10*min.
-    pr = F.explode(
-        F.filter(
-            "ps",
-            lambda x: (x["id"] != F.col("f_id"))
-            & (
-                10
-                * (
-                    F.least(x["rk"], F.col("frk"))
-                    + F.least(
-                        x["n"] - x["rk"], F.col("fn") - F.col("frk")
-                    )
-                )
-                >= t10 * F.least(x["n"], F.col("fn"))
-            ),
-        )
-    ).alias("pr")
-    matched = (
-        fposts.join(pbuckets, "__h")
-        .select("f_id", "fn", "f_arr", pr)
-        .withColumn(
-            "inter",
-            F.size(F.array_intersect("pr.arr", "f_arr")).cast("bigint"),
-        )
-    )
-    # float divisions + threshold EXACTLY as the oracle computes them;
-    # normalize to a_id < b_id, then distinct over surviving pairs
-    # only (the verify-before-distinct discipline)
-    a_is_p = F.col("pr.id") < F.col("f_id")
-    out = matched.select(
-        F.when(a_is_p, F.col("pr.id")).otherwise(F.col("f_id")).alias("a_id"),
-        F.when(a_is_p, F.col("f_id")).otherwise(F.col("pr.id")).alias("b_id"),
-        (
-            F.col("inter")
-            / F.when(a_is_p, F.col("pr.n")).otherwise(F.col("fn"))
-        ).alias("c_ab"),
-        (
-            F.col("inter")
-            / F.when(a_is_p, F.col("fn")).otherwise(F.col("pr.n"))
-        ).alias("c_ba"),
-    )
-    return out.filter(
-        (F.col("c_ab") >= threshold) | (F.col("c_ba") >= threshold)
-    ).distinct()
 
 
 def crosscorpus_neardup_pairs(
@@ -1150,7 +993,15 @@ def crosscorpus_neardup_pairs(
     identical cap. Shingles are hashed to 64-bit keys right after the
     explode, so every shuffle/join carries 8-byte keys instead of the
     n-token shingle strings (a collision would surface as a loud
-    deterministic parity mismatch, not a silent drift)."""
+    deterministic parity mismatch, not a silent drift).
+
+    Scale posture: with ``df_cap`` set, per-shingle candidate fan-out
+    is bounded by the cap itself (cap² pairs per shingle worst case),
+    so candidate generation is structurally skew-proof; the verify
+    streams slim (pair, shingle) match keys into a partial-combined
+    count. ``df_cap=None`` (the exact/test baseline) has no such
+    bound and is only for bounded corpora where the uncapped contract
+    is the point."""
     osh = (
         doc_shingles(old_docs, text_col, id_col, n)
         .select(F.col("id").alias("old_id"), F.explode("sh").alias("s0"))
@@ -1163,6 +1014,16 @@ def crosscorpus_neardup_pairs(
         .select("new_id", F.xxhash64("s0").alias("s"))
         .persist()
     )
+    # COUNTING shape, a measured round-10 keep (see the q71 story in
+    # containment_pairs): an in-row array-verify variant (old-side
+    # postings grouped per rare shingle carrying full arrays,
+    # new-side postings array-attached, exact array_intersect at the
+    # match site) was built and probed — at sf30 its array-carrying
+    # match stream filled the container disk with sort spill before
+    # finishing. Match multiplicity is high here (every shared rare
+    # shingle re-carries both full arrays), while the counting shape
+    # streams 16-byte match keys and gets the exact shared count from
+    # multiplicity for free.
     osz = osh.groupBy("old_id").agg(F.count(F.lit(1)).alias("on"))
     nsz = nsh.groupBy("new_id").agg(F.count(F.lit(1)).alias("nn"))
     gen_n, gen_o = nsh, osh

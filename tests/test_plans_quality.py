@@ -474,21 +474,20 @@ def test_no_single_partition_exchange_over_unbounded_subtree(spark):
     )
 
 
-def test_q71_containment_verify_inline_no_pair_keyed_count(spark):
-    """Round-10 scale shape (the q111 discipline transferred): exact
-    containment comes from prefix postings probing the full posting
-    index, with the array_intersect verify pipelined at the match
-    site. The superseded shape aggregated EVERY shingle match into a
-    pair-keyed count — the single aggregate the sf30 task metrics
-    attributed 134 GB of spill to (SPILL_SF30_r09). The only
-    pair-keyed exchange allowed is the final distinct, which already
-    carries the computed containment rates."""
+def test_q71_containment_counting_shape(spark):
+    """Round-10 measured KEEP: exact containment stays the counting
+    join — slim shingle-key match rows (no arrays) into a pair-keyed
+    count with map-side partial combine; the intersection size is
+    match multiplicity. Two q111-style restructures were built,
+    probed sf10→sf30 same-day exclusive, and rejected (α=1.64 and a
+    1.4x wall regression — containment_pairs docstring / BASELINE.md
+    Round 10). The pin guards the shape that measured fastest: no
+    array materialization, no Python, no doc-pair nested loop, and
+    the pair count aggregates with a partial stage (the match stream
+    must never be exchanged raw)."""
     plan = _plan(spark, "q71_containment_pairs")
-    for m in re.finditer(r"hashpartitioning\(a_id[^)]*\)", plan):
-        assert "c_ab" in m.group(0) or "c_ba" in m.group(0), (
-            f"pair-keyed match exchange is back: {m.group(0)}"
-        )
-    assert "array_intersect" in plan  # verify exact, in-plan
+    assert "collect_list" not in plan and "array_intersect" not in plan
+    assert "partial_count" in plan, "map-side partial combine missing"
     assert "CartesianProduct" not in plan and "NestedLoop" not in plan
     assert "Python" not in plan
 
@@ -681,6 +680,20 @@ def test_q86_corpus_split_filters_push_to_scan(spark):
     plan = _plan(spark, "q86_crosscorpus_neardup")
     pushed = " ".join(re.findall(r"PushedFilters: \[([^\]]*)\]", plan))
     assert "In(source" in pushed
+
+
+def test_q86_counting_shape_no_arrays(spark):
+    """Round-10 measured KEEP (see q71's twin pin): the cross-corpus
+    verify stays the counting shape — an in-row array-verify variant
+    filled the container disk with sort spill at sf30 (match
+    multiplicity re-carries both full arrays per shared shingle).
+    Guard: no array materialization or Python in the plan, candidates
+    from the rare-shingle equi-join (no nested loop), pair count with
+    partial combine."""
+    plan = _plan(spark, "q86_crosscorpus_neardup")
+    assert "collect_list" not in plan and "array_intersect" not in plan
+    assert "partial_count" in plan
+    assert "CartesianProduct" not in plan and "Python" not in plan
 
 
 def test_q99_pagerank_iterations_broadcast_rank_vector(spark):

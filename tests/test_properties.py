@@ -258,14 +258,14 @@ def test_prefix_filtered_pairs_equals_brute_force(docs, t10, spark):
     t10=st.integers(min_value=5, max_value=9),
 )
 @settings(max_examples=8, deadline=None)
-def test_containment_prefix_pairs_equals_brute_force(docs, t10, spark):
-    """Containment prefix-filter completeness (the round-10 q71
-    shape): a qualifying pair must share a token in the SMALLER
-    side's rarest ``n - ceil(t*n) + 1`` — the operator must find
-    EXACTLY the pairs a brute-force containment join finds. The
-    asymmetric analog of the Jaccard property above; degenerate
-    inputs (all-identical sets, singleton overlaps, equal sizes) are
-    the cases hypothesis shrinks to."""
+def test_containment_pairs_equals_brute_force(docs, t10, spark):
+    """Containment exactness: the operator must find EXACTLY the
+    pairs a brute-force containment join finds — the asymmetric
+    analog of the Jaccard property above. Degenerate inputs
+    (all-identical sets, singleton overlaps, equal sizes) are the
+    cases hypothesis shrinks to; the threshold sweep crosses the
+    integer-boundary cases (t*n exactly integral) where a float
+    prefix/ceil bug would drop pairs."""
     from python_lambda_ecs_container_data_etl_aws_spark.operators.dedup import (
         containment_pairs,
     )
