@@ -185,15 +185,21 @@ def _perm_params(k: int, seed: int) -> list[tuple[int, int]]:
 
 
 def minhash_signatures(
-    sh: DataFrame, num_hashes: int = 64, seed: int = 42
+    sh: DataFrame, num_hashes: int = 64, seed: int = 42,
+    pre_hashed: bool = False,
 ) -> DataFrame:
     """(id, h0..h{K-1}) MinHash signature via K min-aggregations.
 
     One shuffle (groupBy id); each h_i is min((a_i*x + b_i) mod P) over
     the doc's shingle hashes x = xxhash64(shingle) (sign-masked to
-    non-negative so the modulus behaves).
+    non-negative so the modulus behaves). With ``pre_hashed`` the
+    shingle column already carries xxhash64 values (the slim-cache
+    path: :func:`minhash_lsh_dedup` / :func:`lsh_index_of` store
+    hashed long arrays) — only the mask/modulus applies, so the
+    signatures are BIT-IDENTICAL to the string path's.
     """
-    x = (F.xxhash64("shingle").bitwiseAND(F.lit(0x7FFFFFFFFFFFFFFF))) % F.lit(_P)
+    raw = F.col("shingle") if pre_hashed else F.xxhash64("shingle")
+    x = raw.bitwiseAND(F.lit(0x7FFFFFFFFFFFFFFF)) % F.lit(_P)
     hashed = sh.select("id", x.alias("x"))
     aggs = [
         F.min((F.col("x") * F.lit(a) + F.lit(b)) % F.lit(_P)).alias(f"h{i}")
@@ -300,8 +306,18 @@ def minhash_lsh_dedup(
     candidate filter at low similarity — the exact verify discards
     those, and ``max_bucket_size`` bounds the degenerate-bucket blowup
     a boilerplate-heavy corpus could produce."""
-    # doc_shingles drops zero-shingle docs (they can never pair)
-    dsh = doc_shingles(df, text_col, id_col, ngram).persist()
+    # doc_shingles drops zero-shingle docs (they can never pair).
+    # Cache HASHED long arrays, not shingle strings (round 10): the
+    # deserialized string cache inflated ~7x past the storage fraction
+    # at the sf100 tier (5M docs: GC 178 s, run/cpu gap 2.5 ks,
+    # α=1.61 sf30→sf100) while long arrays fit; signatures stay
+    # bit-identical (pre_hashed applies only mask/modulus) and the
+    # exact verify intersects hash identities — the catalog-wide
+    # 2^-64 collision convention, where a collision surfaces as a
+    # loud oracle mismatch.
+    dsh = doc_shingles(df, text_col, id_col, ngram).select(
+        "id", F.transform("sh", lambda s: F.xxhash64(s)).alias("sh")
+    ).persist()
     # Signatures via explode + codegen'd hash-aggregate: the K min()
     # aggregates run in whole-stage codegen, which beats a per-row
     # higher-order-function fold (interpreted lambdas allocate a
@@ -312,7 +328,8 @@ def minhash_lsh_dedup(
     # both sides — without it the explode + 64-min aggregation runs
     # twice (K+1 small columns per doc, cheap to cache).
     sig = minhash_signatures(
-        dsh.select("id", F.explode("sh").alias("shingle")), num_hashes, seed
+        dsh.select("id", F.explode("sh").alias("shingle")), num_hashes, seed,
+        pre_hashed=True,
     ).persist()
     cand = lsh_candidate_pairs(sig, num_bands, max_bucket_size)
     return _jaccard_verify(cand, dsh).filter(F.col("jaccard") >= threshold)
@@ -407,10 +424,16 @@ def lsh_index_of(
     index instead of re-shingling the corpus (see
     streaming.runner.dedup_ingest_stream, which appends each batch's
     surviving index rows)."""
-    dsh = doc_shingles(df, text_col, id_col, ngram)
+    # hashed long arrays, same rationale (and bit-identical signatures)
+    # as minhash_lsh_dedup: ~7x smaller persisted/parquet index than
+    # shingle strings, and the exact verify intersects hash identities
+    dsh = doc_shingles(df, text_col, id_col, ngram).select(
+        "id", F.transform("sh", lambda s: F.xxhash64(s)).alias("sh")
+    )
     bands = banded_buckets(
         minhash_signatures(
-            dsh.select("id", F.explode("sh").alias("shingle")), num_hashes, seed
+            dsh.select("id", F.explode("sh").alias("shingle")), num_hashes, seed,
+            pre_hashed=True,
         ),
         num_bands,
     )

@@ -193,11 +193,19 @@ def q27(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q35(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN top-3 (rows-only: k-means cell means are float-order
     sensitive, so not SQL-reproducible); recall vs brute force is
-    property-tested. The k-means fit runs on a 25% seeded sample (the
-    scale posture: fit on a sketch, assign/probe the full corpus)."""
+    property-tested AND emitted per-round as RECALL_r{N}.json
+    (tools/recall_probe.py). The k-means fit runs on a 25% seeded
+    sample (the scale posture: fit on a sketch, assign/probe the full
+    corpus). (n_cells, n_probe) = (16, 6) is a round-10 measured
+    choice: the synthetic embeddings are near-uniform (rolled-replica
+    construction), so recall is governed almost purely by the probed
+    fraction — the swept frontier (8,3)=0.50, (32,12)=0.77-0.90,
+    (16,6)=0.83-0.87 mean recall@3 picked the most tier-consistent
+    point at ~38% scan; a naturally clustered corpus sits far above
+    this floor at the same probe fraction."""
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.ivf_topk(
-        emb, emb.filter(F.col("vec_id") < 10), k=3, n_cells=8, n_probe=3,
+        emb, emb.filter(F.col("vec_id") < 10), k=3, n_cells=16, n_probe=6,
         fit_fraction=0.25,
     ).orderBy("query_id", "rnk")
 
