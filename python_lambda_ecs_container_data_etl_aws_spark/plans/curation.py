@@ -111,12 +111,17 @@ def q44(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.xxhash64("s0").alias("s"))
         .distinct()
     )
+    # cache hashed long arrays, not shingle strings (the round-10 q25
+    # lesson: the deserialized string cache inflates ~7x and breaks the
+    # storage fraction at big tiers); size() and the overlap explode
+    # read the same hashed relation
     train = dedup_ops.doc_shingles(
         d.filter(F.col("source") != _BENCH_SOURCE), "text", "doc_id", 3
+    ).select(
+        "id", F.transform("sh", lambda s: F.xxhash64(s)).alias("sh")
     ).persist()
     ov = (
-        train.select("id", F.explode("sh").alias("s0"))
-        .select("id", F.xxhash64("s0").alias("s"))
+        train.select("id", F.explode("sh").alias("s"))
         .join(bench_sh, "s")
         .groupBy("id")
         .agg(F.count(F.lit(1)).alias("n_overlap"))
