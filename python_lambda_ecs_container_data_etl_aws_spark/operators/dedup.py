@@ -1321,6 +1321,14 @@ def _pf_verify_inline(
     # when applied unconditionally), so it is gated on the estimate.
     cores = thw.sparkSession.sparkContext.defaultParallelism
     if est_bytes > cores * (256 << 20):
+        # nppart for BOTH the re-spread and the grouped exchange — a
+        # round-10 A/B at sf100 kept it: decoupling the map side to a
+        # 256 MB single-pass target (184 tasks) measured 849.7 s vs
+        # 533.1 s for this coupled shape (the fat map tasks hit the
+        # shuffle-writer alloc wall the round-9 gate exists to avoid),
+        # while at sf30 the decoupled variant was ~17% faster — the
+        # coupled 48 MB tasks are the right point at the tier where it
+        # matters (SCALE_SF100_r10.json, BASELINE.md Round 10).
         thw = thw.repartition(nppart, id_col)
     pfx = _pf_prefixes(thw, t10, id_col)
     sets = _pf_sets(thw, id_col)

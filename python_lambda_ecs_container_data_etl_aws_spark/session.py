@@ -114,6 +114,15 @@ def get_spark(app_name: str = "python-lambda-ecs-etl-spark", cpus: int | None = 
             "true" if os.environ.get("SPARK_GRAFT_UI") == "1" else "false",
         )
         .config("spark.ui.port", os.environ.get("SPARK_GRAFT_UI_PORT", "4050"))
+        # shuffle/spill codec. Default = Spark's lz4. zstd trades ~20%
+        # more shuffle CPU for ~1.6x denser scratch — the knob that let
+        # the q111 sf100 probe fit the container disk (33 GB scratch vs
+        # a >73 GB lz4 overflow, BASELINE.md Round 10); a disk-tight
+        # cluster deployment makes the same trade.
+        .config(
+            "spark.io.compression.codec",
+            os.environ.get("SPARK_GRAFT_CODEC", "lz4"),
+        )
     )
     for k, v in RUNTIME_CONFS.items():
         builder = builder.config(k, v)
