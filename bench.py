@@ -22,14 +22,13 @@ from python_lambda_ecs_container_data_etl_aws_spark.plans import QUERIES
 from python_lambda_ecs_container_data_etl_aws_spark.session import get_spark
 
 
-def digest_frame(df) -> list[int]:
-    """Executor-side digest of a result DataFrame: [row count,
-    order-insensitive bit_xor of per-row xxhash64, wrapping sum of the
-    31-bit-folded hash]. See the SPARK_GRAFT_DIGEST comments in
-    ``main`` for why each piece exists; module-level so
-    tests/test_bench_digest.py can pin the properties (sort survives
-    EliminateSorts, null-position sensitivity, even-multiplicity
-    discrimination)."""
+def digest_plan(df):
+    """The LAZY digest reduction of a result DataFrame — exposed
+    separately from :func:`digest_frame` so tests/test_bench_digest.py
+    asserts the Sort-preservation property on the SAME expression tree
+    production collects from (round-10 ADVICE: an inline re-build in
+    the test could drift and keep passing while production digests
+    silently lost the sort stage again)."""
     # per-row hash over EVERY output column (string-cast: engine-
     # stable for the bit-deterministic contract types). Each value is
     # preceded by its isnull flag — xxhash64 SKIPS null arguments, so
@@ -54,18 +53,29 @@ def digest_frame(df) -> list[int]:
     # sort eliminated after all — pinned in tests/test_bench_digest);
     # monotonically_increasing_id() >= 0 always holds, so n is still
     # the exact row count.
-    row = (
-        df.select(
-            h.alias("__h"),
-            F.monotonically_increasing_id().alias("__rid"),
-        )
-        .agg(
-            F.count(F.when(F.col("__rid") >= 0, True)).alias("n"),
-            F.bit_xor("__h").alias("x"),
-            F.sum(F.pmod("__h", F.lit(2147483647))).alias("s"),
-        )
-        .collect()[0]
+    return df.select(
+        h.alias("__h"),
+        F.monotonically_increasing_id().alias("__rid"),
+    ).agg(
+        F.count(F.when(F.col("__rid") >= 0, True)).alias("n"),
+        F.bit_xor("__h").alias("x"),
+        F.sum(F.pmod("__h", F.lit(2147483647))).alias("s"),
     )
+
+
+def digest_frame(df) -> list[int]:
+    """Executor-side digest of a result DataFrame: [row count,
+    order-insensitive bit_xor of per-row xxhash64, wrapping sum of the
+    31-bit-folded hash] — ``collect()`` of :func:`digest_plan`.
+
+    FORMAT HISTORY (do NOT diff digests across the break): rounds ≤9
+    emitted ``[n, xor]`` with no null-position flags; round 10 added
+    the wrapping-sum accumulator and per-column isnull flags (round-9
+    ADVICE), so a round-10+ digest never matches a round-≤9 digest
+    even for bit-identical results. Cross-round digest comparison is
+    only valid within the same format generation (BENCH_SF30_DIGEST_r10
+    onward)."""
+    row = digest_plan(df).collect()[0]
     return [int(row["n"]), int(row["x"] or 0), int(row["s"] or 0)]
 
 

@@ -423,7 +423,15 @@ def lsh_index_of(
     the candidate join); every incremental dedup batch then reads the
     index instead of re-shingling the corpus (see
     streaming.runner.dedup_ingest_stream, which appends each batch's
-    surviving index rows)."""
+    surviving index rows).
+
+    ON-DISK FORMAT BREAK (round 10): ``sh`` changed from
+    array<string> shingles to xxhash64'd array<bigint> (the ~7x cache
+    shrink that fixed the sf100 OOM). An index persisted by a round-≤9
+    build fails loudly on schema mismatch at the first post-upgrade
+    batch append — REBUILD old indexes with this function; there is no
+    in-place migration (re-shingling the corpus once is the migration).
+    """
     # hashed long arrays, same rationale (and bit-identical signatures)
     # as minhash_lsh_dedup: ~7x smaller persisted/parquet index than
     # shingle strings, and the exact verify intersects hash identities

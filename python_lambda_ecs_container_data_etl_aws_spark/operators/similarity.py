@@ -169,6 +169,15 @@ def ivf_fit(
     every vector, and each Lloyd iteration is a full job over the fit
     set. Assignment/probing (ivf_assign, ivf_topk) always run over the
     FULL corpus regardless.
+
+    Tiny-corpus behavior (round-10 ADVICE): if the SAMPLE yields fewer
+    than ``n_cells`` vectors the fit falls back to the full corpus; if
+    the FULL corpus itself has fewer than ``n_cells`` vectors the cell
+    count clamps to the corpus size (``len(init)`` drives everything
+    downstream — ivf_assign/ivf_topk take ``len(centroids)`` as k, and
+    an n_probe above the clamped count degrades to an exhaustive scan,
+    never an error). Duplicate vectors in the init set leave a cell
+    empty; its centroid persists unchanged, which is harmless.
     """
     fit = emb
     if fit_fraction is not None and fit_fraction < 1.0:

@@ -389,6 +389,13 @@ def dedup_ingest_stream(
     batch appends its survivors' rows. The index band relation is
     probed once per batch; at real scale you'd bucket it by
     (band, bucket) so the probe co-locates.
+
+    FORMAT BREAK (round 10): the persisted ``sh`` relation's schema
+    changed from array<string> to hashed array<bigint> (see
+    `dedup.lsh_index_of`). A corpus index written by a round-≤9 build
+    fails loudly (parquet schema mismatch) on the first post-upgrade
+    batch — rebuild it with ``lsh_index_of`` over the corpus before
+    resuming the stream.
     """
     import os
 

@@ -19,7 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from bench import digest_frame
+from bench import digest_frame, digest_plan
 
 
 def test_digest_keeps_global_sort(spark):
@@ -28,19 +28,10 @@ def test_digest_keeps_global_sort(spark):
         .select((F.col("id") % 7).alias("k"), F.col("id").alias("v"))
         .orderBy("k", "v")
     )
-    # reproduce digest_frame's reduction lazily to inspect the plan
-    parts = []
-    for c in df.columns:
-        parts.append(F.isnull(F.col(c)).cast("int"))
-        parts.append(F.col(c).cast("string"))
-    reduced = df.select(
-        F.xxhash64(*parts).alias("__h"),
-        F.monotonically_increasing_id().alias("__rid"),
-    ).agg(
-        F.count(F.when(F.col("__rid") >= 0, True)).alias("n"),
-        F.bit_xor("__h").alias("x"),
-        F.sum(F.pmod("__h", F.lit(2147483647))).alias("s"),
-    )
+    # inspect the plan of the SAME lazy reduction production collects
+    # (digest_frame == digest_plan(df).collect()) — no inline re-build
+    # that could drift from the shipped expressions (round-10 ADVICE)
+    reduced = digest_plan(df)
     optimized = reduced._jdf.queryExecution().optimizedPlan().toString()
     assert "Sort " in optimized, (
         "EliminateSorts dropped the query's final orderBy under the "
@@ -49,6 +40,10 @@ def test_digest_keeps_global_sort(spark):
     )
     # and the naive reduction (no nondeterministic barrier) really
     # does lose the sort — the barrier is load-bearing, not cargo cult
+    parts = []
+    for c in df.columns:
+        parts.append(F.isnull(F.col(c)).cast("int"))
+        parts.append(F.col(c).cast("string"))
     naive = df.select(F.xxhash64(*parts).alias("__h")).agg(
         F.count(F.lit(1)).alias("n"), F.bit_xor("__h").alias("x")
     )

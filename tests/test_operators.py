@@ -1230,7 +1230,7 @@ def test_ivf_fit_tiny_corpus_and_empty(spark):
     fall back to the full corpus; a genuinely empty corpus raises a
     clean ValueError, not an IndexError."""
     tiny = spark.createDataFrame(
-        [(i, [float(i)] * 64, 0) for i in range(3)],
+        [(i, [float(i + 1)] * 64, 0) for i in range(3)],
         "vec_id BIGINT, embedding ARRAY<FLOAT>, label INT",
     )
     cents = similarity.ivf_fit(tiny, n_cells=2, iters=1, fit_fraction=0.0001)
@@ -1238,6 +1238,15 @@ def test_ivf_fit_tiny_corpus_and_empty(spark):
     empty = spark.createDataFrame([], "vec_id BIGINT, embedding ARRAY<FLOAT>, label INT")
     with pytest.raises(ValueError, match="empty corpus"):
         similarity.ivf_fit(empty, n_cells=2, iters=1)
+    # corpus SMALLER than n_cells (round-10 ADVICE): the cell count
+    # clamps to the corpus size, and an oversized n_probe degrades to
+    # an exhaustive scan — exact top-k, no error
+    clamped = similarity.ivf_fit(tiny, n_cells=16, iters=1)
+    assert len(clamped) == 3
+    got = similarity.ivf_topk(
+        tiny, tiny.filter("vec_id = 0"), k=2, n_cells=16, n_probe=6, iters=1
+    )
+    assert {int(r["cand_id"]) for r in got.collect()} == {1, 2}
 
 
 def test_normalized_dedup_preserves_non_ascii_docs(spark):
