@@ -258,20 +258,55 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     fit_fraction: float | None = None,
+    min_coverage: float | None = None,
 ) -> DataFrame:
     """IVF ANN: cluster the corpus into cells, probe each query's
     ``n_probe`` nearest cells, exact-cosine only within probed cells.
     Candidate cost ≈ |Q| · (n_probe/n_cells) · |C| — the inverted-file
     pruning that makes brute force tractable at scale. Returns
-    (query_id, cand_id, cosine, rnk); recall tuned by n_probe."""
+    (query_id, cand_id, cosine, rnk); recall tuned by n_probe.
+
+    ``min_coverage`` (round-10 verdict item 5) makes the probe list
+    COVERAGE-adaptive: each query keeps taking nearest cells past
+    ``n_probe`` until the probed cells hold at least that fraction of
+    the corpus. Fixed n_probe has a recall floor problem under cell-size
+    skew — a query whose nearest cells are all small scans far less
+    than the nominal n_probe/n_cells fraction (RECALL_r10: one q35
+    query at 0.33 recall@3 while the mean sat at 0.87). Cell sizes are
+    an n_cells-row aggregate (one extra corpus pass at fit time; a
+    maintained deployment stores them with the index) folded into the
+    probe expression as a literal, so the adaptive take-while is still
+    pure expression evaluation — no extra shuffle, no UDF."""
     centroids = ivf_fit(emb, n_cells, iters, id_col, vec_col, fit_fraction)
     cand_cells = ivf_assign(emb, centroids, id_col, vec_col).select(
         F.col(id_col).alias("cand_id"), F.col(vec_col).alias("c_emb"), "cell"
     )
-    # per-query probe list: n_probe nearest centroids
-    probes = F.expr(
-        f"slice({_cell_dists_sql(centroids, vec_col)}, 1, {n_probe})['i']"
-    )
+    if min_coverage is None:
+        # per-query probe list: n_probe nearest centroids
+        probes = F.expr(
+            f"slice({_cell_dists_sql(centroids, vec_col)}, 1, {n_probe})['i']"
+        )
+    else:
+        sizes = {
+            int(r["cell"]): int(r["n"])
+            for r in cand_cells.groupBy("cell").agg(F.count("*").alias("n")).collect()
+        }
+        counts = [sizes.get(i, 0) for i in range(len(centroids))]
+        target = int(math.ceil(min_coverage * sum(counts)))
+        counts_sql = "array(" + ", ".join(f"{c}L" for c in counts) + ")"
+        # take-while over the distance-sorted cells: stop once BOTH
+        # floors hold (>= n_probe cells AND >= target covered rows)
+        probes = F.expr(
+            f"aggregate({_cell_dists_sql(centroids, vec_col)},"
+            f" named_struct('cells', cast(array() as array<int>),"
+            f"              'cov', cast(0 as bigint)),"
+            f" (acc, c) -> CASE WHEN acc.cov < {target}L"
+            f"                    OR size(acc.cells) < {n_probe}"
+            f"   THEN named_struct('cells', acc.cells || array(c.i),"
+            f"        'cov', acc.cov + element_at({counts_sql}, c.i + 1))"
+            f"   ELSE acc END,"
+            f" acc -> acc.cells)"
+        )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_emb"),

@@ -202,11 +202,23 @@ def q35(spark: SparkSession, sf_dir: str) -> DataFrame:
     fraction — the swept frontier (8,3)=0.50, (32,12)=0.77-0.90,
     (16,6)=0.83-0.87 mean recall@3 picked the most tier-consistent
     point at ~38% scan; a naturally clustered corpus sits far above
-    this floor at the same probe fraction."""
+    this floor at the same probe fraction.
+
+    Round 11: ``min_coverage=0.5`` makes the probe COVERAGE-adaptive
+    (see ivf_topk) — a query whose nearest cells are small keeps
+    probing until half the corpus is covered, which removes the
+    cell-size-skew recall floor (sf0.1 mean 0.83→0.97 measured).
+    DOCUMENTED FLOOR: on this near-uniform corpus a true neighbor can
+    sit in a distance-FAR cell (measured worst case: cell rank 14 of
+    16 at sf0.01), which no probe ordering fixes below ~90% scan —
+    the per-query min recall@3 at 50% coverage is 1/3 there
+    (RECALL_r11); that is the IVF contract on unclustered data, not a
+    defect, and pytest gates min recall ≥ 2/3 on a clustered fixture
+    (the operator's operating regime)."""
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.ivf_topk(
         emb, emb.filter(F.col("vec_id") < 10), k=3, n_cells=16, n_probe=6,
-        fit_fraction=0.25,
+        fit_fraction=0.25, min_coverage=0.5,
     ).orderBy("query_id", "rnk")
 
 
