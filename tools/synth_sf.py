@@ -91,6 +91,15 @@ def synth(
         raise ValueError("refusing to write under /root/testdata")
     os.makedirs(dst, exist_ok=True)
     con = duckdb.connect()
+    # Round-11 fix: with preserve_insertion_order (the default) DuckDB
+    # MATERIALIZES a COPY's whole input before writing — the factor-1000
+    # lineitem replication (600M rows) buffered ~100 GB RSS and never
+    # flushed a byte. Row order in the replicated facts is meaningless
+    # (Spark repartitions on read), so let the COPY stream; the
+    # documents/embeddings writers carry their own ORDER BY, which
+    # DuckDB still honors per-query at their much smaller sizes.
+    con.execute("SET preserve_insertion_order = false")
+    con.execute("SET memory_limit = '32GB'")  # fail loudly, not box-wide
     sz = _key_sizes(con, src)
 
     def _want(t: str) -> bool:
