@@ -95,7 +95,18 @@ def get_spark(app_name: str = "python-lambda-ecs-etl-spark", cpus: int | None = 
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     builder = (
         SparkSession.builder.appName(app_name)
-        .master(f"local[{cpus}]")
+        # local[N,2] = N threads, maxFailures 2. Plain local[N] runs with
+        # ZERO task retries — unlike any real deployment (cluster default
+        # spark.task.maxFailures=4) — so one transient per-task
+        # SparkOutOfMemoryError kills a whole multi-hundred-second run.
+        # Round 11 measured that class directly: 32 concurrent tasks
+        # sharing one unified pool under humongous-allocation + codec-JNI
+        # GCLocker churn nondeterministically starve a task of its last
+        # 64 KB (q163/q158 at sf10-sf100, either codec; each passed on
+        # a fresh identical run). One retry, scheduled after the pool
+        # drains, is exactly what a cluster does; a SYSTEMATIC OOM still
+        # fails the run on attempt 2 — not masked, just de-flaked.
+        .master(f"local[{cpus},2]")
         .config("spark.sql.shuffle.partitions", str(cpus))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         # the catalog compiles dozens of large generated methods
