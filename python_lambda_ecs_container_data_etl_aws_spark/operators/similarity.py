@@ -248,6 +248,63 @@ def _cell_dists_sql(centroids: list[list[float]], vec_col: str) -> str:
     )
 
 
+def _coverage_probes_expr(
+    centroids: list[list[float]],
+    counts: list[int],
+    vec_col: str,
+    n_probe: int,
+    min_coverage: float,
+):
+    """Coverage-adaptive probe-list expression: take distance-ordered
+    cells until BOTH floors hold (>= n_probe cells AND the taken
+    cells' sizes cover >= min_coverage of the corpus). Cell sizes are
+    a literal array, so the take-while is pure expression evaluation —
+    no UDF, no shuffle."""
+    target = int(math.ceil(min_coverage * sum(counts)))
+    counts_sql = "array(" + ", ".join(f"{c}L" for c in counts) + ")"
+    return F.expr(
+        f"aggregate({_cell_dists_sql(centroids, vec_col)},"
+        f" named_struct('cells', cast(array() as array<int>),"
+        f"              'cov', cast(0 as bigint)),"
+        f" (acc, c) -> CASE WHEN acc.cov < {target}L"
+        f"                    OR size(acc.cells) < {n_probe}"
+        f"   THEN named_struct('cells', acc.cells || array(c.i),"
+        f"        'cov', acc.cov + element_at({counts_sql}, c.i + 1))"
+        f"   ELSE acc END,"
+        f" acc -> acc.cells)"
+    )
+
+
+def ivf_index(
+    emb: DataFrame,
+    n_cells: int = 8,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    fit_fraction: float | None = None,
+) -> dict:
+    """The persistable IVF index artifact: ``{"centroids": [[...]],
+    "cell_sizes": [...]}`` — plain JSON-able python, the ANN
+    equivalent of `dedup.lsh_index_of`'s stored relations. At scale
+    you fit ONCE, store this beside the corpus (it is k×dim floats +
+    k longs — bytes, not data), and every probe batch reads it
+    instead of re-running Lloyd iterations and the cell-count
+    aggregate; `ivf_topk(..., index=...)` consumes it directly. The
+    cell sizes are what the coverage-adaptive probe needs, so a
+    maintained deployment updates them incrementally as the corpus
+    grows (append: one groupBy over the new batch's assignments)."""
+    centroids = ivf_fit(emb, n_cells, iters, id_col, vec_col, fit_fraction)
+    assigned = ivf_assign(emb, centroids, id_col, vec_col)
+    sizes = {
+        int(r["cell"]): int(r["n"])
+        for r in assigned.groupBy("cell").agg(F.count("*").alias("n")).collect()
+    }
+    return {
+        "centroids": centroids,
+        "cell_sizes": [sizes.get(i, 0) for i in range(len(centroids))],
+    }
+
+
 def ivf_topk(
     emb: DataFrame,
     queries: DataFrame,
@@ -259,6 +316,7 @@ def ivf_topk(
     vec_col: str = "embedding",
     fit_fraction: float | None = None,
     min_coverage: float | None = None,
+    index: dict | None = None,
 ) -> DataFrame:
     """IVF ANN: cluster the corpus into cells, probe each query's
     ``n_probe`` nearest cells, exact-cosine only within probed cells.
@@ -276,8 +334,17 @@ def ivf_topk(
     an n_cells-row aggregate (one extra corpus pass at fit time; a
     maintained deployment stores them with the index) folded into the
     probe expression as a literal, so the adaptive take-while is still
-    pure expression evaluation — no extra shuffle, no UDF."""
-    centroids = ivf_fit(emb, n_cells, iters, id_col, vec_col, fit_fraction)
+    pure expression evaluation — no extra shuffle, no UDF.
+
+    ``index`` (a :func:`ivf_index` dict) skips BOTH corpus-sized fit
+    passes — Lloyd iterations and the cell-size aggregate — the
+    fit-once / probe-many deployment shape."""
+    if index is not None:
+        centroids = index["centroids"]
+        counts = index.get("cell_sizes")
+    else:
+        centroids = ivf_fit(emb, n_cells, iters, id_col, vec_col, fit_fraction)
+        counts = None
     cand_cells = ivf_assign(emb, centroids, id_col, vec_col).select(
         F.col(id_col).alias("cand_id"), F.col(vec_col).alias("c_emb"), "cell"
     )
@@ -287,25 +354,16 @@ def ivf_topk(
             f"slice({_cell_dists_sql(centroids, vec_col)}, 1, {n_probe})['i']"
         )
     else:
-        sizes = {
-            int(r["cell"]): int(r["n"])
-            for r in cand_cells.groupBy("cell").agg(F.count("*").alias("n")).collect()
-        }
-        counts = [sizes.get(i, 0) for i in range(len(centroids))]
-        target = int(math.ceil(min_coverage * sum(counts)))
-        counts_sql = "array(" + ", ".join(f"{c}L" for c in counts) + ")"
-        # take-while over the distance-sorted cells: stop once BOTH
-        # floors hold (>= n_probe cells AND >= target covered rows)
-        probes = F.expr(
-            f"aggregate({_cell_dists_sql(centroids, vec_col)},"
-            f" named_struct('cells', cast(array() as array<int>),"
-            f"              'cov', cast(0 as bigint)),"
-            f" (acc, c) -> CASE WHEN acc.cov < {target}L"
-            f"                    OR size(acc.cells) < {n_probe}"
-            f"   THEN named_struct('cells', acc.cells || array(c.i),"
-            f"        'cov', acc.cov + element_at({counts_sql}, c.i + 1))"
-            f"   ELSE acc END,"
-            f" acc -> acc.cells)"
+        if counts is None:
+            sizes = {
+                int(r["cell"]): int(r["n"])
+                for r in cand_cells.groupBy("cell")
+                .agg(F.count("*").alias("n"))
+                .collect()
+            }
+            counts = [sizes.get(i, 0) for i in range(len(centroids))]
+        probes = _coverage_probes_expr(
+            centroids, counts, vec_col, n_probe, min_coverage
         )
     q = queries.select(
         F.col(id_col).alias("query_id"),

@@ -509,6 +509,30 @@ def test_ivf_coverage_adaptive_min_recall_clustered(spark):
     assert min(recalls.values()) >= 2 / 3, f"per-query floor broken: {recalls}"
 
 
+def test_ivf_prebuilt_index_matches_inline_fit(spark, emb):
+    """The persistable index artifact (ivf_index: centroids +
+    cell_sizes) must reproduce the inline-fit result exactly — the
+    fit-once/probe-many deployment path is the same computation with
+    the two corpus-sized fit passes skipped. Also pins that the dict
+    is JSON-able (it is what you STORE)."""
+    import json as _json
+
+    queries = emb.filter(F.col("vec_id") < 5)
+    idx = similarity.ivf_index(emb, n_cells=8, iters=2)
+    idx = _json.loads(_json.dumps(idx))  # round-trips through storage
+    assert len(idx["centroids"]) == 8 and len(idx["cell_sizes"]) == 8
+    assert sum(idx["cell_sizes"]) == emb.count()
+    inline = similarity.ivf_topk(
+        emb, queries, k=3, n_cells=8, n_probe=3, iters=2, min_coverage=0.5
+    )
+    from_index = similarity.ivf_topk(
+        emb, queries, k=3, n_probe=3, min_coverage=0.5, index=idx
+    )
+    assert sorted(map(tuple, inline.collect())) == sorted(
+        map(tuple, from_index.collect())
+    )
+
+
 def test_lsh_near_dup_pairs_finds_planted_dups(spark, emb):
     """Scale path for embedding near-dedup: plant exact+noisy copies,
     assert LSH-candidates + verify recovers them with exact precision."""
