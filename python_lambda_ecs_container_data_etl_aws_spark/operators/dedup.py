@@ -35,6 +35,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.spread import spread_scan
+
 # Mersenne prime 2^31-1: universal-hash modulus. Keys and coefficients
 # stay below 2^31 so a*x+b fits in a 63-bit long (Spark 4 runs ANSI
 # mode: long overflow is an error, not a wrap).
@@ -70,6 +72,10 @@ def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: i
         f"THEN transform(sequence(0, size(toks) - {n}), i -> concat_ws(' ', {parts})) "
         f"ELSE array() END"
     )
+    # NOT spread (round-11 measurement): the n-gram build is ~0.3 s of
+    # the consumers' 1.6-2.2 s at sf0.1 — the exchange's AQE-stage cost
+    # exceeded the parallelism gain on every consumer (q44/q64/q77
+    # +0.3-0.9 s). The heavy md5-fold signatures spread instead.
     return (
         df.select(
             F.col(id_col).alias("id"),
@@ -109,6 +115,10 @@ def doc_shingles(
         f"array_distinct(transform(sequence(0, size(toks) - {n}), "
         f"i -> concat_ws(' ', {parts})))"
     )
+    # NOT spread — same round-11 measurement as :func:`shingles`: the
+    # per-row shingle build is cheap relative to the exchange it would
+    # buy (q25 probe: doc_shingles noop 0.32 s unspread vs 0.37 s
+    # spread; the full consumers regressed +0.3-0.9 s each).
     return (
         df.select(
             F.col(id_col).alias("id"),
@@ -650,11 +660,17 @@ def simhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc
     ~15% faster and GC-flatter at sf0.1, bit-identical output).
     """
     folds = _sign_fold("__hs", SIMHASH_BITS)
-    return df.select(
-        F.col(id_col).alias("id"),
+    # spread first: one md5 per token + 60 scalar folds is the most
+    # CPU-dense projection in the package and must not run at the
+    # scan's row-group width (functions/spread.py)
+    base = spread_scan(
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t"))
+    )
+    return base.select(
+        "id",
         F.expr(
-            f"transform(split({text_col}, ' '),"
-            f" t -> cast(conv(substr(md5(t), 1, 15), 16, 10) as bigint))"
+            "transform(split(__t, ' '),"
+            " t -> cast(conv(substr(md5(t), 1, 15), 16, 10) as bigint))"
         ).alias("__hs"),
     ).select("id", F.expr(folds).alias("simhash"))
 
@@ -783,12 +799,14 @@ def simhash_wide_signatures(
     then each limb transforms its own 15-hex-char slice."""
     folds_lo = _sign_fold("__lo", 60)
     folds_hi = _sign_fold("__hi", 60)
+    # spread first, as in :func:`simhash_signatures`
+    base = spread_scan(
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t"))
+    )
     return (
-        df.select(
-            F.col(id_col).alias("id"),
-            F.expr(f"transform(split({text_col}, ' '), t -> md5(t))").alias(
-                "__m"
-            ),
+        base.select(
+            "id",
+            F.expr("transform(split(__t, ' '), t -> md5(t))").alias("__m"),
         )
         .select(
             "id",

@@ -316,7 +316,10 @@ def q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (single-file testdata) it would run on one core. A/B at sf0.1:
     # 3.3 s → 2.1 s. The same spread was measured on the LIGHTER
     # expansions (q55/q59/q64/q69/q70/q73/q44) and REGRESSED them
-    # ~1.5-2x (extra stage > parallelism gain) — it stays q22-local.
+    # ~1.5-2x (extra stage > parallelism gain) — so it stays at the
+    # call sites with a measured win: here, the two simhash signature
+    # builders, and q180's replicate explode (round-11 re-measured the
+    # shared shingle builders: still a loss, see operators/dedup.py).
     # hash shingles to 64-bit keys right after the explode: the
     # self-join and its partial-count shuffle carry 8-byte keys, not
     # 3-gram strings (a collision would fail the oracle comparison

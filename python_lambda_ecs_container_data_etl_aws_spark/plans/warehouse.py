@@ -999,12 +999,23 @@ ORDER BY pt.o_orderpriority
 def q180(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
+    from ..functions.spread import spread_scan
+
     o = _t(spark, sf_dir, "orders")
     rep = (
-        o.select(
-            "o_orderpriority",
-            "o_orderkey",
-            _cents("o_totalprice").alias("cents"),
+        # spread_scan: the ×32 replicate explode + one md5 per
+        # (order, replicate) is the heaviest per-row expansion in the
+        # warehouse family and otherwise runs at the scan's row-group
+        # width (round-11: the whole rep-means chain measured 5.4 s
+        # serial vs 1.2 s spread on local[32] at sf0.1 — guide §2.5
+        # unsplittable-input case; a real partitioned orders table
+        # passes through untouched)
+        spread_scan(
+            o.select(
+                "o_orderpriority",
+                "o_orderkey",
+                _cents("o_totalprice").alias("cents"),
+            )
         )
         .withColumn("b", F.explode(F.sequence(F.lit(0), F.lit(_B - 1))))
         # the shared 60-bit md5-prefix family (one helper, one DuckDB

@@ -1251,22 +1251,57 @@ def test_curate_corpus_end_to_end(spark, docs):
     assert sorted(ids) == sorted(r.doc_id for r in survivors2.collect())
 
 
-def test_spread_scan_adaptive(spark):
-    """spread_scan parallelizes narrow inputs and passes already-
-    parallel inputs through plan-unchanged (no exchange added)."""
+def test_spread_scan_adaptive(spark, tmp_path):
+    """spread_scan (round-11 contract) parallelizes bare scans whose
+    parquet row-group count is below half the slots, and passes
+    everything else through plan-unchanged: many-row-group scans
+    (a real partitioned table), frames already downstream of a
+    shuffle, and in-memory frames."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
     from python_lambda_ecs_container_data_etl_aws_spark.functions.spread import (
         spread_scan,
     )
 
     slots = spark.sparkContext.defaultParallelism
-    narrow = spark.range(1000).coalesce(1)
-    assert narrow.rdd.getNumPartitions() == 1
-    spread = spread_scan(narrow)
+
+    # single row group: the scan is effectively serial however many
+    # byte-splits Spark makes → spread to slot width
+    one_rg = str(tmp_path / "one_rg.parquet")
+    pq.write_table(
+        pa.table({"id": list(range(1000)), "v": list(range(1000))}), one_rg
+    )
+    narrow = spark.read.parquet(one_rg)
+    spread = spread_scan(narrow.select("id"))
     assert spread.rdd.getNumPartitions() == slots
     assert spread.count() == 1000  # row-preserving
 
-    wide = spark.range(1000).repartition(slots)
-    assert spread_scan(wide) is wide  # identity: no plan change at all
+    # filter/projection chains are still bare scans → spread fires;
+    # rows are preserved post-filter
+    filtered = spread_scan(narrow.filter("id < 10").select("id"))
+    assert filtered.rdd.getNumPartitions() == slots
+    assert filtered.count() == 10
+
+    # many row groups: the reader can already parallelize → identity
+    many_rg = str(tmp_path / "many_rg.parquet")
+    pq.write_table(
+        pa.table({"id": list(range(10000))}), many_rg, row_group_size=50
+    )
+    wide_scan = spark.read.parquet(many_rg)
+    assert spread_scan(wide_scan) is wide_scan
+
+    # downstream of a shuffle (explicit repartition, aggregate):
+    # parallelism is governed by the exchange → identity, no footer
+    # reads, no planning
+    wide = narrow.repartition(slots)
+    assert spread_scan(wide) is wide
+    agg = narrow.groupBy("id").count()
+    assert spread_scan(agg) is agg
+
+    # in-memory frames are parallelized at creation → identity
+    mem = spark.range(1000)
+    assert spread_scan(mem) is mem
 
 
 def test_connected_components_and_curate_on_pairfree_corpus(spark):
