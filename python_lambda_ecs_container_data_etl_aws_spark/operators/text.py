@@ -181,6 +181,12 @@ def repetition_signals(
     # (lifetime: released after the consuming action via the bench's
     # clearCache; long-lived sessions manage caches the same way as
     # the other persisted operator intermediates).
+    # NOT spread (round-11 A/B): the serial-scan spread that pays off
+    # for the md5-dense signature folds LOSES here — q55 1.18 s
+    # unspread vs 1.63 s spread at sf0.1 on local[32]; the gram
+    # explode + map-side partial agg is too light to amortize the
+    # extra exchange (same verdict as the shingle builders,
+    # operators/dedup.py).
     toks_rel = df.select(
         F.col(id_col).alias("id"),
         F.split(F.col(text_col), " ").alias("toks"),

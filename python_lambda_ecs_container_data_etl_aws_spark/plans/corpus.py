@@ -1431,6 +1431,11 @@ def q94(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id") % 13 == 0,
         F.concat(F.lit(_Q94_PLANT + " "), F.col("text")),
     ).otherwise(F.col("text"))
+    # NOT spread (round-11 A/B, same verdict as repetition_signals):
+    # q94 1.54 s unspread vs 1.89 s spread at sf0.1 on local[32] —
+    # the window-hash explode reads from the persisted relation, and
+    # the spread exchange + wider cache cost more than the
+    # parallelism bought.
     tok = d.select("doc_id", F.split(planted, " ").alias("toks")).persist()
     # hash each window INSIDE the generator: the shuffled/persisted
     # relation carries (doc_id, p, 64-bit hash), never the ~20-token

@@ -1293,55 +1293,69 @@ GROUP BY 1 ORDER BY 1
 
 @_q("q114_hierarchy_rollup")
 def q114(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The edge relation is DERIVED from the leaf residues by fixed
+    # integer arithmetic (leaf n → group 69 + n div 4 → division
+    # 87 + n div 16 → root 99), and every node has exactly one parent
+    # — so the transitive closure is computable IN-ROW: each node's
+    # ancestor set is a 1-4 element array of arithmetic expressions of
+    # its own id. Round-11 rewrite (guide §2.4 "remove shuffles
+    # outright" / §8 "use what you know the optimizer does not"): the
+    # former 3 unrolled closure joins + 2 persists + 2 distincts (a
+    # 121-operator plan, 3.4 s at sf0.1 — all plan/stage overhead on a
+    # ≤93-node relation) collapse to one corpus aggregate, one tiny
+    # union of arithmetic projections, one explode and one final
+    # aggregate. The closure SET is identical by construction:
+    # 87 + n div 16 == 87 + (g - 69) div 4 for g = 69 + n div 4
+    # (integer division composes), and root/division/group rows exist
+    # exactly when a leaf beneath them exists — same emptiness
+    # semantics as the edge-derived node set.
     d = load_table(spark, sf_dir, "documents").select("doc_id")
     leaf = (
         d.select((F.col("doc_id") % _PR_NODES).alias("node"))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("n"))
-        .persist()
     )
-    lvl1 = leaf.select(
-        F.col("node").alias("child"),
-        (F.lit(69) + F.expr("node div 4")).alias("parent"),
-    )
-    lvl2 = leaf.select(
-        (F.lit(69) + F.expr("node div 4")).alias("child"),
-        (F.lit(87) + F.expr("node div 16")).alias("parent"),
-    ).distinct()
-    lvl3 = leaf.select(
-        (F.lit(87) + F.expr("node div 16")).alias("child"),
-        F.lit(99).alias("parent"),
-    ).distinct()
-    edges = lvl1.unionByName(lvl2).unionByName(lvl3).persist()
-    # self-closure seed over every node (children and parents alike)
-    nodes = (
-        edges.select(F.col("child").alias("node"))
-        .union(edges.select(F.col("parent").alias("node")))
-        .distinct()
-    )
-    # bounded-depth transitive closure: 3 unrolled FRONTIER steps (the
-    # hierarchy is 3 levels deep by construction). Each step extends
-    # only the newest paths, and because every node has exactly ONE
-    # parent (a tree), each (node, anc) pair is reached exactly once —
-    # so no per-iteration distinct()/exchange is needed at all (a
-    # closure.union(step).distinct() loop costs one shuffle per level
-    # for nothing on single-parent hierarchies).
-    frontier = nodes.select("node", F.col("node").alias("anc"))
-    parts = [frontier]
-    for _ in range(3):
-        frontier = frontier.join(
-            F.broadcast(edges.withColumnRenamed("child", "anc")), "anc"
-        ).select("node", F.col("parent").alias("anc"))
-        parts.append(frontier)
-    closure = parts[0]
-    for p in parts[1:]:
-        closure = closure.unionByName(p)
+    # Each leaf row emits the closure rows of its whole ancestor CHAIN
+    # (leaf, its group, its division, the root) in one exploded struct
+    # array — 10 (nd, anc, cnt) tuples per leaf. Group/division/root
+    # self-and-up rows are emitted once per leaf beneath them; the
+    # duplicates are harmless by construction (n_desc is COUNT
+    # DISTINCT over nd, and only the four leaf-self rows carry cnt),
+    # so no distinct(), no union of re-aggregations, no second corpus
+    # scan — the whole closure is node-sized arithmetic downstream of
+    # ONE corpus aggregate.
+    chain = leaf.select(
+        F.explode(
+            F.expr(
+                "array("
+                # the leaf's own closure rows (carry the doc count)
+                "struct(node AS nd, node AS anc, n AS cnt),"
+                "struct(node AS nd, 69 + node div 4 AS anc, n AS cnt),"
+                "struct(node AS nd, 87 + node div 16 AS anc, n AS cnt),"
+                "struct(node AS nd, CAST(99 AS BIGINT) AS anc, n AS cnt),"
+                # its group's closure rows
+                "struct(69 + node div 4 AS nd, 69 + node div 4 AS anc,"
+                " CAST(NULL AS BIGINT) AS cnt),"
+                "struct(69 + node div 4 AS nd, 87 + node div 16 AS anc,"
+                " CAST(NULL AS BIGINT) AS cnt),"
+                "struct(69 + node div 4 AS nd, CAST(99 AS BIGINT) AS anc,"
+                " CAST(NULL AS BIGINT) AS cnt),"
+                # its division's closure rows
+                "struct(87 + node div 16 AS nd, 87 + node div 16 AS anc,"
+                " CAST(NULL AS BIGINT) AS cnt),"
+                "struct(87 + node div 16 AS nd, CAST(99 AS BIGINT) AS anc,"
+                " CAST(NULL AS BIGINT) AS cnt),"
+                # the root's self row
+                "struct(CAST(99 AS BIGINT) AS nd, CAST(99 AS BIGINT) AS anc,"
+                " CAST(NULL AS BIGINT) AS cnt))"
+            )
+        ).alias("c")
+    ).select("c.nd", "c.anc", "c.cnt")
     return (
-        closure.join(F.broadcast(leaf), "node", "left")
-        .groupBy(F.col("anc").alias("node"))
+        chain.groupBy(F.col("anc").alias("node"))
         .agg(
-            F.countDistinct(F.col("node")).cast("bigint").alias("n_desc"),
-            F.coalesce(F.sum("n"), F.lit(0)).cast("bigint").alias("n_docs"),
+            F.countDistinct(F.col("nd")).cast("bigint").alias("n_desc"),
+            F.coalesce(F.sum("cnt"), F.lit(0)).cast("bigint").alias("n_docs"),
         )
         .orderBy("node")
     )

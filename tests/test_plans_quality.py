@@ -862,13 +862,14 @@ def test_q113_walk_steps_broadcast_adjacency(spark):
     assert plan.count("BroadcastHashJoin") >= 3
 
 
-def test_q114_closure_broadcasts_edges_no_corpus_rescan(spark):
-    # the bounded-depth closure joins the (node-sized) edge relation
-    # as a broadcast each unrolled level; doc counts aggregate once at
-    # the leaves — exactly one corpus-sized scan of documents
+def test_q114_closure_is_arithmetic_no_join(spark):
+    # round-11 shape: the single-parent hierarchy's closure is pure
+    # integer arithmetic of each node's own id (ancestor arrays,
+    # exploded) — NO join of any kind survives in the plan, and doc
+    # counts aggregate once at the leaves: exactly one corpus-sized
+    # scan of documents feeding node-sized arithmetic
     plan = _plan(spark, "q114_hierarchy_rollup")
-    assert "SortMergeJoin" not in plan
-    assert "BroadcastHashJoin" in plan
+    assert "Join" not in plan, plan
     assert plan.count("documents.parquet") <= 1, plan
 
 
