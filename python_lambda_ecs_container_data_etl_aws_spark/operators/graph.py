@@ -39,6 +39,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StructField, StructType
 
 
 def _maybe_broadcast(df: DataFrame, flag: bool) -> DataFrame:
@@ -61,6 +62,7 @@ def pagerank(
     base_pct: int = 15,
     broadcast_state: bool = True,
     weighted: bool = False,
+    max_driver_edges: int = 100_000,
 ) -> DataFrame:
     """(node, r): fixed-point integer PageRank after ``iters`` rounds.
 
@@ -73,10 +75,52 @@ def pagerank(
     (src, dst, w) relation — callers running several graph operators
     should aggregate (and persist) once and share it, instead of
     paying the corpus-sized shuffle per operator.
+
+    ``max_driver_edges``: when the aggregated relation has at most
+    this many rows, the iterations run in the driver over the
+    collected edge list (bit-identical integer arithmetic) instead of
+    compiling ``iters`` rounds of join+aggregate plans — the same
+    size-switched pattern as connected_components' union-find. 0
+    disables the fast path (every iteration stays distributed).
     """
     damp = 100 - base_pct
     base = base_pct * scale // 100
     we = edges if weighted else weighted_edges(edges, src, dst).persist()
+    # Driver fast path (round 11, same size-switched discipline as
+    # dedup.connected_components' ≤1M-edge union-find): the rank loop
+    # runs on the AGGREGATED (src, dst, w) relation, which for bounded
+    # key domains (site domains, tenants, categories) is thousands of
+    # rows however big the corpus — while the distributed loop costs
+    # ~3 broadcast builds + an aggregate exchange per iteration and
+    # compounds a 50+-exchange plan. All arithmetic is integer and
+    # order-insensitive (per-edge truncating div, then sums), so the
+    # driver result is bit-identical to the loop's. Above the
+    # threshold the distributed loop below is unchanged.
+    if max_driver_edges > 0:
+        agg_rows = we.groupBy().count().collect()[0][0]
+        if agg_rows <= max_driver_edges:
+            erows = we.select(src, dst, "w").collect()
+            tw: dict = {}
+            for u, v, w in erows:
+                tw[u] = tw.get(u, 0) + int(w)
+            nodes_d = sorted({u for u, _, _ in erows} | {v for _, v, _ in erows})
+            r = {n: int(scale) for n in nodes_d}
+            for _ in range(iters):
+                m: dict = {}
+                for u, v, w in erows:
+                    m[v] = m.get(v, 0) + (r[u] * int(w)) // tw[u]
+                r = {n: base + (damp * m.get(n, 0)) // 100 for n in nodes_d}
+            spark = edges.sparkSession
+            node_type = we.schema[src].dataType
+            out_schema = StructType(
+                [
+                    StructField("node", node_type),
+                    StructField("r", LongType()),
+                ]
+            )
+            return spark.createDataFrame(
+                [(n, int(r[n])) for n in nodes_d], out_schema
+            )
     outw = we.groupBy(src).agg(F.sum("w").cast("bigint").alias("tw"))
     # node set from the AGGREGATED relation — it carries the identical
     # distinct src/dst values, so deriving nodes from the raw edge

@@ -653,14 +653,29 @@ ORACLE["q173_ri_audit"] = "\nUNION ALL\n".join(
 
 @_q("q173_ri_audit")
 def q173(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Round-11 shape: ONE left join + one aggregate per edge — the
+    # previous form scanned each child twice (a bare count branch plus
+    # an anti-join branch, cross-joined back together), i.e. 14 child
+    # scans and 21 aggregates for 7 edges. n_orphans = rows whose
+    # probe found no parent key (pk NULL after the left join) — same
+    # NOT EXISTS semantics for null/absent FKs; parent pks are primary
+    # keys (unique), so the left join cannot inflate n_child, and a
+    # hypothetical duplicate-pk corruption would fail the oracle
+    # comparison loudly.
     out = None
     for edge, child, fk, parent, pk in _RI_EDGES:
-        ch = _t(spark, sf_dir, child)
+        ch = _t(spark, sf_dir, child).select(fk)
         pa = _t(spark, sf_dir, parent).select(pk)
-        row = ch.agg(F.count(F.lit(1)).cast("bigint").alias("n_child")).crossJoin(
-            ch.join(pa, F.col(fk) == F.col(pk), "left_anti")
-            .agg(F.count(F.lit(1)).cast("bigint").alias("n_orphans"))
-        ).select(F.lit(edge).alias("edge"), "n_child", "n_orphans")
+        row = (
+            ch.join(pa, F.col(fk) == F.col(pk), "left")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_child"),
+                F.sum(F.when(F.col(pk).isNull(), 1).otherwise(0))
+                .cast("bigint")
+                .alias("n_orphans"),
+            )
+            .select(F.lit(edge).alias("edge"), "n_child", "n_orphans")
+        )
         out = row if out is None else out.unionByName(row)
     return out.orderBy("edge")
 

@@ -1531,6 +1531,26 @@ def test_pagerank_uniform_on_symmetric_cycle(spark):
     assert vals == {1_000_000}
 
 
+def test_pagerank_driver_path_matches_distributed(spark):
+    """The size-switched driver fast path (round 11) must be
+    bit-identical to the distributed join loop — same truncating
+    integer arithmetic, same dangling-mass semantics — on an
+    asymmetric multigraph with a dangling node and repeated edges."""
+    from python_lambda_ecs_container_data_etl_aws_spark.operators.graph import pagerank
+
+    edges = [(0, 1), (0, 1), (0, 2), (1, 2), (2, 0), (3, 0), (1, 4)]
+    df = spark.createDataFrame(edges, "s long, t long")
+    fast = {
+        (r.node, r.r) for r in pagerank(df, iters=4).collect()
+    }  # 7 raw edges -> driver path
+    slow = {
+        (r.node, r.r)
+        for r in pagerank(df, iters=4, max_driver_edges=0).collect()
+    }  # forced distributed loop
+    assert fast == slow
+    assert len(fast) == 5  # node 4 is dangling but still ranked
+
+
 def _synth_png(seed: int, w=32, h=32, tweak=None):
     """Deterministic grayscale PNG whose block STRUCTURE depends on
     seed (aHash is invariant to uniform brightness shifts, so a

@@ -1428,10 +1428,16 @@ def test_q172_top_supplier_is_suppkey_aggregate_plus_max(spark):
     assert "hashpartitioning(l_suppkey" in plan, plan
 
 
-def test_q173_ri_audit_is_anti_join_counts_single_job(spark):
+def test_q173_ri_audit_one_left_join_per_edge(spark):
+    # round-11 shape: each FK edge is ONE left join + one aggregate
+    # (n_child = count, n_orphans = null-probe count) — the former
+    # count-branch + anti-join + cross-join triple scanned every
+    # child table twice
     plan = _plan(spark, "q173_ri_audit")
     assert "CartesianProduct" not in plan
-    assert len(re.findall(r"Join type: LeftAnti", plan)) == 7, plan  # per FK edge
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert len(re.findall(r"Join type: LeftOuter", plan)) == 7, plan  # per FK edge
+    assert "LeftAnti" not in plan
 
 
 def test_q176_non_equi_correlated_exists_decorrelates(spark):
