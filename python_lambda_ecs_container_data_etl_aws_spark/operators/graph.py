@@ -242,7 +242,18 @@ def random_walks(
     the md5(seed|s|k|u)-indexed entry of u's SORTED out-neighbor
     list — seeded pseudo-randomness, so walks are reproducible and
     engine-portable (the q113 contract). Nodes without out-edges hold
-    in place."""
+    in place.
+
+    Deliberately NO size-switched driver path here (round-11 negative
+    result, kept as evidence): a driver hop loop — hashlib md5 over
+    the identical seed|s|k|u strings, persisted distinct edges — was
+    built, proven bit-identical, and measured SLOWER than these
+    unrolled broadcast joins both in full-bench context (q113
+    0.58→1.00 s interleaved old-vs-new) and in-session (1.32 s
+    distributed vs 1.75 s driver): the gate's count + collect jobs
+    cost more than three broadcast rounds over a node-sized frontier.
+    pagerank keeps its driver path because its per-iteration cost is
+    an aggregate exchange, not just a broadcast probe."""
     eu = edges.select(src, dst).distinct()
     nbrs = eu.groupBy(src).agg(
         F.array_sort(F.collect_list(dst)).alias("nb")

@@ -1551,6 +1551,8 @@ def test_pagerank_driver_path_matches_distributed(spark):
     assert len(fast) == 5  # node 4 is dangling but still ranked
 
 
+
+
 def _synth_png(seed: int, w=32, h=32, tweak=None):
     """Deterministic grayscale PNG whose block STRUCTURE depends on
     seed (aHash is invariant to uniform brightness shifts, so a

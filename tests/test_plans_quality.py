@@ -856,7 +856,9 @@ def test_q112_index_build_is_one_agg_no_joins(spark):
 def test_q113_walk_steps_broadcast_adjacency(spark):
     # each unrolled step joins the frontier against the aggregated
     # sorted-adjacency relation as a broadcast (node-sized here; hash
-    # join on a web graph — q99's degradation note)
+    # join on a web graph — q99's degradation note). A driver-side hop
+    # loop was measured SLOWER (round 11, random_walks docstring), so
+    # the broadcast shape is the pinned keeper.
     plan = _plan(spark, "q113_random_walks")
     assert "SortMergeJoin" not in plan
     assert plan.count("BroadcastHashJoin") >= 3
