@@ -723,23 +723,48 @@ FROM rf WHERE rnk <= {_Q106_K} ORDER BY query_id, rnk
 
 @_q("q106_borda_fusion")
 def q106(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .corpus import _q97_dist
-
-    # retriever A: exact quantized squared-L2 (q97's broadcast kernel)
-    d = _q97_dist(spark, sf_dir, lambda v: v < _Q106_NQ)
-    wa = Window.partitionBy("anchor").orderBy("d2", "cand")
-    ta = (
-        d.withColumn("rk", F.row_number().over(wa))
-        .filter(F.col("rk") <= _Q106_TOP)
-        .select(
-            F.col("anchor").alias("query_id"),
-            "cand",
-            F.col("rk").alias("rank_l2"),
-        )
+    # Round-11 fusion of the two retriever KERNELS, not just their
+    # rankings: both retrievers score the identical (anchor < NQ,
+    # anchor ≠ cand) pair set over the identical quantized vectors, so
+    # ONE broadcast pair join computes d2 (q97's zip_with fold) and
+    # the MaxSim score (q104's sub-vector fold) side by side, and the
+    # two rankings are two windows over the persisted pair relation —
+    # the previous shape ran the |anchors|×|corpus| cross join twice
+    # (once inside _q97_dist, once inside _maxsim_ranked). Expressions
+    # are copied verbatim from those helpers, so the per-pair values —
+    # and therefore both rankings — are bit-identical.
+    qv = F.expr(
+        "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
     )
-    # retriever B: the SHARED MaxSim retriever (q104's _maxsim_ranked)
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", qv.alias("qv"))
+    a = emb.filter(F.col("vec_id") < _Q106_NQ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("qv").alias("aq"),
+        F.expr(_split8("qv")).alias("aqs"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("cand"),
+        F.col("qv").alias("bq"),
+        F.expr(_split8("qv")).alias("bqs"),
+    )
+    d2 = F.expr(
+        "aggregate(zip_with(aq, bq, (x, y) -> (x - y) * (x - y)), 0L, (acc, v) -> acc + v)"
+    )
+    pairs = (
+        b.crossJoin(F.broadcast(a))
+        .filter(F.col("query_id") != F.col("cand"))
+        .select("query_id", "cand", d2.alias("d2"), F.expr(_MAXSIM_SPARK).alias("score"))
+        .persist()  # both ranking windows consume the scored pairs
+    )
+    wa = Window.partitionBy("query_id").orderBy("d2", "cand")
+    ta = (
+        pairs.withColumn("rk", F.row_number().over(wa))
+        .filter(F.col("rk") <= _Q106_TOP)
+        .select("query_id", "cand", F.col("rk").alias("rank_l2"))
+    )
+    wb = Window.partitionBy("query_id").orderBy(F.col("score").desc(), "cand")
     tb = (
-        _maxsim_ranked(spark, sf_dir, _Q106_NQ)
+        pairs.withColumn("rk", F.row_number().over(wb))
         .filter(F.col("rk") <= _Q106_TOP)
         .select("query_id", "cand", F.col("rk").alias("rank_maxsim"))
     )
