@@ -308,21 +308,49 @@ def q159(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()  # feeds three histograms + the final assignment
     )
 
-    def _cut(col: str) -> DataFrame:
-        h = rfm.groupBy(F.col(col).alias("v")).agg(
-            F.count(F.lit(1)).alias("cnt")
-        )
-        w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
-        return h.select(
+    # Round-11 single-pass cuts: the three value histograms unpivot
+    # into ONE (metric, v) aggregate + ONE metric-partitioned window
+    # (cumulative-below per metric — identical arithmetic to the three
+    # separate global windows this replaces), persisted and filtered
+    # three ways. Before: 3 aggregate exchanges + 3 single-partition
+    # window sorts over the same persisted rfm; after: 1 + 1 on a
+    # relation 3× the histogram size (still |distinct values|-sized —
+    # never customer-sized).
+    melt = rfm.select(
+        F.explode(
+            F.expr(
+                "array(struct('r' AS m, r AS v),"
+                " struct('f' AS m, f AS v),"
+                " struct('m' AS m, m_b AS v))"
+            )
+        ).alias("x")
+    ).select("x.m", "x.v")
+    wcut = (
+        Window.partitionBy("m")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cuts = (
+        melt.groupBy("m", "v")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            "m",
             "v",
-            F.coalesce(F.sum("cnt").over(w), F.lit(0))
+            F.coalesce(F.sum("cnt").over(wcut), F.lit(0))
             .cast("bigint")
             .alias("below"),
         )
-
-    rcut = _cut("r").withColumnsRenamed({"v": "rv", "below": "r_below"})
-    fcut = _cut("f").withColumnsRenamed({"v": "fv", "below": "f_below"})
-    mcut = _cut("m_b").withColumnsRenamed({"v": "mv", "below": "m_below"})
+        .persist()  # three metric slices feed the assignment joins
+    )
+    rcut = cuts.filter(F.col("m") == "r").select(
+        F.col("v").alias("rv"), F.col("below").alias("r_below")
+    )
+    fcut = cuts.filter(F.col("m") == "f").select(
+        F.col("v").alias("fv"), F.col("below").alias("f_below")
+    )
+    mcut = cuts.filter(F.col("m") == "m").select(
+        F.col("v").alias("mv"), F.col("below").alias("m_below")
+    )
     seg = (
         rfm.join(F.broadcast(rcut), rfm.r == rcut.rv)
         .join(F.broadcast(fcut), rfm.f == fcut.fv)
