@@ -1129,15 +1129,25 @@ def _pf_ranked(ts: DataFrame, id_col: str, token_col: str) -> DataFrame:
     The result leaves that window hash-partitioned by id, so the
     verify stage's per-set array aggregation reuses the exchange
     for free. (df, hash) is a GLOBAL canonical order — the prefix
-    property only needs every set sorted by the same total order."""
+    property only needs every set sorted by the same total order.
+
+    rk and n share ONE window spec (round 12): n counts over the
+    rk spec's full frame (UNBOUNDED PRECEDING..FOLLOWING), which is
+    the partition row count regardless of ordering — identical to
+    the former unordered ``partitionBy(id)`` count — but because
+    both functions now agree on (partition, order), Catalyst plans
+    ONE Window operator instead of two stacked ones: one pass over
+    the ranked relation, not two (plans/r12 q111: 2 Window → 1)."""
     th = ts.select(id_col, F.xxhash64(token_col).alias("__h")).distinct()
     df_rel = th.groupBy("__h").agg(F.count(F.lit(1)).alias("df"))
-    w_id = Window.partitionBy(id_col)
     w_rk = Window.partitionBy(id_col).orderBy("df", "__h")
+    w_n = w_rk.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
     return (
         th.join(df_rel, "__h")
         .withColumn("rk", F.row_number().over(w_rk))
-        .withColumn("n", F.count(F.lit(1)).over(w_id).cast("bigint"))
+        .withColumn("n", F.count(F.lit(1)).over(w_n).cast("bigint"))
     )
 
 

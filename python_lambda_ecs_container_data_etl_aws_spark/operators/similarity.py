@@ -180,8 +180,16 @@ def ivf_fit(
     empty; its centroid persists unchanged, which is harmless.
     """
     fit = emb
-    if fit_fraction is not None and fit_fraction < 1.0:
-        fit = emb.sample(withReplacement=False, fraction=fit_fraction, seed=42)
+    sampled = fit_fraction is not None and fit_fraction < 1.0
+    if sampled:
+        # persist the sketch: init + every Lloyd iteration scans it,
+        # and without the cache each of those jobs re-reads the corpus
+        # and re-evaluates the sample filter (guide §5: reuse ×
+        # recompute cost). Released before returning — fit state must
+        # not outlive the fit.
+        fit = emb.sample(
+            withReplacement=False, fraction=fit_fraction, seed=42
+        ).persist()
     # Init = the n_cells lowest-id vectors. Deliberately NOT k-means++
     # or farthest-point: both were implemented and measured WORSE here
     # (recall@5 with n_probe=4/8 cells: lowest-id 0.92 full / 0.80
@@ -196,9 +204,12 @@ def ivf_fit(
         # back to the full corpus rather than crash or silently return
         # fewer cells than asked (sketch-fit is an optimization, not a
         # semantic requirement)
-        fit = emb
+        fit.unpersist()
+        fit, sampled = emb, False
         init = fit.orderBy(id_col).limit(n_cells).select(vec_col).collect()
     if not init:
+        if sampled:
+            fit.unpersist()
         raise ValueError("cannot fit IVF cells on an empty corpus")
     centroids = [[float(x) for x in r[0]] for r in init]
     for _ in range(iters):
@@ -206,16 +217,27 @@ def ivf_fit(
         comp = assigned.select(
             "cell", F.posexplode(vec_col).alias("pos", "val")
         )
+        # per-(cell, pos) means collect directly — k×dim rows, BYTES.
+        # The former second aggregate (collect_list + array_sort into
+        # per-cell arrays) only re-shaped those rows and cost one more
+        # exchange + stage in EVERY iteration's job; assembling the
+        # arrays on the driver is free and numerically untouchable
+        # (the avg itself — the float-order-pinned part — is the same
+        # posexplode + groupBy(cell, pos) plan as before).
         means = (
             comp.groupBy("cell", "pos")
             .agg(F.avg(F.col("val").cast("double")).alias("m"))
-            .groupBy("cell")
-            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
-            .select("cell", F.col("pm.m").alias("centroid"))
             .collect()
         )
-        new = {r["cell"]: [float(x) for x in r["centroid"]] for r in means}
+        by_cell: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_cell.setdefault(int(r["cell"]), {})[int(r["pos"])] = float(r["m"])
+        new = {
+            c: [pm[p] for p in sorted(pm)] for c, pm in by_cell.items()
+        }
         centroids = [new.get(i, c) for i, c in enumerate(centroids)]
+    if sampled:
+        fit.unpersist()
     return centroids
 
 
@@ -250,23 +272,43 @@ def _cell_dists_sql(centroids: list[list[float]], vec_col: str) -> str:
 
 def _coverage_probes_expr(
     centroids: list[list[float]],
-    counts: list[int],
+    counts: list[int] | None,
     vec_col: str,
     n_probe: int,
     min_coverage: float,
 ):
     """Coverage-adaptive probe-list expression: take distance-ordered
     cells until BOTH floors hold (>= n_probe cells AND the taken
-    cells' sizes cover >= min_coverage of the corpus). Cell sizes are
-    a literal array, so the take-while is pure expression evaluation —
-    no UDF, no shuffle."""
-    target = int(math.ceil(min_coverage * sum(counts)))
-    counts_sql = "array(" + ", ".join(f"{c}L" for c in counts) + ")"
+    cells' sizes cover >= min_coverage of the corpus). Cell sizes
+    ride in either as a literal array (a stored :func:`ivf_index`)
+    or, when ``counts`` is None, as a one-row ``__cell_counts``
+    broadcast column computed lazily inside the consuming action
+    (round 12 — no eager sizes job). Either way the take-while is
+    pure expression evaluation — no UDF, no extra shuffle.
+
+    The coverage target is ceil(min_coverage * Σcounts): with a
+    literal it is folded on the driver; in the lazy form the SQL
+    ``CAST(ceil(...) AS BIGINT)`` over the same double product is
+    the identical IEEE computation, so probe lists cannot differ
+    between the two forms."""
+    if counts is not None:
+        target_sql = f"{int(math.ceil(min_coverage * sum(counts)))}L"
+        counts_sql = "array(" + ", ".join(f"{c}L" for c in counts) + ")"
+    else:
+        counts_sql = "__cell_counts"
+        # double-cast BOTH operands: a bare 0.5 literal parses as
+        # DECIMAL in Spark SQL, and decimal arithmetic would not be
+        # the same IEEE product Python's math.ceil(float * int) sees
+        target_sql = (
+            f"CAST(ceil(CAST('{min_coverage!r}' AS DOUBLE)"
+            f" * CAST(aggregate(__cell_counts, 0L, (a, v) -> a + v)"
+            f"        AS DOUBLE)) AS BIGINT)"
+        )
     return F.expr(
         f"aggregate({_cell_dists_sql(centroids, vec_col)},"
         f" named_struct('cells', cast(array() as array<int>),"
         f"              'cov', cast(0 as bigint)),"
-        f" (acc, c) -> CASE WHEN acc.cov < {target}L"
+        f" (acc, c) -> CASE WHEN acc.cov < {target_sql}"
         f"                    OR size(acc.cells) < {n_probe}"
         f"   THEN named_struct('cells', acc.cells || array(c.i),"
         f"        'cov', acc.cov + element_at({counts_sql}, c.i + 1))"
@@ -348,28 +390,49 @@ def ivf_topk(
     cand_cells = ivf_assign(emb, centroids, id_col, vec_col).select(
         F.col(id_col).alias("cand_id"), F.col(vec_col).alias("c_emb"), "cell"
     )
+    lazy_counts = min_coverage is not None and counts is None
+    if lazy_counts:
+        # no stored index: the cell sizes feed the probe expression,
+        # but they do NOT need to be a driver-side literal — they ride
+        # in as a one-row broadcast array computed INSIDE the main
+        # action (round 12). That removes one whole eager driver job
+        # per call, and persisting the assigned corpus means the
+        # argmin-assignment expression — the heaviest per-row work
+        # here — is evaluated ONCE instead of twice (sizes pass +
+        # probe join). Identical numbers reach the probe take-while,
+        # so the probe lists and results are unchanged.
+        cand_cells = cand_cells.persist()
     if min_coverage is None:
         # per-query probe list: n_probe nearest centroids
         probes = F.expr(
-            f"slice({_cell_dists_sql(centroids, vec_col)}, 1, {n_probe})['i']"
+            f"slice({_cell_dists_sql(centroids, 'q_emb')}, 1, {n_probe})['i']"
         )
     else:
-        if counts is None:
-            sizes = {
-                int(r["cell"]): int(r["n"])
-                for r in cand_cells.groupBy("cell")
-                .agg(F.count("*").alias("n"))
-                .collect()
-            }
-            counts = [sizes.get(i, 0) for i in range(len(centroids))]
         probes = _coverage_probes_expr(
-            centroids, counts, vec_col, n_probe, min_coverage
+            centroids, counts, "q_emb", n_probe, min_coverage
         )
     q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("q_emb"),
-        F.explode(probes).alias("cell"),
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_emb")
     )
+    if lazy_counts:
+        n_cells_out = len(centroids)
+        cnts_row = (
+            cand_cells.groupBy("cell")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+            .agg(
+                F.map_from_entries(
+                    F.collect_list(F.struct("cell", "n"))
+                ).alias("__m")
+            )
+            .select(
+                F.expr(
+                    f"transform(sequence(0, {n_cells_out - 1}),"
+                    f" i -> coalesce(element_at(__m, i), 0L))"
+                ).alias("__cell_counts")
+            )
+        )
+        q = q.crossJoin(F.broadcast(cnts_row))
+    q = q.select("query_id", "q_emb", F.explode(probes).alias("cell"))
     scored = (
         F.broadcast(q)
         .join(cand_cells, "cell")

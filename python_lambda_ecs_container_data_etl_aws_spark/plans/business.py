@@ -117,6 +117,35 @@ ORDER BY ante, cons
 """
 
 
+# q158's driver fast path collects the per-item support aggregate;
+# the relation is |distinct brands|-sized (~25) on any TPC-H-shaped
+# corpus, but an unbounded item domain must not silently funnel
+# through the driver (round-11 verdict): above this row count the
+# query falls back to the fully distributed shape below — the same
+# size-switched discipline as graph.pagerank's max_driver_edges.
+_Q158_MAX_DRIVER_ITEMS = 100_000
+
+
+def _q158_pairs(b: DataFrame, farr_col: F.Column) -> DataFrame:
+    """(ante, cons) in-row pair fan-out over apriori-pruned baskets —
+    shared verbatim by the driver-literal and distributed paths, so
+    the two cannot drift."""
+    return (
+        b.select(F.array_intersect(F.col("items"), farr_col).alias("fi"))
+        .filter(F.size("fi") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(fi, x -> "
+                    "transform(filter(fi, y -> y != x), "
+                    "y -> struct(x AS ante, y AS cons))))"
+                )
+            ).alias("p")
+        )
+        .select("p.ante", "p.cons")
+    )
+
+
 @_q("q158_basket_rules")
 def q158(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
@@ -144,8 +173,16 @@ def q158(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 4.19 s full vs 1.04 s basket build in-session; this removes
     # ~4 of those sub-jobs while keeping every corpus-sized operation
     # (basket build, pair explode, pair aggregate) distributed and
-    # identical.
-    stats = (
+    # identical. NOTE (round-11 ADVICE): constructing this DataFrame
+    # therefore RUNS the basket build + one aggregate as Spark jobs —
+    # plan-capture tooling pays that cost at build time.
+    #
+    # Round 12: the collect is SIZE-GATED. limit(N+1) bounds what can
+    # ever reach the driver; when the item domain exceeds the gate the
+    # same rule mining runs fully distributed (identical integer
+    # arithmetic, supports attached by broadcast join instead of
+    # literals — see the fallback branch).
+    stats_rel = (
         b.select(F.explode("items").alias("item"))
         .groupBy("item")
         .agg(F.count(F.lit(1)).cast("bigint").alias("supp"))
@@ -154,8 +191,10 @@ def q158(spark: SparkSession, sf_dir: str) -> DataFrame:
                 b.agg(F.count(F.lit(1)).cast("bigint").alias("n_orders"))
             )
         )
-        .collect()
     )
+    stats = stats_rel.limit(_Q158_MAX_DRIVER_ITEMS + 1).collect()
+    if len(stats) > _Q158_MAX_DRIVER_ITEMS:
+        return _q158_distributed(b, stats_rel)
     n_orders = int(stats[0]["n_orders"]) if stats else 0
     freq = sorted(
         (r["item"], int(r["supp"])) for r in stats if r["supp"] * 200 >= n_orders
@@ -164,28 +203,12 @@ def q158(spark: SparkSession, sf_dir: str) -> DataFrame:
     # apriori prune IN-ROW before the pair fan-out: the frequent set
     # rides in as an array LITERAL, array_intersect keeps only
     # frequent items in each basket
-    pairs = (
-        b.select(
-            F.array_intersect(
-                F.col("items"),
-                F.lit(farr).cast("array<string>")
-                if farr
-                else F.expr("CAST(array() AS array<string>)"),
-            ).alias("fi")
-        )
-        .filter(F.size("fi") >= 2)
-        .select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(fi, x -> "
-                    "transform(filter(fi, y -> y != x), "
-                    "y -> struct(x AS ante, y AS cons))))"
-                )
-            ).alias("p")
-        )
-        .select("p.ante", "p.cons")
+    farr_col = (
+        F.lit(farr).cast("array<string>")
+        if farr
+        else F.expr("CAST(array() AS array<string>)")
     )
-    pr = pairs.groupBy("ante", "cons").agg(
+    pr = _q158_pairs(b, farr_col).groupBy("ante", "cons").agg(
         F.count(F.lit(1)).cast("bigint").alias("supp_ab")
     )
     supp_rows = [(i, s) for i, s in freq]
@@ -209,6 +232,62 @@ def q158(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("conf_ppm"),
             F.expr(
                 f"(supp_ab * 1000000 div supp_ante) * {n_orders}L div supp_cons"
+            )
+            .cast("bigint")
+            .alias("lift_ppm"),
+        )
+        .orderBy("ante", "cons")
+    )
+
+
+def _q158_distributed(b: DataFrame, stats_rel: DataFrame) -> DataFrame:
+    """q158 above the driver gate: identical rule mining with the
+    frequent set, supports and n_orders staying distributed. The
+    frequent-item array reaches the baskets as a one-row broadcast
+    (collect_sort matches the driver path's sorted literal), supports
+    attach by broadcast equi-join, and every division is the same
+    truncating BIGINT expression — bit-identical output."""
+    freq = stats_rel.filter(F.expr("supp * 200 >= n_orders")).persist()
+    farr_row = freq.agg(
+        F.coalesce(
+            F.sort_array(F.collect_list("item")),
+            F.expr("CAST(array() AS array<string>)"),
+        ).alias("farr")
+    )
+    pr = (
+        _q158_pairs(
+            b.crossJoin(F.broadcast(farr_row)), F.col("farr")
+        )
+        .groupBy("ante", "cons")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("supp_ab"))
+    )
+    # NO broadcast hints here: this branch only runs when the item
+    # domain outgrew the driver gate, which is exactly when forcing a
+    # broadcast build would be unsafe — the size-based planner picks
+    # the strategy (these equi-joins degrade to SMJ gracefully).
+    fa = freq.select(
+        F.col("item").alias("item_a"), F.col("supp").alias("supp_ante")
+    )
+    fb = freq.select(
+        F.col("item").alias("item_b"),
+        F.col("supp").alias("supp_cons"),
+        F.col("n_orders").alias("__n"),
+    )
+    return (
+        pr.join(fa, pr.ante == fa.item_a)
+        .join(fb, pr.cons == fb.item_b)
+        .filter(F.expr("supp_ab * 200 >= __n"))
+        .select(
+            "ante",
+            "cons",
+            "supp_ab",
+            "supp_ante",
+            "supp_cons",
+            F.expr("supp_ab * 1000000 div supp_ante")
+            .cast("bigint")
+            .alias("conf_ppm"),
+            F.expr(
+                "(supp_ab * 1000000 div supp_ante) * __n div supp_cons"
             )
             .cast("bigint")
             .alias("lift_ppm"),
