@@ -42,6 +42,7 @@ blanket-on in the shared shingle builders.
 
 from __future__ import annotations
 
+import re
 from urllib.parse import unquote, urlparse
 
 from pyspark.sql import DataFrame
@@ -49,17 +50,38 @@ from pyspark.sql import DataFrame
 # Logical operators whose presence means the frame is no longer a bare
 # scan: its parallelism is governed by an exchange (or by a caller's
 # explicit repartition/coalesce), so the row-group heuristic would
-# double-count and a second shuffle could buy nothing.
+# double-count and a second shuffle could buy nothing. Matched as the
+# PREFIX of each plan line's node name (round-11 ADVICE: raw substring
+# containment over the whole analyzed string also scanned column names
+# and aliases — an identifier containing 'Join' or 'Sort' silently
+# disabled spreading), with Sample and Local/GlobalLimit added: a
+# sampled or limited frame is row-REDUCING, so repartitioning after it
+# would shuffle rows the caller is about to drop.
 _NON_SCAN_NODES = (
     "Repartition",
     "Join",
     "Aggregate",
     "Window",
     "Deduplicate",
-    "Sort ",
+    "Sort",
     "Union",
     "Generate",
+    "Sample",
+    "GlobalLimit",
+    "LocalLimit",
 )
+
+# First alphabetic token of a plan line, past the tree-drawing margin
+# ("   :- ", "+- ", "|  ") and the unresolved-node quote.
+_NODE_HEAD = re.compile(r"^[\s:+|-]*'?([A-Za-z]+)")
+
+
+def _has_non_scan_node(analyzed: str) -> bool:
+    for line in analyzed.splitlines():
+        m = _NODE_HEAD.match(line)
+        if m and m.group(1).startswith(_NON_SCAN_NODES):
+            return True
+    return False
 
 # Footer reads are driver-side metadata I/O (~ms each); a scan with
 # more files than this is parallel enough that reading them is waste.
@@ -102,7 +124,7 @@ def spread_scan(df: DataFrame) -> DataFrame:
         return df
     threshold = max(2, slots // 2)
     analyzed = df._jdf.queryExecution().analyzed().toString()
-    if any(node in analyzed for node in _NON_SCAN_NODES):
+    if _has_non_scan_node(analyzed):
         return df
     files = df.inputFiles()
     if not files or len(files) > _MAX_FOOTER_READS:

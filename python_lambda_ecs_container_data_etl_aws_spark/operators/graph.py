@@ -86,20 +86,44 @@ def pagerank(
     damp = 100 - base_pct
     base = base_pct * scale // 100
     we = edges if weighted else weighted_edges(edges, src, dst).persist()
+    # weighted=True hands us the caller's aggregated relation; persist
+    # it around the gate (round-11 ADVICE) so the gate's count and the
+    # fast path's collect — or the distributed loop's iterations — do
+    # not each recompute the caller's aggregation pipeline. Track
+    # whether WE persisted it: a caller-persisted relation (q99 shares
+    # its cache with degree_stats) must never be unpersisted here.
+    ours = not weighted
+    if weighted:
+        sl = we.storageLevel
+        if not (sl.useMemory or sl.useDisk or sl.useOffHeap):
+            we, ours = we.persist(), True
     # Driver fast path (round 11, same size-switched discipline as
     # dedup.connected_components' ≤1M-edge union-find): the rank loop
     # runs on the AGGREGATED (src, dst, w) relation, which for bounded
     # key domains (site domains, tenants, categories) is thousands of
     # rows however big the corpus — while the distributed loop costs
     # ~3 broadcast builds + an aggregate exchange per iteration and
-    # compounds a 50+-exchange plan. All arithmetic is integer and
-    # order-insensitive (per-edge truncating div, then sums), so the
-    # driver result is bit-identical to the loop's. Above the
-    # threshold the distributed loop below is unchanged.
+    # compounds a 50+-exchange plan. All arithmetic is integer with
+    # TRUNCATING division (``_tdiv`` == SQL ``div`` for any sign;
+    # zero out-weight contributes nothing, matching div's NULL being
+    # skipped by SUM) and order-insensitive sums, so the driver result
+    # is bit-identical to the loop's for ANY integer weights, not just
+    # non-negative ones (round-11 ADVICE). Above the threshold the
+    # distributed loop below is unchanged. The gate's count runs over
+    # the persisted relation whose materialization either path needs
+    # anyway, so it is one map-side-combined aggregate, not a wasted
+    # corpus pass.
     if max_driver_edges > 0:
         agg_rows = we.groupBy().count().collect()[0][0]
         if agg_rows <= max_driver_edges:
+
+            def _tdiv(a: int, b: int) -> int:
+                q = abs(a) // abs(b)
+                return -q if (a < 0) != (b < 0) else q
+
             erows = we.select(src, dst, "w").collect()
+            if ours:
+                we.unpersist()
             tw: dict = {}
             for u, v, w in erows:
                 tw[u] = tw.get(u, 0) + int(w)
@@ -108,8 +132,9 @@ def pagerank(
             for _ in range(iters):
                 m: dict = {}
                 for u, v, w in erows:
-                    m[v] = m.get(v, 0) + (r[u] * int(w)) // tw[u]
-                r = {n: base + (damp * m.get(n, 0)) // 100 for n in nodes_d}
+                    if tw[u] != 0:
+                        m[v] = m.get(v, 0) + _tdiv(r[u] * int(w), tw[u])
+                r = {n: base + _tdiv(damp * m.get(n, 0), 100) for n in nodes_d}
             spark = edges.sparkSession
             node_type = we.schema[src].dataType
             out_schema = StructType(

@@ -1303,6 +1303,22 @@ def test_spread_scan_adaptive(spark, tmp_path):
     mem = spark.range(1000)
     assert spread_scan(mem) is mem
 
+    # round-12 (ADVICE): node detection anchors at plan-line heads —
+    # an alias that merely CONTAINS a node word must not disable
+    # spreading...
+    aliased = spread_scan(
+        narrow.select(
+            F.col("id").alias("JoinKey"), F.col("v").alias("SortOrder")
+        )
+    )
+    assert aliased.rdd.getNumPartitions() == slots
+    # ...and row-reducing Sample / Limit nodes now pass through
+    # (repartitioning rows the caller is about to drop buys nothing)
+    samp = narrow.sample(0.5, seed=1)
+    assert spread_scan(samp) is samp
+    lim = narrow.limit(10)
+    assert spread_scan(lim) is lim
+
 
 def test_connected_components_and_curate_on_pairfree_corpus(spark):
     """Empty-sweep regression: a corpus with NO near-dup pairs (every
