@@ -118,20 +118,33 @@ ORDER BY name_a, name_b
 def q134(spark: SparkSession, sf_dir: str) -> DataFrame:
     names = load_table(spark, sf_dir, "customer").select("c_name").distinct()
     # |name|+1 variants per name: the |name| single-deletions plus the
-    # name itself (covers insert/delete pairs at distance 1)
-    v = names.select(
-        "c_name",
-        F.explode(
-            F.expr(
-                "array_append(transform(sequence(1, length(c_name)), "
-                "i -> concat(substring(c_name, 1, i - 1), "
-                "substring(c_name, i + 1))), c_name)"
-            )
-        ).alias("v"),
-    ).persist()  # both sides of the variant-key self-join (caller-owned)
+    # name itself (covers insert/delete pairs at distance 1).
+    # The self-join keys on xxhash64(variant), not the variant string
+    # (round 12): the joined/broadcast relation carries 8-byte longs
+    # instead of ~|name|-char strings, and long-key hashing beats
+    # string hashing in the build and probe. EXACT, not probabilistic:
+    # lev(a,b) <= 1 GUARANTEES a shared true variant (the docstring
+    # theorem above), so the exact levenshtein filter reduces any
+    # candidate superset — hash collisions included — to the identical
+    # result set; a collision can only add a candidate that the
+    # lev <= 1 filter then decides exactly.
+    v = (
+        names.select(
+            "c_name",
+            F.explode(
+                F.expr(
+                    "array_append(transform(sequence(1, length(c_name)), "
+                    "i -> concat(substring(c_name, 1, i - 1), "
+                    "substring(c_name, i + 1))), c_name)"
+                )
+            ).alias("v"),
+        )
+        .select("c_name", F.xxhash64("v").alias("vh"))
+        .persist()  # both sides of the variant-key self-join (caller-owned)
+    )
     a, b = v.alias("a"), v.alias("b")
     cand = (
-        a.join(b, F.col("a.v") == F.col("b.v"))
+        a.join(b, F.col("a.vh") == F.col("b.vh"))
         .where(F.col("a.c_name") < F.col("b.c_name"))
         .select(
             F.col("a.c_name").alias("name_a"),
@@ -453,7 +466,11 @@ def q139(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_rank = Window.partitionBy("l_suppkey").orderBy(
         "cents", "l_orderkey", "l_linenumber"
     )
-    w_all = Window.partitionBy("l_suppkey")
+    # full-frame count on w_rank's spec: one Window operator for rn+n
+    # (round-12 fusion — the count is order-insensitive)
+    w_all = w_rank.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
     r = x.select(
         "l_suppkey",
         "cents",
@@ -527,12 +544,19 @@ def q140(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w_rank = Window.partitionBy("user_id").orderBy("vm", "event_id")
     w_all = Window.partitionBy("user_id")
+    # the count fuses into w_rank's Window operator (full frame, round
+    # 12); w_all stays unordered for the med/mad pick layers below —
+    # THEIR inputs arrive sorted by different keys (vm vs dev), so an
+    # ordered spec there would force a re-sort for nothing
+    w_n = w_rank.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
     r1 = e.select(
         "user_id",
         "event_id",
         "vm",
         F.row_number().over(w_rank).alias("rn"),
-        F.count(F.lit(1)).over(w_all).alias("n"),
+        F.count(F.lit(1)).over(w_n).alias("n"),
     )
     # the n rows per user are the same relation for both medians: pick
     # values propagate as per-partition window maxima, never a join
@@ -601,12 +625,16 @@ def q141(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey",
         "l_linenumber",
     )
-    w_cum = (
-        Window.partitionBy("l_partkey")
-        .orderBy("cents", "l_orderkey", "l_linenumber")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_ord = Window.partitionBy("l_partkey").orderBy(
+        "cents", "l_orderkey", "l_linenumber"
     )
-    w_all = Window.partitionBy("l_partkey")
+    w_cum = w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # totw/n share w_cum's (partition, order) with the full frame —
+    # same Window operator, two frames, one pass (round-12 fusion;
+    # both aggregates are order-insensitive BIGINTs)
+    w_all = w_ord.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
     c = x.select(
         "l_partkey",
         "cents",
@@ -741,12 +769,13 @@ def q143(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority", "tus")
         .agg(F.sum("delta").cast("bigint").alias("net"))
     )
-    w_cum = (
-        Window.partitionBy("o_orderpriority")
-        .orderBy("tus")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_ord = Window.partitionBy("o_orderpriority").orderBy("tus")
+    w_cum = w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # n_points fuses into the cumulative window's operator (full
+    # frame, round-12): one pass computes both
+    w_all = w_ord.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
     )
-    w_all = Window.partitionBy("o_orderpriority")
     c = g.select(
         "o_orderpriority",
         "tus",

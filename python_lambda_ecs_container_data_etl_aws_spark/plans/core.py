@@ -470,6 +470,11 @@ def q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "events")
     part = Window.partitionBy("user_id", "event_type")
     w = part.orderBy(F.col("ts_us").desc(), F.col("event_id").desc())
+    # n_versions shares w's (partition, order) with a full frame: the
+    # count is order-insensitive, and agreeing specs let Catalyst plan
+    # ONE Window operator for rn + n_versions instead of two stacked
+    # passes (round-12, same fusion as q111's ranked relation)
+    w_n = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     return (
         e.select(
             "user_id",
@@ -477,7 +482,7 @@ def q11(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_id",
             "ts_us",
             F.row_number().over(w).alias("rn"),
-            F.count(F.lit(1)).over(part).alias("n_versions"),
+            F.count(F.lit(1)).over(w_n).alias("n_versions"),
         )
         .filter(F.col("rn") == 1)
         .select(

@@ -759,7 +759,12 @@ def q133(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "event_id", F.col("g").cast("bigint").alias("g"))
     )
     w_rank = Window.partitionBy("user_id").orderBy("g", "event_id")
-    w_all = Window.partitionBy("user_id")
+    # n and max_gap fuse into w_rank's operator (full frame, round-12):
+    # count/max are order-insensitive, so rn + n + max_gap_us all
+    # evaluate in one Window pass
+    w_all = w_rank.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
     r = gg.select(
         "user_id",
         "g",

@@ -697,9 +697,14 @@ def q152(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts_us").alias("tus"),
         F.expr("CAST(floor(value * 1000) AS BIGINT)").alias("vm"),
     )
-    w_all = Window.partitionBy("user_id")
     w_ord = Window.partitionBy("user_id").orderBy("tus", "event_id")
     w_cum = w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # n/s share w_ord's spec with the full frame: rn, cum, n and s all
+    # evaluate in ONE Window operator pass (round-12 fusion; count and
+    # BIGINT sum are order-insensitive)
+    w_all = w_ord.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
     r = e.select(
         "user_id",
         F.count(F.lit(1)).over(w_all).cast("bigint").alias("n"),
@@ -981,7 +986,10 @@ def q155(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.expr("MIN(ptus - fv) div 1000000").alias("lat_s"))
     )
     w_ord = Window.partitionBy("wk").orderBy("lat_s", "user_id")
-    w_all = Window.partitionBy("wk")
+    # nc fuses into w_ord's operator (full frame, round-12): one pass
+    w_all = w_ord.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
     r = conv.select(
         "wk",
         "user_id",

@@ -467,14 +467,18 @@ def q188(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         F.expr(_cents_sql("o_totalprice")).alias("cents"),
     )
-    wp = Window.partitionBy("o_orderpriority")
+    w_rank = Window.partitionBy("o_orderpriority").orderBy(
+        "cents", "o_orderkey"
+    )
+    # n fuses into the rank window's operator (full frame, round-12)
+    w_n = w_rank.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
     v = o.select(
         "o_orderpriority",
         "cents",
-        F.row_number()
-        .over(wp.orderBy("cents", "o_orderkey"))
-        .alias("rn"),
-        F.count(F.lit(1)).over(wp).alias("n"),
+        F.row_number().over(w_rank).alias("rn"),
+        F.count(F.lit(1)).over(w_n).alias("n"),
     )
     is_target = " OR ".join(f"rn = ({d} * n + 9) div 10" for d in range(1, 10))
     return (
