@@ -211,8 +211,14 @@ def minhash_signatures(
     raw = F.col("shingle") if pre_hashed else F.xxhash64("shingle")
     x = raw.bitwiseAND(F.lit(0x7FFFFFFFFFFFFFFF)) % F.lit(_P)
     hashed = sh.select("id", x.alias("x"))
+    # each aggregate is ONE SQL parse, not a tree of py4j Column calls
+    # (round 12): constructing K composed Columns costs ~6 driver
+    # round-trips each, and the LSH queries build this plan 1-2× per
+    # call — measured as a large share of their DataFrame-construction
+    # time. `L` suffixes pin BIGINT literals, so the arithmetic (and
+    # the signatures) are bit-identical to the Column form.
     aggs = [
-        F.min((F.col("x") * F.lit(a) + F.lit(b)) % F.lit(_P)).alias(f"h{i}")
+        F.expr(f"min((x * {a}L + {b}L) % {_P}L) AS h{i}")
         for i, (a, b) in enumerate(_perm_params(num_hashes, seed))
     ]
     return hashed.groupBy("id").agg(*aggs)
@@ -223,16 +229,21 @@ def banded_buckets(sig: DataFrame, num_bands: int = 16) -> DataFrame:
     xxhash64 bucket per band over that band's hash columns."""
     hcols = [c for c in sig.columns if c.startswith("h")]
     rows_per_band = len(hcols) // num_bands
-    bands = []
-    for bnd in range(num_bands):
-        cols = hcols[bnd * rows_per_band : (bnd + 1) * rows_per_band]
-        bands.append(
-            F.struct(
-                F.lit(bnd).alias("band"),
-                F.xxhash64(*[F.col(c) for c in cols]).alias("bucket"),
-            )
+    # one SQL parse for the whole band array (round 12, same rationale
+    # as minhash_signatures): SQL xxhash64 uses the same default seed
+    # (42) as the Column API, so buckets are bit-identical
+    parts = ", ".join(
+        "struct({b} AS band, xxhash64({cols}) AS bucket)".format(
+            b=bnd,
+            cols=", ".join(
+                hcols[bnd * rows_per_band : (bnd + 1) * rows_per_band]
+            ),
         )
-    return sig.select(F.col("id"), F.explode(F.array(*bands)).alias("bb")).select(
+        for bnd in range(num_bands)
+    )
+    return sig.select(
+        F.col("id"), F.explode(F.expr(f"array({parts})")).alias("bb")
+    ).select(
         "id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
     )
 
